@@ -1,0 +1,185 @@
+"""Exact top-K similarity search (SURVEY §2.3 J1, §2.5 W1/W2).
+
+The reference's flagship computation: for each query vector, the exact
+top-K corpus neighbors under cosine similarity (unit space,
+``ANNCode.py:264-271``) or squared Euclidean distance
+(``ANNCode.py:274-281``).
+
+Two physical realizations with identical results:
+
+* ``exact_topk`` — pure DataFrame: broadcast the (small) query side
+  into a cross join, score with Column expressions, then a *salted*
+  two-phase top-K. Phase 1 ranks within ``(query_id, shard)`` so the
+  q×N score set shuffles across q×P balanced keys instead of q skewed
+  ones; phase 2 ranks the surviving q×P×k rows. This is the
+  oracle-checkable plan and survives a 100× scale-up (per-query
+  reducer skew is the classic failure mode it avoids).
+* ``exact_topk_fast`` — ``mapInPandas`` over corpus partitions with
+  the query matrix broadcast as NumPy: one BLAS matvec per partition,
+  local top-K, then the tiny phase-2 merge. Same results, ~10-50×
+  faster per byte; shuffle volume is O(q·P·k), independent of N.
+
+Determinism: ties broken by ``neighbor_id`` ascending everywhere
+(NumPy's argpartition tie order is unspecified; FIXTURES.md §C).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine, dist2
+
+TOPK_SCHEMA = "query_id bigint, rank int, neighbor_id bigint, score double"
+
+
+def score_crossjoin(
+    queries: DataFrame,
+    corpus: DataFrame,
+    metric: str = "cosine",
+    query_col: str = "embedding",
+    corpus_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """J1: θ-join of every query against every corpus vector.
+
+    The query side is broadcast (it is always the small side —
+    reference holds Q in memory per query loop, ``ANNCode.py:328-335``)
+    so the corpus never shuffles: each corpus partition streams past an
+    in-memory copy of Q. Returns (query_id, neighbor_id, score).
+    """
+    q = F.broadcast(
+        queries.select(F.col("query_id"), F.col(query_col).alias("__q"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(corpus_col).alias("__c"))
+    if metric == "cosine":
+        score = cosine("__q", "__c")
+
+    elif metric == "l2":
+        score = dist2("__q", "__c")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return c.crossJoin(q).select("query_id", "neighbor_id", score.alias("score"))
+
+
+def topk_per_query(
+    scores: DataFrame,
+    k: int,
+    ascending: bool = False,
+    salted: bool = True,
+) -> DataFrame:
+    """W1/W2: per-query top-K over a (query_id, neighbor_id, score) set.
+
+    ``salted=True`` runs the two-phase plan (local rank within
+    ``(query_id, shard)`` → global rank): identical output, no
+    single-reducer-per-query skew at scale.
+    """
+    direction = F.col("score").asc() if ascending else F.col("score").desc()
+    ordering = [direction, F.col("neighbor_id").asc()]
+
+    if salted:
+        local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(*ordering)
+        scores = (
+            scores.withColumn("__lr", F.row_number().over(local))
+            .where(F.col("__lr") <= k)
+            .drop("__lr")
+        )
+
+    final = Window.partitionBy("query_id").orderBy(*ordering)
+    return (
+        scores.withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def exact_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    **score_kwargs,
+) -> DataFrame:
+    """Exact top-K, pure-DataFrame path. Cosine: score = cosine
+    similarity, descending. L2: score = squared distance, ascending
+    (reference keeps d², ``ANNCode.py:277``)."""
+    scores = score_crossjoin(queries, corpus, metric=metric, **score_kwargs)
+    return topk_per_query(scores, k, ascending=(metric == "l2"))
+
+
+def exact_topk_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    normalized: bool = False,
+) -> DataFrame:
+    """Exact top-K, vectorized path: per-partition BLAS + local top-K
+    inside ``mapInPandas``, then a global merge of q×P×k candidates.
+
+    ``normalized=True`` skips unit-normalization for cosine (corpus
+    already in unit space). Scores are computed in float64 to match
+    the Column-expression path's DOUBLE folds within fp tolerance —
+    exact row/rank equality is enforced by the same
+    (score, neighbor_id) tie-break.
+    """
+    spark = queries.sparkSession
+    qpdf = queries.select("query_id", "embedding").toPandas()
+    q_ids = qpdf["query_id"].to_numpy()
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    if metric == "cosine" and not normalized:
+        q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    ascending = metric == "l2"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if metric == "cosine":
+                if not normalized:
+                    c_mat = c_mat / np.maximum(
+                        np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+                    )
+                scores = c_mat @ mat_q.T  # (n_c, n_q)
+            else:
+                # ||c-q||^2 = ||c||^2 - 2 c.q + ||q||^2
+                scores = (
+                    (c_mat * c_mat).sum(axis=1)[:, None]
+                    - 2.0 * (c_mat @ mat_q.T)
+                    + (mat_q * mat_q).sum(axis=1)[None, :]
+                )
+            kk = min(k, scores.shape[0])
+            # partial selection then exact sort of the k survivors
+            key = scores if ascending else -scores
+            part = np.argpartition(key, kk - 1, axis=0)[:kk]
+            out_frames = []
+            for j, qid in enumerate(ids_q):
+                idx = part[:, j]
+                sel = key[idx, j]
+                order = np.lexsort((c_ids[idx], sel))
+                idx = idx[order]
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "neighbor_id": c_ids[idx].astype(np.int64),
+                            "score": scores[idx, j],
+                        }
+                    )
+                )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    candidates = corpus.select("vec_id", "embedding").mapInPandas(
+        local_topk, schema="query_id bigint, neighbor_id bigint, score double"
+    )
+    return topk_per_query(candidates, k, ascending=ascending, salted=False)

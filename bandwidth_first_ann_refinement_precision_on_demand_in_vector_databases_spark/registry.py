@@ -1,0 +1,200 @@
+"""Declared query registry: the correctness surface of the engine.
+
+Every operator from SURVEY.md §2 that is SQL-expressible appears here
+twice: as a Spark callable ``(spark, sf_dir) -> DataFrame`` in
+``QUERIES`` and as an equivalent DuckDB SQL string in ``ORACLES``.
+The driver hash-compares the two at sf=0.01 (row count + schema +
+order-insensitive value hash), so:
+
+* every computed column is aliased identically on both sides,
+* all float math is DOUBLE with strict left-to-right folds
+  (bit-identical between Spark ``aggregate``/``zip_with`` and DuckDB
+  ``list_sum(list_transform(...))`` — verified empirically),
+* presented floats are rounded to 6 decimals; ranking happens on the
+  unrounded (bit-identical) values,
+* every top-K breaks ties by ``neighbor_id`` (FIXTURES.md §C).
+
+Non-SQL-expressible operators (bit-exact FP16 pandas UDFs, stateful
+streaming) are registered in ``QUERIES`` only → the driver records the
+weaker rows-only check, as SURVEY §2 prescribes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.vector import l2_norm, unit
+from .operators.metrics import recall_at_k
+from .operators.topk import exact_topk
+from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
+
+K_DEFAULT = 20  # reference CLI default, ANNCode.py:798
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL building blocks (kept as python f-string helpers so every
+# oracle uses the exact same fold shapes).
+# ---------------------------------------------------------------------------
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _sql_sq_norm(a: str) -> str:
+    return f"list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_sq_norm(a)})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"(greatest({_sql_norm(a)}, 1e-12) * greatest({_sql_norm(b)}, 1e-12)))"
+    )
+
+
+def _sql_dist2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+SQL_QUERIES_CTE = (
+    f"SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    f"WHERE vec_id % {QUERY_STRIDE} = 0"
+)
+
+
+def _sql_topk(score_expr: str, order: str, k: int) -> str:
+    """Shared top-K oracle shape over queries × embeddings."""
+    return f"""
+WITH q AS ({SQL_QUERIES_CTE}),
+s AS (
+  SELECT q.query_id,
+         e.vec_id AS neighbor_id,
+         {score_expr} AS score
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score {order}, neighbor_id
+         ) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM r WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+def _rounded_topk(df: DataFrame) -> DataFrame:
+    return df.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: exact top-K cosine (``ANNCode.py:264-271``)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return _rounded_topk(
+        exact_topk(queries_view(spark, sf_dir), corpus, K_DEFAULT, metric="cosine")
+    )
+
+
+def q_topk_l2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: exact top-K squared-Euclidean (``ANNCode.py:274-281``)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    return _rounded_topk(
+        exact_topk(queries_view(spark, sf_dir), corpus, K_DEFAULT, metric="l2")
+    )
+
+
+def q_rownorm_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: row L2-normalize with 1e-12 floor (``ANNCode.py:45-52``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(unit("embedding"), lambda v: F.round(v, 6)).alias("unit_vec"),
+        F.round(l2_norm("embedding"), 6).alias("norm"),
+    )
+
+
+def q_recall_l2_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/J3: Recall@K of the L2 top-K against the cosine top-K
+    (``recall_at_k``, ``ANNCode.py:651-660``)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = queries_view(spark, sf_dir)
+    gt = exact_topk(queries, corpus, K_DEFAULT, metric="cosine")
+    pred = exact_topk(queries, corpus, K_DEFAULT, metric="l2")
+    rec = recall_at_k(gt, pred, K_DEFAULT)
+    return rec.select("k", F.round("recall", 6).alias("recall"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "topk_cosine_exact": q_topk_cosine_exact,
+    "topk_l2_exact": q_topk_l2_exact,
+    "rownorm_unit": q_rownorm_unit,
+    "recall_l2_vs_cosine": q_recall_l2_vs_cosine,
+}
+
+ORACLES: dict[str, str] = {
+    "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
+    "topk_l2_exact": _sql_topk(_sql_dist2("q.qe", "e.embedding"), "ASC", K_DEFAULT),
+    "rownorm_unit": f"""
+SELECT vec_id,
+       list_transform(embedding,
+         x -> round(CAST(x AS DOUBLE) / greatest({_sql_norm('embedding')}, 1e-12), 6)
+       ) AS unit_vec,
+       round({_sql_norm('embedding')}, 6) AS norm
+FROM embeddings
+""",
+    "recall_l2_vs_cosine": f"""
+WITH q AS ({SQL_QUERIES_CTE}),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_cosine('q.qe', 'e.embedding')} AS cos_score,
+         {_sql_dist2('q.qe', 'e.embedding')} AS d2
+  FROM q CROSS JOIN embeddings e
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_score DESC, neighbor_id) AS r
+    FROM s) WHERE r <= {K_DEFAULT}
+),
+pred AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id) AS r
+    FROM s) WHERE r <= {K_DEFAULT}
+),
+hits AS (
+  SELECT gt.query_id, count(*) AS n_hits
+  FROM gt JOIN pred USING (query_id, neighbor_id)
+  GROUP BY gt.query_id
+),
+perq AS (
+  SELECT q2.query_id, coalesce(h.n_hits, 0) / CAST({K_DEFAULT} AS DOUBLE) AS recall_q
+  FROM (SELECT DISTINCT query_id FROM gt) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT CAST({K_DEFAULT} AS INT) AS k, round(avg(recall_q), 6) AS recall FROM perq
+""",
+}

@@ -1,0 +1,56 @@
+"""Fixture-table scans (SURVEY §2.1 S9 — the engine's primary source).
+
+Parquet is the engine's native storage: columnar pages + ZSTD are the
+Spark-world analog of the reference's disaggregated bit-plane layout
+(reference ``ANNCode.py:668-690``, paper §3.3) — the reduced-precision
+and full-precision representations live in *separate columns*, so
+column pruning means the cheap first pass never reads full-precision
+bytes at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+#: Deterministic query-set derivation (FIXTURES.md §B): every 50th vector.
+QUERY_STRIDE = 50
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Filters/projections push into the scan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql use)."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def queries_view(spark: SparkSession, sf_dir: str, stride: int = QUERY_STRIDE) -> DataFrame:
+    """Derive the query set from ``embeddings`` (reference takes a Q
+    matrix, ``ANNCode.py:821-822``; we take every ``stride``-th vector).
+
+    The modulo predicate is pushed down to the parquet scan.
+    """
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % stride == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )

@@ -1,0 +1,78 @@
+"""Engine benchmark — one JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}``.
+
+Each query is forced with the no-op sink (full execution, no
+driver-side materialization cost in the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark import (
+    get_spark,
+    registry,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: benchmark suite: name -> callable(spark, sf_dir) -> DataFrame
+def _suite():
+    names = [
+        "topk_cosine_exact",
+        "topk_l2_exact",
+        "recall_l2_vs_cosine",
+    ]
+    extra = {}
+    # fast vectorized flagship path, benched alongside the SQL plan
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        exact_topk_fast,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    extra["topk_cosine_fast"] = lambda spark, sf: exact_topk_fast(
+        queries_view(spark, sf), load_table(spark, sf, "embeddings"), registry.K_DEFAULT
+    )
+    suite = {n: registry.QUERIES[n] for n in names if n in registry.QUERIES}
+    suite.update(extra)
+    return suite
+
+
+def main() -> None:
+    spark = get_spark(app_name="bfann-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    suite = _suite()
+    for name, fn in suite.items():
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

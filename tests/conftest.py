@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark import (
+    get_spark,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = get_spark(app_name="bfann-tests", cpus="4", shuffle_partitions=8)
+    yield session
+
+
+@pytest.fixture(scope="session")
+def sf_small() -> str:
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_medium() -> str:
+    return SF_MEDIUM

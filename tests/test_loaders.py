@@ -1,0 +1,85 @@
+"""Vector-file sources vs golden files written by the test itself
+(format specs from the reference loaders, ``ANNCode.py:60-158``)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+    load_bin_header_body,
+    load_fvecs,
+    load_matrix,
+    load_vec,
+    synthetic_corpus,
+)
+
+RNG = np.random.default_rng(7)
+MAT = RNG.normal(size=(6, 4)).astype(np.float32)
+
+
+def _collect(df):
+    pdf = df.orderBy("vec_id").toPandas()
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+
+
+def test_load_vec(spark, tmp_path):
+    path = tmp_path / "toy.vec"
+    lines = [f"{MAT.shape[0]} {MAT.shape[1]}"]
+    for i, row in enumerate(MAT):
+        lines.append(f"tok{i} " + " ".join(repr(float(v)) for v in row))
+    lines.insert(3, "shortline 1.0")  # malformed row: must be skipped
+    path.write_text("\n".join(lines) + "\n")
+    got = _collect(load_vec(spark, str(path), max_rows=None))
+    np.testing.assert_array_equal(got, MAT)
+
+
+def test_load_fvecs(spark, tmp_path):
+    path = tmp_path / "toy.fvecs"
+    with open(path, "wb") as f:
+        for row in MAT:
+            f.write(struct.pack("<i", MAT.shape[1]))
+            f.write(row.tobytes())
+    got = _collect(load_fvecs(spark, str(path), max_rows=None))
+    np.testing.assert_array_equal(got, MAT)
+
+
+def test_load_bin_header_body(spark, tmp_path):
+    path = tmp_path / "toy.bin"
+    with open(path, "wb") as f:
+        f.write(f"{MAT.shape[0]}\n{MAT.shape[1]}\n".encode())
+        f.write(MAT.tobytes())
+    got = _collect(load_bin_header_body(spark, str(path), max_rows=None))
+    np.testing.assert_array_equal(got, MAT)
+
+
+def test_load_matrix_dispatch_int_header(spark, tmp_path):
+    path = tmp_path / "toy.raw"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", *MAT.shape))
+        f.write(MAT.tobytes())
+    got = _collect(load_matrix(spark, str(path), max_rows=None))
+    np.testing.assert_array_equal(got, MAT)
+
+
+def test_subsample_deterministic(spark, tmp_path):
+    path = tmp_path / "big.fvecs"
+    big = RNG.normal(size=(100, 3)).astype(np.float32)
+    with open(path, "wb") as f:
+        for row in big:
+            f.write(struct.pack("<i", 3))
+            f.write(row.tobytes())
+    a = load_fvecs(spark, str(path), max_rows=10).toPandas()
+    b = load_fvecs(spark, str(path), max_rows=10).toPandas()
+    assert sorted(a["vec_id"]) == sorted(b["vec_id"])
+    assert len(a) == 10
+
+
+@pytest.mark.parametrize("partitions", [1, 4])
+def test_synthetic_corpus_partition_invariant(spark, partitions):
+    df = synthetic_corpus(spark, n_rows=20, dim=8, seed=42, partitions=partitions)
+    got = _collect(df)
+    ref = synthetic_corpus(spark, n_rows=20, dim=8, seed=42, partitions=2)
+    np.testing.assert_array_equal(got, _collect(ref))

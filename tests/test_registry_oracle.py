@@ -1,0 +1,38 @@
+"""Every declared (query, oracle) pair must hash-match — this mirrors
+the driver's t2 gate at a smaller scale factor for fast iteration."""
+
+from __future__ import annotations
+
+import pytest
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark import (
+    registry,
+)
+
+from .oracle_harness import compare, duckdb_conn
+
+
+def _ids():
+    return sorted(registry.ORACLES.keys())
+
+
+@pytest.fixture(scope="module")
+def con(sf_small):
+    c = duckdb_conn(sf_small)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _ids())
+def test_oracle_match_sf0001(spark, sf_small, con, name):
+    df = registry.QUERIES[name](spark, sf_small)
+    problems = compare(df, con, registry.ORACLES[name])
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_every_query_runs(spark, sf_small):
+    """Queries without oracles still must run and return a schema."""
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, sf_small)
+        assert df.columns, name
+        assert df.count() >= 0, name

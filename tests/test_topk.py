@@ -1,0 +1,88 @@
+"""Exact top-K: Spark paths vs a NumPy brute-force oracle (the
+reference's own ground-truth procedure, ``ANNCode.py:264-281``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+    exact_topk,
+    exact_topk_fast,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def fixture_mats(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings").orderBy("vec_id").toPandas()
+    queries = queries_view(spark, sf_small).orderBy("query_id").toPandas()
+    c_ids = corpus["vec_id"].to_numpy()
+    c = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    q_ids = queries["query_id"].to_numpy()
+    q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    return c_ids, c, q_ids, q
+
+
+def _np_topk(c_ids, c, q_ids, q, k, metric):
+    out = {}
+    for qi, qv in zip(q_ids, q):
+        if metric == "cosine":
+            cu = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            qu = qv / max(np.linalg.norm(qv), 1e-12)
+            s = cu @ qu
+            order = np.lexsort((c_ids, -s))
+        else:
+            d2 = ((c - qv[None, :]) ** 2).sum(axis=1)
+            order = np.lexsort((c_ids, d2))
+        out[int(qi)] = [int(c_ids[i]) for i in order[:k]]
+    return out
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_exact_topk_matches_numpy(spark, sf_small, fixture_mats, metric):
+    c_ids, c, q_ids, q = fixture_mats
+    want = _np_topk(c_ids, c, q_ids, q, K, metric)
+    got_df = exact_topk(
+        queries_view(spark, sf_small),
+        load_table(spark, sf_small, "embeddings"),
+        K,
+        metric=metric,
+    ).toPandas()
+    got = {
+        int(qid): g.sort_values("rank")["neighbor_id"].tolist()
+        for qid, g in got_df.groupby("query_id")
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_fast_path_matches_sql_path(spark, sf_small, metric):
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    slow = exact_topk(queries, corpus, K, metric=metric).toPandas()
+    fast = exact_topk_fast(queries, corpus, K, metric=metric).toPandas()
+    key = ["query_id", "rank"]
+    slow = slow.sort_values(key, ignore_index=True)
+    fast = fast.sort_values(key, ignore_index=True)
+    assert slow["neighbor_id"].tolist() == fast["neighbor_id"].tolist()
+    assert np.allclose(slow["score"], fast["score"], rtol=1e-9, atol=1e-12)
+
+
+def test_salted_equals_unsalted(spark, sf_small):
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        score_crossjoin,
+        topk_per_query,
+    )
+
+    scores = score_crossjoin(queries, corpus, metric="cosine")
+    a = topk_per_query(scores, K, salted=True).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    b = topk_per_query(scores, K, salted=False).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+    assert a.equals(b)
