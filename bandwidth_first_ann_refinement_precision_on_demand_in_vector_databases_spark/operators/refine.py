@@ -1,0 +1,365 @@
+"""Two-phase "precision-on-demand" top-K refinement (SURVEY §2.6).
+
+The engine's flagship operator family: a top-K similarity join that
+first scans a cheap mantissa-truncated copy of the corpus, then fetches
+full precision only for candidates that survive a mathematically
+bounded early-rejection test ("cushion"). Six cushions, matching the
+reference modes (``ANNCode.py:307-647``):
+
+==========  =======================================================  =========
+mode        cushion / rejection test                                 safety
+==========  =======================================================  =========
+cos-hoeff   t = √(2·ln(1/δ))·‖q∘Δᵢ‖₂ ; reject if ŝ + t < τ          tunable δ
+cos-l1      b = Σⱼ|qⱼ|Δᵢⱼ ; reject if ŝ + b < τ                      zero-miss
+cos-l2      Bᵢ = ‖unit(full)−unit(red)‖₂ ; reject if ŝ + Bᵢ < τ      zero-miss
+l2-sym      lower = Σⱼ max(|aⱼ|−Δᵢⱼ,0)² ; reject if lower > τ        zero-miss
+l2-tz       sign-aware 3-case piecewise lower bound ; same test       zero-miss
+l2-hoeff    lower = ‖a‖² − 2√(2 ln(1/δ))·‖a∘Δᵢ‖₂ ; same test         tunable δ
+==========  =======================================================  =========
+
+**Scalable-path semantics (this module):** the reference scans
+candidates sequentially per query with an *evolving* threshold
+(``ANNCode.py:348-363``), which does not parallelize. Here the
+threshold is *fixed* at τ₀ = the K-th exact score of the reduced-order
+seed set. For every cushion this fetches a superset of the reference's
+fetch set, so: zero-miss modes return the **identical final top-K**
+(= exact top-K over the fp16 corpus); Hoeffding modes return recall ≥
+the reference's. Bandwidth saving is a lower bound on the reference's
+(``order_sensitive=False``). The per-query sequential replica that
+reproduces the reference's evolving-threshold metrics exactly lives in
+``refine_replica.py``.
+
+**Documented deviations from the reference** (SURVEY §2.6 quirks):
+
+* ``cos-l2`` here builds B from the fp16-rounded corpus; the reference
+  feeds the raw float32 corpus to this one mode only
+  (``ANNCode.py:849`` vs ``:825``) — the engine uses fp16 everywhere.
+* Cushion arithmetic is DOUBLE (reference: float32). Bounds remain
+  valid; survivor sets can differ on candidates within one float32
+  ulp of the threshold.
+* The sign used by the tz bound is taken from the *raw* coordinate
+  (``x < 0``), which equals ``np.signbit`` of the truncated value for
+  every input except an exact raw ``-0.0`` (measure-zero; reference
+  ``ANNCode.py:513``).
+
+**Physical plan** (what Catalyst sees): broadcast queries → cross join
+against the *reduced columns only* (column pruning keeps full
+precision unread) → salted two-phase window for the seed → broadcast
+join of the tiny seed/survivor sets back to the full-precision column
+(late materialization, J2) → final window. Shuffles: the seed rank
+(on (query_id, shard)) and two joins of K-to-survivor-sized frames.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.fp16 import FP16_EXP_BITS, with_fp16_rounded, with_reduced_precision
+from ..functions.vector import delta_from_exp_col, dot, l2_norm, unit
+from .topk import topk_per_query
+
+MODES = ("cos-hoeff", "cos-l1", "cos-l2", "l2-sym", "l2-tz", "l2-hoeff")
+
+_EPS = 1e-12
+
+
+def is_cosine(mode: str) -> bool:
+    return mode.startswith("cos-")
+
+
+def hoeff_const(delta: float) -> float:
+    """√(2·ln(1/δ)) (``ANNCode.py:321``)."""
+    assert 0.0 < delta < 1.0
+    return math.sqrt(2.0 * math.log(1.0 / float(delta)))
+
+
+# ---------------------------------------------------------------------------
+# Corpus / query preparation
+# ---------------------------------------------------------------------------
+
+def prepare_corpus(
+    corpus: DataFrame,
+    keep_m: int,
+    mode: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materialize the per-row derived columns a refinement scan needs.
+
+    Output columns (beyond ``vec_id``/raw): ``full`` (the exact-fetch
+    representation), ``redv`` (the cheap-pass representation), ``delta``
+    (per-coordinate error radii), and for cos-l2 the per-row constant
+    ``bconst``. In production these are written once per ``keep_m`` as
+    separate Parquet columns (paper §3.3 disaggregated placement); the
+    cheap pass then scans only (redv, delta)-backed pages.
+    """
+    df = with_reduced_precision(
+        with_fp16_rounded(corpus.select(id_col, vec_col), vec_col, out_col="vec16"),
+        keep_m,
+        vec_col=vec_col,
+    )
+    delta_col = delta_from_exp_col("kept_exp", keep_m)
+    if is_cosine(mode):
+        df = df.select(
+            id_col,
+            vec_col,
+            unit("vec16").alias("full"),
+            unit("red").alias("redv"),
+            delta_col.alias("delta"),
+        )
+        if mode == "cos-l2":
+            diff = F.zip_with("full", "redv", lambda a, b: a - b)
+            df = df.withColumn("bconst", l2_norm(diff))
+    else:
+        df = df.select(
+            id_col,
+            vec_col,
+            F.transform("vec16", lambda v: v.cast("double")).alias("full"),
+            F.transform("red", lambda v: v.cast("double")).alias("redv"),
+            delta_col.alias("delta"),
+        )
+    return df
+
+
+def prepare_queries(queries: DataFrame, mode: str, vec_col: str = "embedding") -> DataFrame:
+    """Cosine queries run in unit space (``ANNCode.py:312``); Euclidean
+    queries stay in value space, raw precision (``ANNCode.py:542``)."""
+    expr = unit(vec_col) if is_cosine(mode) else F.transform(
+        vec_col, lambda v: v.cast("double")
+    )
+    return queries.select("query_id", expr.alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Cushion expressions (P8) — all Column-level, evaluated inside the join
+# ---------------------------------------------------------------------------
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cushion_expr(mode: str, delta_param: float | None) -> Column:
+    """The additive cushion (cosine) or subtractive slack (L2).
+
+    Operates on columns ``q`` (query vector), ``redv``, ``delta``,
+    ``embedding`` (raw, for tz signs), ``bconst``, ``s_hat``.
+    """
+    if mode == "cos-hoeff":
+        qd = F.zip_with("q", "delta", lambda q, d: q * d.cast("double"))
+        return F.lit(hoeff_const(delta_param)) * F.sqrt(
+            _fold_sum(F.transform(qd, lambda v: v * v))
+        )
+    if mode == "cos-l1":
+        return _fold_sum(
+            F.zip_with("q", "delta", lambda q, d: F.abs(q) * d.cast("double"))
+        )
+    if mode == "cos-l2":
+        return F.col("bconst")
+    raise ValueError(f"no additive cushion for mode {mode!r}")
+
+
+def l2_lower_bound_expr(mode: str, delta_param: float | None) -> Column:
+    """Lower bound on the exact squared distance (L2 modes).
+
+    ``a = q − redv`` is the reduced residual (``ANNCode.py:546``).
+    """
+    a = F.zip_with("q", "redv", lambda q, r: q - r)
+    if mode == "l2-sym":
+        # Σ max(|a|−Δ, 0)²   (``_lb_sym``, ANNCode.py:500-505)
+        def sym_term(x, d):
+            lower = F.greatest(F.abs(x) - d.cast("double"), F.lit(0.0))
+            return lower * lower
+
+        return _fold_sum(F.zip_with(a, "delta", sym_term))
+    if mode == "l2-tz":
+        # sign-aware 3-case bound (``_lb_tz``, ANNCode.py:508-522):
+        # s = sign of the truncated coordinate; b = a·s;
+        # b ≤ 0 → a², 0 < b < Δ → 0, b ≥ Δ → (|a|−Δ)²
+        z = F.arrays_zip(a.alias("a"), F.col("delta").alias("d"), F.col("embedding").alias("raw"))
+        def term(p):
+            s = F.when(p["raw"].cast("double") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            b = p["a"] * s
+            d = p["d"].cast("double")
+            return (
+                F.when(b <= 0, p["a"] * p["a"])
+                .when(b < d, F.lit(0.0))
+                .otherwise((F.abs(p["a"]) - d) * (F.abs(p["a"]) - d))
+            )
+        return _fold_sum(F.transform(z, term))
+    if mode == "l2-hoeff":
+        # ‖a‖² − 2·√(2 ln(1/δ))·‖a∘Δ‖₂   (ANNCode.py:630-632)
+        ad = F.zip_with(a, "delta", lambda x, d: x * d.cast("double"))
+        return F.col("d2_hat") - F.lit(2.0 * hoeff_const(delta_param)) * F.sqrt(
+            _fold_sum(F.transform(ad, lambda v: v * v))
+        )
+    raise ValueError(f"no l2 lower bound for mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# The operator
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RefineResult:
+    """Lazy DataFrames; nothing is executed until an action runs."""
+
+    topk: DataFrame      # (query_id, rank, neighbor_id, score)
+    fetched: DataFrame   # (query_id, neighbor_id) whose full vector was read
+    scored: DataFrame    # phase-1 frame (diagnostics)
+
+
+def refine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    prepared_corpus: DataFrame | None = None,
+) -> RefineResult:
+    """Run one refinement mode end to end (scalable fixed-τ₀ path)."""
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
+    cos = is_cosine(mode)
+    corp = prepared_corpus if prepared_corpus is not None else prepare_corpus(corpus, keep_m, mode)
+    qs = prepare_queries(queries, mode)
+
+    # ---- phase 1: cheap pass over the reduced representation (J1) ----
+    reduced_cols = ["vec_id", "redv", "delta", "embedding"] + (
+        ["bconst"] if mode == "cos-l2" else []
+    )
+    pairs = corp.select(*reduced_cols).crossJoin(F.broadcast(qs))
+    if cos:
+        pairs = pairs.withColumn("s_hat", dot("redv", "q"))
+        phase1_score, ascending = "s_hat", False
+    else:
+        d2_hat = _fold_sum(
+            F.transform(F.zip_with("q", "redv", lambda q, r: q - r), lambda v: v * v)
+        )
+        pairs = pairs.withColumn("d2_hat", d2_hat)
+        phase1_score, ascending = "d2_hat", True
+
+    # ---- seed: best K under the reduced score (W5) ----
+    seed_ids = topk_per_query(
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.col(phase1_score).alias("score")),
+        k,
+        ascending=ascending,
+    ).select("query_id", "neighbor_id")
+
+    exact_score = _exact_score_expr(cos)
+    full_side = corp.select(F.col("vec_id").alias("neighbor_id"), "full")
+    seed_exact = (
+        seed_ids.join(full_side, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", exact_score.alias("score"))
+    )
+
+    # τ₀ = K-th best exact seed score: the fixed admission threshold.
+    tau0 = seed_exact.groupBy("query_id").agg(
+        (F.min("score") if cos else F.max("score")).alias("tau0")
+    )
+
+    # ---- cushion filter over non-seed candidates (P8) ----
+    rest = pairs.join(
+        F.broadcast(seed_ids.withColumnRenamed("neighbor_id", "vec_id")),
+        ["query_id", "vec_id"],
+        "left_anti",
+    ).join(F.broadcast(tau0), "query_id")
+    if cos:
+        admitted = rest.where(
+            F.col("s_hat") + cushion_expr(mode, delta) >= F.col("tau0")
+        )
+    else:
+        admitted = rest.where(l2_lower_bound_expr(mode, delta) <= F.col("tau0"))
+
+    # ---- phase 2: late materialization of full precision (J2) ----
+    surv_exact = (
+        admitted.select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(full_side, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", exact_score.alias("score"))
+    )
+
+    candidates = seed_exact.unionByName(surv_exact)
+    final = topk_per_query(candidates, k, ascending=not cos, salted=False)
+    fetched = candidates.select("query_id", "neighbor_id")
+    return RefineResult(topk=final, fetched=fetched, scored=pairs)
+
+
+def _exact_score_expr(cos: bool) -> Column:
+    if cos:
+        return dot("full", "q")
+    return _fold_sum(
+        F.transform(F.zip_with("q", "full", lambda q, v: q - v), lambda v: v * v)
+    )
+
+
+def refine_metrics(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    keep_e: int = FP16_EXP_BITS,
+    red_bytes_override: float | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """One metrics row ``(mode, m_keep, delta, recall, save, fpr)`` —
+    the reference's sweep-CSV schema (``ANNCode.py:735``).
+
+    Bytes model per ``ANNCode.py:316-319``: every candidate pays the
+    reduced bytes; every fetched candidate pays full bytes on top;
+    baseline reads full bytes for every candidate. Recall is measured
+    against the exact top-K on the fp16 corpus (``ANNCode.py:836-839``).
+    All counts are computed as Spark aggregates — no driver loops.
+    """
+    cos = is_cosine(mode)
+    corp = prepare_corpus(corpus, keep_m, mode)
+    qs = prepare_queries(queries, mode)
+    res = refine_topk(queries, corpus, mode, k, keep_m, delta, prepared_corpus=corp)
+    # ground truth: exact top-K over the fp16 full-precision columns
+    gt_pairs = (
+        corp.select(F.col("vec_id").alias("neighbor_id"), "full")
+        .crossJoin(F.broadcast(qs))
+        .select("query_id", "neighbor_id", _exact_score_expr(cos).alias("score"))
+    )
+    gt = topk_per_query(gt_pairs, k, ascending=not cos)
+
+    b_full = 16.0 * dim / 8.0
+    b_red = red_bytes_override if red_bytes_override is not None else (1 + keep_e + keep_m) * dim / 8.0
+
+    n_q = queries.agg(F.count("*").alias("n_q"))
+    n_c = corpus.agg(F.count("*").alias("n_c"))
+    n_fetched = res.fetched.agg(F.count("*").alias("n_fetched"))
+    hits = (
+        gt.select("query_id", "neighbor_id")
+        .join(res.topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("n_hits"))
+    )
+    unnecessary = (
+        res.fetched.join(
+            res.topk.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        ).agg(F.count("*").alias("n_unnecessary"))
+    )
+
+    stats = (
+        n_q.crossJoin(n_c).crossJoin(n_fetched).crossJoin(hits).crossJoin(unnecessary)
+    )
+    total_bytes = F.lit(b_red) * F.col("n_c") * F.col("n_q") + F.lit(b_full) * F.col("n_fetched")
+    baseline = F.lit(b_full) * F.col("n_c") * F.col("n_q")
+    return stats.select(
+        F.lit(mode).alias("mode"),
+        F.lit(keep_m).alias("m_keep"),
+        F.lit(float(delta) if delta is not None else 0.0).alias("delta"),
+        (F.col("n_hits") / (F.col("n_q") * F.lit(float(k)))).alias("recall"),
+        (F.lit(1.0) - total_bytes / baseline).alias("save"),
+        (F.col("n_unnecessary") / (F.col("n_c") * F.col("n_q"))).alias("fpr"),
+    )

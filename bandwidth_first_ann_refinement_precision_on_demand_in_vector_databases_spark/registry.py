@@ -26,12 +26,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.vector import l2_norm, unit
+from .functions.fp16 import with_reduced_precision
+from .functions.vector import delta_from_exp_col, l2_norm, unit
 from .operators.metrics import recall_at_k
+from .operators.refine import MODES, refine_metrics, refine_topk
 from .operators.topk import exact_topk
+from .plans import duck_oracle
 from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
 
-K_DEFAULT = 20  # reference CLI default, ANNCode.py:798
+K_DEFAULT = 20   # reference CLI default, ANNCode.py:798
+KEEP_M_DEFAULT = 6   # reference CLI default, ANNCode.py:799
+DELTA_DEFAULT = 0.7  # reference CLI default, ANNCode.py:801
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +149,63 @@ def q_recall_l2_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("k", F.round("recall", 6).alias("recall"))
 
 
+def q_reduce_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P7: bit-accurate FP16 mantissa truncation + kept exponents +
+    no-peek Δ (``ANNCode.py:202-216, 245-258``), oracle-checked against
+    the exact arithmetic emulation in ``plans/duck_oracle.py``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .functions.fp16 import with_fp16_rounded
+
+    df = with_reduced_precision(
+        with_fp16_rounded(emb.select("vec_id", "embedding"), out_col="vec16"),
+        KEEP_M_DEFAULT,
+    )
+    norm0 = lambda c: F.transform(c, lambda v: v.cast("double") + F.lit(0.0))  # noqa: E731
+    return df.select(
+        "vec_id",
+        norm0("vec16").alias("vec16"),
+        norm0("red").alias("red"),
+        "kept_exp",
+        delta_from_exp_col("kept_exp", KEEP_M_DEFAULT).alias("delta"),
+    )
+
+
+def _refine_topk_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        delta = DELTA_DEFAULT if "hoeff" in mode else None
+        res = refine_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            mode,
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            delta,
+        )
+        return _rounded_topk(res.topk)
+
+    run.__doc__ = f"C-mode {mode}: two-phase refinement final top-K (SURVEY §2.6)."
+    return run
+
+
+def _refine_metrics_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        delta = DELTA_DEFAULT if "hoeff" in mode else None
+        row = refine_metrics(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            mode,
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            delta,
+        )
+        # no rounding: both engines derive these from identical integer
+        # counts with the same double formula, so values are bit-identical
+        return row.select("mode", "m_keep", "delta", "recall", "save", "fpr")
+
+    run.__doc__ = f"A2/A3 metrics row for mode {mode} (``ANNCode.py:735`` schema)."
+    return run
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -153,7 +215,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_l2_exact": q_topk_l2_exact,
     "rownorm_unit": q_rownorm_unit,
     "recall_l2_vs_cosine": q_recall_l2_vs_cosine,
+    "reduce_precision": q_reduce_precision,
 }
+
+for _mode in MODES:
+    _slug = _mode.replace("-", "_")
+    QUERIES[f"refine_{_slug}_topk"] = _refine_topk_query(_mode)
+    QUERIES[f"refine_{_slug}_metrics"] = _refine_metrics_query(_mode)
 
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
@@ -166,6 +234,7 @@ SELECT vec_id,
        round({_sql_norm('embedding')}, 6) AS norm
 FROM embeddings
 """,
+    "reduce_precision": duck_oracle.reduce_precision_sql(KEEP_M_DEFAULT),
     "recall_l2_vs_cosine": f"""
 WITH q AS ({SQL_QUERIES_CTE}),
 s AS (
@@ -198,3 +267,13 @@ perq AS (
 SELECT CAST({K_DEFAULT} AS INT) AS k, round(avg(recall_q), 6) AS recall FROM perq
 """,
 }
+
+for _mode in MODES:
+    _slug = _mode.replace("-", "_")
+    _delta = DELTA_DEFAULT if "hoeff" in _mode else None
+    ORACLES[f"refine_{_slug}_topk"] = duck_oracle.refine_topk_sql(
+        _mode, K_DEFAULT, KEEP_M_DEFAULT, _delta, QUERY_STRIDE
+    )
+    ORACLES[f"refine_{_slug}_metrics"] = duck_oracle.refine_metrics_sql(
+        _mode, K_DEFAULT, KEEP_M_DEFAULT, _delta, QUERY_STRIDE
+    )
