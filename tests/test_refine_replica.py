@@ -1,0 +1,100 @@
+"""Exact-replica path: cross-checks against the scalable path and the
+paper's invariants, plus a frozen golden run on the seeded demo
+corpus (SURVEY §5 items 3-4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+    refine_topk,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine_replica import (
+    refine_replica,
+    replica_metrics,
+    replica_topk,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.plans.sweep import (
+    sweep_metrics,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+    synthetic_corpus,
+)
+
+K = 10
+ZERO_MISS = ("cos-l1", "cos-l2", "l2-sym", "l2-tz")
+
+
+@pytest.mark.parametrize("mode", ZERO_MISS)
+def test_replica_topk_equals_dataframe_path(spark, sf_small, mode):
+    """Zero-miss cushions: evolving vs fixed threshold must return the
+    identical final top-K (both equal the exact top-K)."""
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    rep = replica_topk(refine_replica(queries, corpus, mode, K, keep_m=4)).toPandas()
+    df = refine_topk(queries, corpus, mode, K, keep_m=4).topk.toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        rep.sort_values(key)["neighbor_id"].tolist()
+        == df.sort_values(key)["neighbor_id"].tolist()
+    )
+
+
+@pytest.mark.parametrize("mode", ZERO_MISS)
+def test_replica_fetches_no_more_than_fixed_tau(spark, sf_small, mode):
+    """The evolving threshold only tightens ⇒ the replica fetches a
+    subset of the fixed-τ₀ path's fetch set."""
+    queries = queries_view(spark, sf_small).limit(4)
+    corpus = load_table(spark, sf_small, "embeddings")
+    rep_fetched = (
+        refine_replica(queries, corpus, mode, K, keep_m=6)
+        .agg({"n_fetched": "sum"})
+        .collect()[0][0]
+    )
+    df_fetched = refine_topk(queries, corpus, mode, K, keep_m=6).fetched.count()
+    assert rep_fetched <= df_fetched
+
+
+def test_replica_metrics_zero_miss_recall(spark, sf_small):
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    n = corpus.count()
+    rep = refine_replica(queries, corpus, "l2-tz", K, keep_m=6)
+    row = replica_metrics(rep, "l2-tz", K, 6, n, dim=64).collect()[0]
+    assert row["recall"] == 1.0
+    assert 0.0 <= row["fpr"] <= 1.0
+    assert row["save"] <= 1.0
+
+
+def test_golden_demo_metrics(spark):
+    """Frozen end-to-end run on the engine's seeded demo corpus
+    (reference demo shape N=2000 D=128 q=30, ``ANNCode.py:816-819``;
+    engine RNG differs per-loader docs, so goldens are engine-frozen).
+    Guards against silent numeric drift in the whole pipeline."""
+    corpus = synthetic_corpus(spark, n_rows=500, dim=64, seed=42, partitions=4)
+    queries = (
+        synthetic_corpus(spark, n_rows=8, dim=64, seed=7, partitions=1)
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    rep = refine_replica(queries, corpus, "cos-l1", 20, keep_m=6)
+    row = replica_metrics(rep, "cos-l1", 20, 6, 500, dim=64).collect()[0]
+    assert row["recall"] == 1.0
+    # frozen on first run; fails loudly if byte accounting/cushions drift
+    assert row["save"] == pytest.approx(GOLDEN_COS_L1["save"], abs=1e-9)
+    assert row["fpr"] == pytest.approx(GOLDEN_COS_L1["fpr"], abs=1e-9)
+
+
+GOLDEN_COS_L1 = {"save": 0.14400000000000002, "fpr": 0.066}  # frozen 1st run
+
+
+def test_sweep_grid_shape(spark, sf_small):
+    queries = queries_view(spark, sf_small).limit(3)
+    corpus = load_table(spark, sf_small, "embeddings")
+    grid = sweep_metrics(queries, corpus, "cos-hoeff", K, m_keeps=[6, 4], deltas=[0.7, 0.3])
+    pdf = grid.toPandas()
+    assert len(pdf) == 4
+    assert set(zip(pdf["m_keep"], pdf["delta"])) == {(6, 0.7), (6, 0.3), (4, 0.7), (4, 0.3)}
