@@ -1,0 +1,139 @@
+"""Relational operators beyond Spark's built-ins (SURVEY §2.3 J4).
+
+The reference has a single join shape (the similarity cross product);
+the engine declares the full relational join surface over the TPC-H-ish
+fixture tables. Equi/semi/anti/outer joins, aggregations, windows and
+set ops are Spark built-ins used directly in ``registry.py``; this
+module adds the two join families Spark has no native operator for,
+each built scale-first from shuffle-friendly primitives:
+
+* **as-of join** — attach to each left row the most recent right row
+  at or before its timestamp (per key). Union-and-window realization:
+  one shuffle on (key), no range explosion, no driver loops.
+* **range join** — pairs within a bounded time distance. Bucketized
+  equi-join realization: quantize time to buckets of the range width,
+  join on (key, bucket±1), filter exactly — turns an unbounded
+  theta-join into an equi-join Catalyst can hash/sort-merge partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key (``direction='backward'``;
+    ``'forward'`` flips the inequality).
+
+    Physical shape: tag both sides, union, then one window ordered by
+    time per key carries the last-seen right values to every left row
+    (``last(..., ignorenulls=True)``). One shuffle on ``key``; at 100 TB
+    this is a single repartition-by-key + sort, no N×M intermediate.
+    DuckDB's native ``ASOF JOIN`` is the oracle twin.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    both = lt.unionByName(rt)
+    asc = direction == "backward"
+    # right rows sort before left rows at equal timestamps so an exact
+    # tie is matched ("at or before")
+    order = [
+        F.col("__ts").asc() if asc else F.col("__ts").desc(),
+        F.col("__is_left").asc(),
+    ]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out_cols = [f.name for f in left.schema.fields] + [
+        F.col(f"__asof_{c}").alias(c) for c in value_cols
+    ]
+    return carried.where(F.col("__is_left") == 1).select(*out_cols)
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Count right rows within ``(left_ts, left_ts + gap]`` per left
+    row and key — an interval θ-join bucketized into an equi-join.
+
+    Each side is quantized to ``gap``-wide buckets; a right row can
+    only match left rows in its own or the previous bucket, so the
+    join condition becomes ``(key, bucket) IN {(key, b), (key, b+1)}``
+    — expressed by exploding the left side to two bucket keys. The
+    exact interval predicate filters after the equi-join. Shuffle is
+    hash(key, bucket): bounded fan-out 2×, no nested-loop.
+    """
+    gap = F.lit(max_gap_seconds)
+    lsec = F.unix_timestamp(F.col(left_ts))
+    rsec = F.unix_timestamp(F.col(right_ts))
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__lts"),
+        lsec.alias("__lsec"),
+        F.explode(
+            F.array(
+                F.floor(lsec / gap).cast("long"),
+                (F.floor(lsec / gap) + 1).cast("long"),
+            )
+        ).alias("__bucket"),
+        "*",
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        rsec.alias("__rsec"),
+        F.floor(rsec / gap).cast("long").alias("__bucket"),
+    )
+    joined = lt.join(rt, ["__k", "__bucket"]).where(
+        (F.col("__rsec") > F.col("__lsec"))
+        & (F.col("__rsec") <= F.col("__lsec") + gap)
+    )
+    grouped = joined.groupBy("__k", "__lsec").agg(
+        F.count("*").alias("n_followers")
+    )
+    left_keyed = left.select(
+        "*", F.col(key).alias("__k"), F.unix_timestamp(F.col(left_ts)).alias("__lsec")
+    )
+    return (
+        left_keyed.join(grouped, ["__k", "__lsec"], "left")
+        .withColumn("n_followers", F.coalesce("n_followers", F.lit(0)))
+        .drop("__k", "__lsec")
+    )

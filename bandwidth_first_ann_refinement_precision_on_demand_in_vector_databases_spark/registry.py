@@ -223,6 +223,10 @@ for _mode in MODES:
     QUERIES[f"refine_{_slug}_topk"] = _refine_topk_query(_mode)
     QUERIES[f"refine_{_slug}_metrics"] = _refine_metrics_query(_mode)
 
+from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
+
+QUERIES.update(RELATIONAL_QUERIES)
+
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
     "topk_l2_exact": _sql_topk(_sql_dist2("q.qe", "e.embedding"), "ASC", K_DEFAULT),
@@ -277,3 +281,4 @@ for _mode in MODES:
     ORACLES[f"refine_{_slug}_metrics"] = duck_oracle.refine_metrics_sql(
         _mode, K_DEFAULT, KEEP_M_DEFAULT, _delta, QUERY_STRIDE
     )
+ORACLES.update(RELATIONAL_ORACLES)

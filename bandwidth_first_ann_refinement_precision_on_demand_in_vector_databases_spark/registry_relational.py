@@ -1,0 +1,485 @@
+"""Relational operator suite (SURVEY §2.3 J4, §2.4 A6, §2.5 W8, §2.7,
+§2.8) — declared Spark/DuckDB pairs over the TPC-H-ish fixtures.
+
+Determinism rules specific to this suite:
+
+* **Money sums are DECIMAL.** Grouped SUM over DOUBLE has unspecified
+  accumulation order in both engines; sums over exact DECIMAL are
+  order-independent, so every aggregated price/discount expression is
+  cast to DECIMAL before summing and back to DOUBLE after. Averages
+  are written ``CAST(sum AS DOUBLE) / count``, never ``avg``.
+* **Every window order has a unique tie-break** (event_id, orderkey).
+* Day-of-week uses ISO numbering on both sides (Spark's
+  ``dayofweek`` is Sunday=1, so it is remapped).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators.relational import asof_join, range_join_count
+from .sources.fixtures import load_table
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A6)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with partial (map-side) combine
+    over lineitem; all money math exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("__sq"),
+            F.sum(_dec("l_extendedprice")).alias("__sbp"),
+            F.sum(disc_price).alias("__sdp"),
+            F.sum(charge).alias("__sc"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("__sq").cast("double").alias("sum_qty"),
+            F.col("__sbp").cast("double").alias("sum_base_price"),
+            F.col("__sdp").cast("double").alias("sum_disc_price"),
+            F.col("__sc").cast("double").alias("sum_charge"),
+            (F.col("__sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            "count_order",
+        )
+    )
+    return out
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"), F.count("*").alias("n_rows"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("__sq").cast("double").alias("sum_qty"),
+            "n_rows",
+        )
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status/priority."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum(_dec("o_totalprice")).alias("__s"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            F.col("__s").cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct (engine-specific estimate → rows-only check;
+    declared to prove the approximate-aggregation surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J4)
+# ---------------------------------------------------------------------------
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join; the three dimension tables are
+    explicitly broadcast — only lineitem⋈orders shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).alias("__rev"), F.count("*").alias("n_items"))
+        .select("r_name", "n_name", F.col("__rev").cast("double").alias("revenue"), "n_items")
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join chain + top-N by exact revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("__rev"))
+        .select("o_orderkey", "o_orderdate", F.col("__rev").cast("double").alias("revenue"))
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have at least one 'F' order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J4): each order picks up the most recent event (at
+    or before its date) of its mapped user. Right side deduped to one
+    row per (user, ts) so the match is unique on both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_custkey") % 20).alias("uid"),
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ev_value"))
+        .withColumnRenamed("user_id", "uid")
+    )
+    out = asof_join(
+        o, e, key="uid", left_ts="o_orderdate", right_ts="ts", value_cols=["ev_value"]
+    )
+    return out.select("o_orderkey", "uid", F.round("ev_value", 6).alias("ev_value"))
+
+
+SQL_ASOF_JOIN = """
+WITH e AS (
+  SELECT user_id, ts, max(value) AS ev_value FROM events GROUP BY user_id, ts
+),
+o AS (
+  SELECT o_orderkey, o_orderdate, o_custkey % 20 AS uid FROM orders
+)
+SELECT o.o_orderkey, o.uid, round(e.ev_value, 6) AS ev_value
+FROM o ASOF LEFT JOIN e ON o.uid = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval θ-join: events followed by others of the same user
+    within 1 hour (bucketized equi-join realization)."""
+    e = load_table(spark, sf_dir, "events")
+    out = range_join_count(
+        e, e, key="user_id", left_ts="ts", right_ts="ts", max_gap_seconds=3600
+    )
+    return out.select("event_id", "user_id", "n_followers")
+
+
+SQL_RANGE_JOIN = """
+SELECT a.event_id, a.user_id,
+  (SELECT count(*) FROM events b
+    WHERE b.user_id = a.user_id
+      AND CAST(floor(epoch(b.ts)) AS BIGINT) >  CAST(floor(epoch(a.ts)) AS BIGINT)
+      AND CAST(floor(epoch(b.ts)) AS BIGINT) <= CAST(floor(epoch(a.ts)) AS BIGINT) + 3600
+  ) AS n_followers
+FROM events a
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows (W8)
+# ---------------------------------------------------------------------------
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum / lag / lead / row_number ordered by time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double"),
+            6,
+        ).alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+  CAST(row_number() OVER w AS INT) AS seq,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS running_value,
+  lag(event_type, 1) OVER w AS prev_type,
+  lead(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile frames per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT event_id, event_type,
+  CAST(rank() OVER w AS INT) AS rnk,
+  CAST(dense_rank() OVER w AS INT) AS drnk,
+  CAST(ntile(4) OVER w AS INT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8)
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over per-type user-id sets."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    sig = ev.where(F.col("event_type") == "signup").select("user_id").distinct()
+    both = err.intersect(sig).withColumn("set_kind", F.lit("both"))
+    only_err = err.exceptAll(sig).withColumn("set_kind", F.lit("error_only"))
+    union_all = err.union(sig).distinct().withColumn("set_kind", F.lit("any"))
+    return both.unionByName(only_err).unionByName(union_all)
+
+
+SQL_SET_OPS = """
+WITH err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+sig AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT user_id, 'both' AS set_kind FROM (SELECT user_id FROM err INTERSECT SELECT user_id FROM sig)
+UNION ALL
+SELECT user_id, 'error_only' FROM (SELECT user_id FROM err EXCEPT SELECT user_id FROM sig)
+UNION ALL
+SELECT user_id, 'any' FROM (SELECT user_id FROM err UNION SELECT user_id FROM sig)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.7): string / date / JSON
+# ---------------------------------------------------------------------------
+
+def q_scalar_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "documents")
+    return ev.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.col("lang"),
+        F.col("text").like("%spark%").alias("mentions_spark"),
+    )
+
+
+SQL_SCALAR_TEXT = """
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_len,
+  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_tokens,
+  upper(substr(text, 1, 10)) AS head10,
+  lang,
+  (text LIKE '%spark%') AS mentions_spark
+FROM documents
+"""
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1  # → ISO Mon=1..Sun=7
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            iso_dow.alias("iso_dow"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SCALAR_DATETIME = """
+SELECT date_trunc('day', ts) AS day,
+  CAST(extract(hour FROM ts) AS INT) AS hour,
+  CAST(isodow(ts) AS INT) AS iso_dow,
+  count(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    ).where(F.col("k_val") > 50)
+
+
+SQL_SCALAR_JSON = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val
+FROM events WHERE CAST(props->>'$.k' AS INT) > 50
+"""
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "rollup_lineitem": q_rollup_lineitem,
+    "cube_orders": q_cube_orders,
+    "count_distinct": q_count_distinct,
+    "approx_count_distinct": q_approx_count_distinct,
+    "region_revenue": q_region_revenue,
+    "top_orders": q_top_orders,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "window_running": q_window_running,
+    "window_rank": q_window_rank,
+    "set_ops": q_set_ops,
+    "scalar_text": q_scalar_text,
+    "scalar_datetime": q_scalar_datetime,
+    "scalar_json": q_scalar_json,
+}
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "cube_orders": SQL_CUBE_ORDERS,
+    "count_distinct": SQL_COUNT_DISTINCT,
+    # approx_count_distinct: engine-specific sketch → rows-only
+    "region_revenue": SQL_REGION_REVENUE,
+    "top_orders": SQL_TOP_ORDERS,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "window_running": SQL_WINDOW_RUNNING,
+    "window_rank": SQL_WINDOW_RANK,
+    "set_ops": SQL_SET_OPS,
+    "scalar_text": SQL_SCALAR_TEXT,
+    "scalar_datetime": SQL_SCALAR_DATETIME,
+    "scalar_json": SQL_SCALAR_JSON,
+}

@@ -32,9 +32,24 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 QUERY_STRIDE = 50
 
 
+#: fixture columns stored as parquet TIMESTAMP(NANOS); Spark reads them
+#: as LONG (``nanosAsLong``) and we truncate to microseconds — exactly
+#: what DuckDB does natively — so both engines see identical values.
+NANO_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections push into the scan."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

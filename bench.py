@@ -31,6 +31,14 @@ def _suite():
         "topk_cosine_exact",
         "topk_l2_exact",
         "recall_l2_vs_cosine",
+        "refine_cos_l1_topk",
+        "refine_l2_tz_metrics",
+        "pricing_summary",
+        "region_revenue",
+        "top_orders",
+        "window_running",
+        "range_join",
+        "asof_join",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
