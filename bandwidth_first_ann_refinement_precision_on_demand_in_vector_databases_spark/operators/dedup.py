@@ -1,0 +1,300 @@
+"""Deduplication operators for the training-data pipeline (SURVEY
+§7-M5; north-star LLM-pipeline ops). The reference has no text dedup
+(`ANNCode.py` is numeric-only); this is the additive 100 TB-scope
+surface, built shuffle-first:
+
+* **exact dedup** — hash-groupBy on the text (map-side combine; one
+  shuffle keyed by the text hash, never by the text itself at scale).
+* **n-gram Jaccard** — candidate pairs from an inverted shingle index
+  (equi-join on shingle, document-frequency cap kills hub shingles),
+  then exact Jaccard verification of candidates only.
+* **MinHash + LSH** — shingle → K affine min-hashes → B bands →
+  bucket equi-join → candidates → exact-Jaccard verify. The classic
+  s-curve; all hash constants deterministic module constants shared
+  with the DuckDB oracles.
+* **SimHash** — 32-bit sign-of-sum sketch per document; near pairs
+  via byte-band pigeonhole (hamming ≤ 3 ⇒ one of 4 bytes equal, so
+  banding is lossless for the declared radius).
+* **embedding cosine near-dup** — pairwise cosine ≥ τ; blocked
+  self-join at fixture scale, LSH-bucketed variant in ``simsearch``.
+
+Every candidate-generation trick here only *reduces pairs examined*;
+survivors are re-verified with the exact predicate, so results equal
+the naive quadratic semantics whenever generation is lossless (DF cap
+disabled / radius within pigeonhole bound) — which is what the DuckDB
+oracles check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import HASH_P, poly_hash, tokens, word_shingles
+from ..functions.vector import cosine
+
+#: MinHash configuration: K = BANDS × ROWS_PER_BAND affine permutations
+#: (a·h + b) mod P with coefficients drawn once from a fixed seed.
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_ROWS = 3
+_rng = np.random.default_rng(42)
+MINHASH_A: tuple[int, ...] = tuple(
+    int(x) for x in _rng.integers(1, HASH_P, size=MINHASH_K)
+)
+MINHASH_B: tuple[int, ...] = tuple(
+    int(x) for x in _rng.integers(0, HASH_P, size=MINHASH_K)
+)
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # byte-wide bands → lossless for hamming ≤ 3
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: canonical (minimum) id + multiplicity
+    per distinct text. One hash-aggregate with map-side combine; at
+    scale, group by ``xxhash64(text)`` first and only compare full
+    texts within colliding buckets."""
+    return (
+        docs.groupBy(F.lower(F.col(text_col)).alias("__key"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+def shingle_index(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Inverted index (id, shingle) of distinct word n-grams — the
+    substrate for Jaccard candidate generation. Exploding is the
+    scalable form: the shuffle is keyed by shingle, so the join that
+    follows is a plain hash partition, no broadcast of the corpus."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    return docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs with word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Plan shape: inverted index → (optional) document-frequency cap →
+    self equi-join on shingle → per-pair intersection counts → exact
+    Jaccard against true set sizes. With ``max_df=None`` generation is
+    lossless and the result equals the naive all-pairs semantics; at
+    100 TB set ``max_df`` to drop hub shingles (a shingle in d docs
+    contributes d² join rows — the classic skew bomb) and accept the
+    documented recall trade.
+    """
+    idx = shingle_index(docs, n, text_col, id_col)
+    sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        keep = idx.groupBy("shingle").agg(F.count("*").alias("df")).where(
+            F.col("df") <= max_df
+        )
+        idx = idx.join(keep.select("shingle"), "shingle")
+    a = idx.select(F.col("id").alias("id_a"), "shingle")
+    b = idx.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_sig(shingles: Column) -> list[Column]:
+    """K min-hash values over a shingle array: min over the shingle
+    set of the k-th affine permutation of the rolling hash."""
+    def _perm(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so the
+        # coefficients must not appear as default parameters
+        return lambda s: (F.lit(a) * poly_hash(s) + F.lit(b)) % F.lit(HASH_P)
+
+    return [
+        F.array_min(F.transform(shingles, _perm(MINHASH_A[k], MINHASH_B[k]))).alias(f"mh_{k}")
+        for k in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document MinHash signature (one column per hash) — the
+    persisted sketch a 100 TB pipeline computes once per document and
+    reuses across dedup runs."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    return docs.select(F.col(id_col).alias("id"), *_minhash_sig(sh))
+
+
+def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
+    """(band, bucket-key, id): signature rows folded into LSH bands;
+    the bucket key concatenates the band's hash values (collision-free,
+    engine-portable)."""
+    bands = []
+    for band in range(MINHASH_BANDS):
+        cols = [
+            F.col(f"mh_{band * MINHASH_ROWS + r}").cast("string")
+            for r in range(MINHASH_ROWS)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(",", *cols).alias("bkey"),
+            )
+        )
+    return sigs.select(
+        "id", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard ≥ ``threshold``. The band equi-join replaces the all-pairs
+    comparison: a pair is examined only if it collides in ≥1 band
+    (probability 1−(1−j^r)^b — the LSH s-curve), then the exact
+    predicate decides. Deterministic end-to-end: constants are fixed,
+    so the DuckDB oracle replays the identical pipeline."""
+    sigs = minhash_signatures(docs, n, text_col, id_col)
+    bb = minhash_band_buckets(sigs)
+    cand = (
+        bb.alias("x")
+        .join(bb.alias("y"), ["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    idx = shingle_index(docs, n, text_col, id_col)
+    sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = idx.select(F.col("id").alias("id_a"), "shingle")
+    b = idx.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_sketch(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document: each token (with multiplicity)
+    votes ±1 on every bit of its rolling hash; bit b of the sketch is
+    1 iff the vote sum is positive. Map-reduce shape — explode tokens
+    × bits, two hash aggregations — no Python in the path."""
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("id", poly_hash(F.col("tok")).alias("h"))
+    votes = (
+        toked.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"))
+        .groupBy("id", "b")
+        .agg(
+            # shift amount is a column → SQL form (the Python wrapper
+            # only takes int literals)
+            F.sum(
+                F.when(F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ ``max_hamming`` (≤ 3).
+    Byte-band blocking: 4 bands of 8 bits; by pigeonhole any pair
+    within hamming 3 agrees on ≥1 whole byte, so the band equi-join
+    is lossless for the declared radius — exactness re-checked with
+    ``bit_count(xor)`` on survivors."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("byte-banding is only lossless for hamming < 4")
+    sk = simhash_sketch(docs, text_col, id_col)
+    bands = sk.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).select(
+        "id",
+        "simhash",
+        "band",
+        F.expr("shiftright(simhash, band * 8) % 256").alias("bkey"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("h_a"),
+            F.col("y.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding pairs with cosine ≥ τ. Fixture-scale realization is
+    the triangular self-join (N²/2 candidate rows); the 100 TB path is
+    hyperplane-LSH blocking (``simsearch.lsh_signature``) with the
+    same exact-cosine verification on survivors."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -223,9 +223,13 @@ for _mode in MODES:
     QUERIES[f"refine_{_slug}_topk"] = _refine_topk_query(_mode)
     QUERIES[f"refine_{_slug}_metrics"] = _refine_metrics_query(_mode)
 
+from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
+from .registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
+QUERIES.update(TEXT_QUERIES)
+QUERIES.update(DEDUP_QUERIES)
 
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
@@ -282,3 +286,5 @@ for _mode in MODES:
         _mode, K_DEFAULT, KEEP_M_DEFAULT, _delta, QUERY_STRIDE
     )
 ORACLES.update(RELATIONAL_ORACLES)
+ORACLES.update(TEXT_ORACLES)
+ORACLES.update(DEDUP_ORACLES)

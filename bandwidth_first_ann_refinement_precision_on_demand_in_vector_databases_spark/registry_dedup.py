@@ -1,0 +1,210 @@
+"""Deduplication query suite over ``documents``/``embeddings``
+(SURVEY §7-M5). Each dedup family — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine — is declared as a
+(query, DuckDB-oracle) pair; the oracles replay the *same* pipeline
+(including LSH banding, which is probabilistic w.r.t. the naive
+semantics but deterministic given the module's fixed hash constants),
+so the comparison is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .registry_text import SQL_TOKS, _sql_poly_hash
+from .sources.fixtures import load_table
+
+JACCARD_TAU = 0.1     # exact n-gram pairs (word-salad fixture → sparse overlap)
+MINHASH_TAU = 0.5     # near-dup threshold the LSH s-curve targets
+NEARDUP_COS_TAU = 0.35  # fixture max pairwise cosine ≈ 0.513
+SHINGLE_N = 3
+
+#: shared CTEs: tokens → distinct word-3-gram shingles per doc.
+SQL_SHINGLE_CTES = f"""
+t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT id,
+  CASE WHEN len(toks) >= {SHINGLE_N}
+    THEN list_distinct(list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS shs
+  FROM t)
+"""
+
+_SQL_JAC = (
+    "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / "
+    "CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE)"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY lower(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=SHINGLE_N, threshold=JACCARD_TAU
+    )
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH {SQL_SHINGLE_CTES},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, round({_SQL_JAC}, 6) AS jaccard
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE len(list_intersect(a.shs, b.shs)) > 0
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_TAU}
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"), n=SHINGLE_N)
+
+
+def _sql_minhash_cols() -> str:
+    cols = []
+    for k in range(D.MINHASH_K):
+        a, b = D.MINHASH_A[k], D.MINHASH_B[k]
+        cols.append(
+            f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {D.HASH_P})) AS mh_{k}"
+        )
+    return ",\n  ".join(cols)
+
+
+SQL_MINHASH_CTES = f"""
+{SQL_SHINGLE_CTES},
+hv AS (SELECT id, list_transform(shs, s -> {_sql_poly_hash('s')}) AS hv FROM sh),
+sigs AS (SELECT id, {_sql_minhash_cols()} FROM hv)
+"""
+
+SQL_MINHASH_SIGNATURES = f"WITH {SQL_MINHASH_CTES} SELECT * FROM sigs"
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=SHINGLE_N, threshold=MINHASH_TAU
+    )
+
+
+def _sql_band_rows() -> str:
+    rows = []
+    for band in range(D.MINHASH_BANDS):
+        ks = [band * D.MINHASH_ROWS + r for r in range(D.MINHASH_ROWS)]
+        bkey = " || ',' || ".join(f"CAST(mh_{k} AS VARCHAR)" for k in ks)
+        rows.append(f"SELECT id, {band} AS band, {bkey} AS bkey FROM sigs")
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {SQL_MINHASH_CTES},
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, round({_SQL_JAC}, 6) AS jaccard
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {MINHASH_TAU}
+"""
+
+
+def q_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        D.simhash_sketch(load_table(spark, sf_dir, "documents"))
+        .select(F.col("id").alias("doc_id"), "simhash")
+    )
+
+
+SQL_SIMHASH_CTES = f"""
+t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM documents),
+ex AS (SELECT id, unnest(toks) AS tok FROM t),
+th AS (SELECT id, {_sql_poly_hash('tok')} AS h FROM ex),
+votes AS (
+  SELECT id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range({D.SIMHASH_BITS})) AS b)
+  GROUP BY id, b
+),
+sk AS (
+  SELECT id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+)
+"""
+
+SQL_SIMHASH_SKETCH = f"WITH {SQL_SIMHASH_CTES} SELECT id AS doc_id, simhash FROM sk"
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {SQL_SIMHASH_CTES},
+bands AS (
+  SELECT id, simhash, b AS band, (simhash >> (b * 8)) % 256 AS bkey
+  FROM sk CROSS JOIN (SELECT unnest(range({D.SIMHASH_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         x.simhash AS h_a, y.simhash AS h_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS_TAU
+    )
+
+
+_SQL_COS_AB = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(greatest(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) * "
+    "greatest(sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12))"
+)
+
+SQL_DEDUP_EMBEDDING = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS_AB}, 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS_TAU}
+"""
+
+
+DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_sketch": q_simhash_sketch,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+DEDUP_ORACLES: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "simhash_sketch": SQL_SIMHASH_SKETCH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+}

@@ -1,0 +1,181 @@
+"""Text-analysis query suite over ``documents`` (SURVEY §7-M5;
+north-star LLM-pipeline ops: token counting, quality scoring,
+language-ID, fingerprinting). Each query is a Column-expression plan
+with an exact DuckDB oracle twin; the shared hash/marker constants are
+imported from ``functions.text`` and interpolated into the SQL so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .sources.fixtures import load_table
+
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# --------------------------------------------------------------------------
+
+SQL_TOKS = "string_split(lower(text), ' ')"
+SQL_RE_TOKS = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+')"
+
+
+def _sql_poly_hash(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({T.HASH_SEED} AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(h, c) -> (h * {T.HASH_BASE} + c) % {T.HASH_P})"
+    )
+
+
+def _sql_list_lit(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_ratio(hits: str, denom: str = "greatest(len(toks), 1)") -> str:
+    return f"CAST({hits} AS DOUBLE) / CAST({denom} AS DOUBLE)"
+
+
+SQL_STOP_RATIO = _sql_ratio(
+    f"len(list_filter(toks, t -> list_contains({_sql_list_lit(T.STOPWORDS)}, t)))"
+)
+SQL_DISTINCT_RATIO = _sql_ratio("len(list_distinct(toks))")
+SQL_ALPHA_RATIO = (
+    "CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)"
+    " / CAST(greatest(length(lower(text)), 1) AS DOUBLE)"
+)
+
+
+# --------------------------------------------------------------------------
+# Queries
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + basic per-document text statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        T.token_count("text").alias("n_regex_tokens"),
+        F.round(T.mean_token_len(toks), 6).alias("mean_token_len"),
+        F.round(T.stopword_ratio(toks), 6).alias("stop_ratio"),
+        F.round(T.distinct_token_ratio(toks), 6).alias("distinct_ratio"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len({SQL_RE_TOKS}) AS INT) AS n_regex_tokens,
+  round({_sql_ratio("list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))")}, 6) AS mean_token_len,
+  round({SQL_STOP_RATIO}, 6) AS stop_ratio,
+  round({SQL_DISTINCT_RATIO}, 6) AS distinct_ratio
+FROM t
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + keep/borderline/drop bucketing — the
+    filter stage of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    score = T.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        F.when(score >= 0.8, "keep")
+        .when(score >= 0.5, "borderline")
+        .otherwise("drop")
+        .alias("bucket"),
+    )
+
+
+_SQL_QUALITY = (
+    f"(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END"
+    f" + {SQL_ALPHA_RATIO}"
+    f" + {SQL_DISTINCT_RATIO}"
+    f" + least({SQL_STOP_RATIO} * 4.0, 1.0)) / 4.0"
+)
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SQL_QUALITY} AS q FROM t)
+SELECT doc_id, round(q, 6) AS quality,
+  CASE WHEN q >= 0.8 THEN 'keep' WHEN q >= 0.5 THEN 'borderline' ELSE 'drop' END AS bucket
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language hit ratios and
+    the deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[F.round(scores[lang], 6).alias(f"score_{lang}") for lang in sorted(scores)],
+        T.predicted_lang(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = _sql_list_lit(T.LANG_MARKERS[lang])
+    return _sql_ratio(f"len(list_filter(toks, t -> list_contains({markers}, t)))")
+
+
+_langs = sorted(T.LANG_MARKERS)
+_score_cols = ",\n  ".join(f"{_sql_lang_score(lg)} AS s_{lg}" for lg in _langs)
+_mx = "greatest(" + ", ".join(f"s_{lg}" for lg in _langs) + ")"
+_case = " ".join(f"WHEN s_{lg} = {_mx} THEN '{lg}'" for lg in _langs)
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_score_cols} FROM t)
+SELECT doc_id,
+  {", ".join(f"round(s_{lg}, 6) AS score_{lg}" for lg in _langs)},
+  CASE WHEN {_mx} > 0 THEN (CASE {_case} END) ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: whole-text hash (exact-dup
+    key) and min-token hash (reorder-robust)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp_text"),
+        T.min_token_fingerprint(F.col("text")).alias("fp_min_token"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, lower(text) AS lt, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  {_sql_poly_hash("lt")} AS fp_text,
+  list_min(list_transform(toks, tok -> {_sql_poly_hash("tok")})) AS fp_min_token
+FROM t
+"""
+
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+}
+
+TEXT_ORACLES: dict[str, str] = {
+    "text_stats": SQL_TEXT_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+}
