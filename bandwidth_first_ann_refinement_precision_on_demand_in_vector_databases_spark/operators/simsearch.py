@@ -1,0 +1,177 @@
+"""Approximate nearest-neighbor search over embedding columns
+(SURVEY §7-M5; north-star LLM-pipeline ops).
+
+The reference is *refinement-only* — it assumes candidates exist and
+bounds the precision of their re-scoring (README.md:11 "orthogonal to
+index choice"). This module supplies the candidate-generation side a
+full pipeline needs, Spark-first, with the brute-force exact top-K
+(``operators.topk``) as the recall oracle:
+
+* **IVF** (inverted-file) — a coarse quantizer partitions the corpus
+  into cells; queries probe the ``nprobe`` nearest cells and score
+  exhaustively inside them. Here the quantizer is a deterministic
+  corpus sample (every ``stride``-th vector) so the whole build is one
+  declarative plan — at 100 TB the cell assignment is the *partition
+  key* of the stored corpus (scan prunes to probed cells; the classic
+  IVF bandwidth win), and the sampled quantizer would be replaced by
+  an offline k-means without changing any query-side plan.
+* **Hyperplane LSH** — 16 fixed random hyperplanes give each vector a
+  16-bit sign signature; 4 bands × 4 bits bucket the corpus; a query
+  retrieves every vector sharing ≥1 band key and re-scores exactly.
+  Same banding trick as MinHash dedup, but in cosine space.
+
+Both return the exact-top-K schema ``(query_id, rank, neighbor_id,
+score)``; ``ann_recall`` measures Recall@K against the brute-force
+path (reference metric, ``ANNCode.py:651-660``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine, dist2
+from .topk import topk_per_query
+
+#: IVF: one centroid per ``stride`` corpus vectors; probe depth.
+IVF_STRIDE = 25
+IVF_NPROBE = 3
+
+#: LSH: fixed hyperplanes (normal deviates, seed 43), rounded to 6
+#: decimals so the same literals embed in the DuckDB oracle SQL.
+LSH_PLANES_N = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # bits per band
+LSH_DIM = 64  # fixture embedding dimensionality
+_rng = np.random.default_rng(43)
+LSH_PLANES: tuple[tuple[float, ...], ...] = tuple(
+    tuple(round(float(x), 6) for x in row)
+    for row in _rng.standard_normal((LSH_PLANES_N, LSH_DIM))
+)
+
+
+def ivf_centroids(corpus: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
+    """Deterministic sampled coarse quantizer: every ``stride``-th
+    vector is a centroid. The predicate pushes to the parquet scan."""
+    return corpus.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Cell assignment: nearest centroid per corpus vector (squared
+    L2, ties → smaller centroid_id). Centroids broadcast; the corpus
+    streams once — this is the offline index build, and ``cell`` is
+    the storage partition key at scale."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        dist2("embedding", "cvec").alias("__d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__d2").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN top-K (cosine): probe the ``nprobe`` nearest
+    cells per query, score exhaustively inside them. At scale the
+    ``cell`` equi-join is a partition-pruned scan of ~nprobe/n_cells
+    of the corpus — the bandwidth saving that motivates IVF."""
+    cents = ivf_centroids(corpus, stride)
+    assigned = ivf_assign(corpus, cents)
+    probes = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        F.col("embedding").alias("qvec"),
+        "centroid_id",
+        dist2("embedding", "cvec").alias("__d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("centroid_id").asc())
+    probed = (
+        probes.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
+    )
+    cand = probed.join(assigned, "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine("qvec", "embedding").alias("score"),
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)
+
+
+def lsh_signature_bands(df: DataFrame, vec_col: str, id_alias: str) -> DataFrame:
+    """(id, band, bkey): sign-of-projection bits against the fixed
+    hyperplanes, packed per band into an integer key. Pure Column
+    expressions — one corpus pass, no Python."""
+    def _bit(plane: tuple[float, ...]) -> Column:
+        lit = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands = []
+    for band in range(LSH_BANDS):
+        key = F.lit(0)
+        for j in range(LSH_ROWS):
+            key = key + _bit(LSH_PLANES[band * LSH_ROWS + j]) * F.lit(1 << j)
+        bands.append(F.struct(F.lit(band).alias("band"), key.alias("bkey")))
+    return df.select(
+        F.col(id_alias).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select("id", "vec", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """LSH-bucketed ANN top-K (cosine): candidates = corpus vectors
+    sharing ≥1 of 4 signature bands with the query, re-scored exactly.
+    The band equi-join shuffles on (band, bkey) — 2⁴ buckets per band
+    — instead of the q×N cross product; recall is governed by the
+    band/row trade-off exactly as in MinHash LSH."""
+    qb = lsh_signature_bands(queries, "embedding", "query_id")
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id")
+    cand = (
+        qb.alias("q")
+        .join(cb.alias("c"), ["band", "bkey"])
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.col("q.vec").alias("qvec"),
+            F.col("c.vec").alias("cvec"),
+        )
+        .distinct()
+        .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("score"))
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)
+
+
+def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@K of an ANN result against the exact top-K (reference
+    metric shape, ``ANNCode.py:651-660``): per-query overlap / K,
+    averaged. Inner join on (query_id, neighbor_id) — no collect."""
+    hits = ann.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per_q = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select("query_id", (F.coalesce("n_hit", F.lit(0)) / F.lit(k)).alias("recall"))
+    )
+    return per_q.agg(F.round(F.avg("recall"), 6).alias("recall_at_k"), F.count("*").alias("n_queries"))

@@ -225,11 +225,13 @@ for _mode in MODES:
 
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
+from .registry_simsearch import SIMSEARCH_ORACLES, SIMSEARCH_QUERIES  # noqa: E402
 from .registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TEXT_QUERIES)
 QUERIES.update(DEDUP_QUERIES)
+QUERIES.update(SIMSEARCH_QUERIES)
 
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
@@ -288,3 +290,4 @@ for _mode in MODES:
 ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TEXT_ORACLES)
 ORACLES.update(DEDUP_ORACLES)
+ORACLES.update(SIMSEARCH_ORACLES)

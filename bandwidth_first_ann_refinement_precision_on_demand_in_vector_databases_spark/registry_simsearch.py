@@ -1,0 +1,221 @@
+"""ANN similarity-search query suite (SURVEY §7-M5): IVF and
+hyperplane-LSH candidate generation with exact re-scoring, plus
+Recall@K of each against the brute-force oracle. The DuckDB twins
+replay the identical pipelines — same sampled centroids, same literal
+hyperplanes — so every query is hash-exact, not statistically close.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import simsearch as S
+from .operators.topk import exact_topk
+from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
+
+ANN_K = 20
+
+SQL_Q_CTE = (
+    f"SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    f"WHERE vec_id % {QUERY_STRIDE} = 0"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"(greatest({_sql_norm(a)}, 1e-12) * greatest({_sql_norm(b)}, 1e-12)))"
+    )
+
+
+def _sql_dist2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.ivf_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+SQL_IVF_CTES = f"""
+q AS ({SQL_Q_CTE}),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+          WHERE vec_id % {S.IVF_STRIDE} = 0),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_sql_dist2("e.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qe, centroid_id AS cell FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "c.cvec")} ASC, c.centroid_id ASC) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {S.IVF_NPROBE}
+),
+ivf_cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {_sql_cos("p.qe", "a.embedding")} AS score
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+)
+"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {SQL_IVF_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM ivf_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.ivf_topk(queries, corpus, ANN_K)
+    exact = exact_topk(queries, corpus, ANN_K, metric="cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+def _sql_recall(cand_cte: str, cand_name: str) -> str:
+    return f"""
+WITH {cand_cte},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM {cand_name}
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
+SQL_ANN_IVF_RECALL = _sql_recall(SQL_IVF_CTES, "ivf_cand")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.lsh_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+def _sql_plane_lit(plane: tuple[float, ...]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def _sql_band_key(vec: str, band: int) -> str:
+    terms = []
+    for j in range(S.LSH_ROWS):
+        plane = S.LSH_PLANES[band * S.LSH_ROWS + j]
+        d = _sql_dot(vec, _sql_plane_lit(plane))
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sql_bands(src: str, id_expr: str, vec: str) -> str:
+    rows = []
+    for band in range(S.LSH_BANDS):
+        rows.append(
+            f"SELECT {id_expr} AS id, {vec} AS vec, {band} AS band, "
+            f"{_sql_band_key(vec, band)} AS bkey FROM {src}"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_LSH_CTES = f"""
+q AS ({SQL_Q_CTE}),
+qb AS ({_sql_bands("q", "query_id", "qe")}),
+cb AS ({_sql_bands("embeddings", "vec_id", "embedding")}),
+lsh_cand AS (
+  SELECT query_id, neighbor_id, {_sql_cos("qvec", "cvec")} AS score FROM (
+    SELECT DISTINCT qb.id AS query_id, cb.id AS neighbor_id,
+           qb.vec AS qvec, cb.vec AS cvec
+    FROM qb JOIN cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+  )
+)
+"""
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {SQL_LSH_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM lsh_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.lsh_topk(queries, corpus, ANN_K)
+    exact = exact_topk(queries, corpus, ANN_K, metric="cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_LSH_RECALL = _sql_recall(SQL_LSH_CTES, "lsh_cand")
+
+
+SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_recall": q_ann_lsh_recall,
+}
+
+SIMSEARCH_ORACLES: dict[str, str] = {
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+}
