@@ -226,12 +226,14 @@ for _mode in MODES:
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .registry_simsearch import SIMSEARCH_ORACLES, SIMSEARCH_QUERIES  # noqa: E402
+from .registry_streaming import STREAMING_ORACLES, STREAMING_QUERIES  # noqa: E402
 from .registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TEXT_QUERIES)
 QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(SIMSEARCH_QUERIES)
+QUERIES.update(STREAMING_QUERIES)
 
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
@@ -291,3 +293,4 @@ ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TEXT_ORACLES)
 ORACLES.update(DEDUP_ORACLES)
 ORACLES.update(SIMSEARCH_ORACLES)
+ORACLES.update(STREAMING_ORACLES)

@@ -1,0 +1,95 @@
+"""Time-window aggregation surface (SURVEY §2.9 — additive scope;
+the reference is batch-only, `ANNCode.py` has no streaming).
+
+Each builder takes *any* events DataFrame — batch or streaming — and
+returns the same logical plan: Spark's ``window``/``session_window``
+operators are mode-agnostic, so the DuckDB-oracle-checked batch run
+and the ``readStream`` run in ``tests/test_streaming.py`` exercise one
+code path. Watermarking is applied only when the input is streaming
+(batch DataFrames reject ``withWatermark`` semantics silently — we
+keep the plan identical instead).
+
+Scale notes: windowed counts shuffle on (window, group-key) — at
+100 TB the state store, not the shuffle, is the constraint; watermark
+``LATE_THRESHOLD`` bounds state retention, and session windows merge
+in the state store (AQE does not apply to streaming stateful ops, so
+``spark.sql.shuffle.partitions`` must be sized up front).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TUMBLE = "10 minutes"
+SLIDE_LEN = "10 minutes"
+SLIDE_STEP = "5 minutes"
+SESSION_GAP = "5 minutes"
+LATE_THRESHOLD = "15 minutes"
+
+
+def _maybe_watermark(events: DataFrame, ts_col: str, late: str) -> DataFrame:
+    if events.isStreaming:
+        return events.withWatermark(ts_col, late)
+    return events
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts", late: str = LATE_THRESHOLD) -> DataFrame:
+    """Tumbling 10-minute windows × event_type: count + exact value
+    sum (DECIMAL — order-independent, FIXTURES.md §C)."""
+    ev = _maybe_watermark(events, ts_col, late)
+    w = F.window(F.col(ts_col), TUMBLE)
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sv"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            F.col("__sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, ts_col: str = "ts", late: str = LATE_THRESHOLD) -> DataFrame:
+    """Sliding windows (10-minute length, 5-minute step): every event
+    lands in length/step = 2 windows."""
+    ev = _maybe_watermark(events, ts_col, late)
+    w = F.window(F.col(ts_col), SLIDE_LEN, SLIDE_STEP)
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, ts_col: str = "ts", late: str = LATE_THRESHOLD) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap:
+    session end = last event + gap (Spark ``session_window``
+    semantics; the DuckDB oracle rebuilds the same islands with a
+    lag/running-sum gaps-and-islands plan)."""
+    ev = _maybe_watermark(events, ts_col, late)
+    sw = F.session_window(F.col(ts_col), SESSION_GAP)
+    return (
+        ev.groupBy(sw.alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sv"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            F.col("__sv").cast("double").alias("sum_value"),
+        )
+    )
