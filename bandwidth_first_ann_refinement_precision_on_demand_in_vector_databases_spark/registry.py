@@ -224,6 +224,7 @@ for _mode in MODES:
     QUERIES[f"refine_{_slug}_metrics"] = _refine_metrics_query(_mode)
 
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
+from .registry_multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES  # noqa: E402
 from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .registry_simsearch import SIMSEARCH_ORACLES, SIMSEARCH_QUERIES  # noqa: E402
 from .registry_streaming import STREAMING_ORACLES, STREAMING_QUERIES  # noqa: E402
@@ -234,6 +235,7 @@ QUERIES.update(TEXT_QUERIES)
 QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(SIMSEARCH_QUERIES)
 QUERIES.update(STREAMING_QUERIES)
+QUERIES.update(MULTIMODAL_QUERIES)
 
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
@@ -294,3 +296,4 @@ ORACLES.update(TEXT_ORACLES)
 ORACLES.update(DEDUP_ORACLES)
 ORACLES.update(SIMSEARCH_ORACLES)
 ORACLES.update(STREAMING_ORACLES)
+ORACLES.update(MULTIMODAL_ORACLES)
