@@ -39,6 +39,13 @@ def _suite():
         "window_running",
         "range_join",
         "asof_join",
+        "text_stats",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "stream_session_windows",
+        "media_features",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
