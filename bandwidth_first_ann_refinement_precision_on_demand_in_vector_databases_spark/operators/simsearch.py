@@ -71,11 +71,18 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
         "centroid_id",
         dist2("embedding", "cvec").alias("__d2"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("__d2").asc(), F.col("centroid_id").asc())
+    # argmin as a struct-min aggregate: map-side partial combine
+    # shrinks the shuffle to one row per vector (a window sort would
+    # move every (vector × centroid) row); tie-break on centroid_id
+    # comes free from the struct ordering. first(embedding) is
+    # deterministic — constant within each vec_id group.
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("__d2", "centroid_id")).alias("__m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("__m.centroid_id").alias("cell"))
     )
 
 
@@ -104,7 +111,7 @@ def ivf_topk(
         .where(F.col("__r") <= nprobe)
         .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
     )
-    cand = probed.join(assigned, "cell").select(
+    cand = F.broadcast(probed).join(assigned, "cell").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cosine("qvec", "embedding").alias("score"),

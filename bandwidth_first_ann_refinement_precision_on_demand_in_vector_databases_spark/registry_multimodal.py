@@ -20,14 +20,20 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     The payload column never reaches the projection — Catalyst prunes
     it out of the scan."""
     media = media_table(load_table(spark, sf_dir, "documents"))
-    rp = resize_plan(media)
-    meta = media.select(
+    # single-projection plan: resize arithmetic inlined, no self-join
+    scale = F.least(
+        F.lit(1.0), F.lit(128.0) / F.greatest("width", "height").cast("double")
+    )
+    return media.select(
         "doc_id",
         "media_type",
         F.length("payload").alias("n_bytes"),
         "duration_s",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("int").alias("out_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_height"),
     )
-    return meta.join(rp.select("doc_id", "width", "height", "out_width", "out_height"), "doc_id")
 
 
 SQL_MEDIA_METADATA = """
