@@ -66,12 +66,18 @@ def token_count(text: Column | str) -> Column:
 def poly_hash(str_col: Column) -> Column:
     """Rolling polynomial hash of a string: strict left fold
     ``h ← (h·31 + codepoint) mod (2³¹−1)`` seeded with 7. Matches the
-    DuckDB ``list_reduce`` twin exactly (both BIGINT arithmetic)."""
-    return F.aggregate(
+    DuckDB ``list_reduce`` twin exactly (both BIGINT arithmetic).
+
+    ``H("") = seed`` by definition: splitting "" yields ``[""]`` on
+    both engines but they fabricate *different* codepoints for the
+    empty string (Spark ``ascii``→0, DuckDB ``unicode``→−1), so the
+    empty case is pinned explicitly on both sides."""
+    fold = F.aggregate(
         F.transform(F.split(str_col, ""), lambda ch: F.ascii(ch).cast("bigint")),
         F.lit(HASH_SEED).cast("bigint"),
         lambda h, cp: (h * F.lit(HASH_BASE) + cp) % F.lit(HASH_P),
     )
+    return F.when(F.length(str_col) == 0, F.lit(HASH_SEED).cast("bigint")).otherwise(fold)
 
 
 def fingerprint(text: Column | str) -> Column:

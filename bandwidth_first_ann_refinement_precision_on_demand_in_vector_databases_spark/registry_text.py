@@ -26,10 +26,13 @@ SQL_RE_TOKS = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+')"
 
 
 def _sql_poly_hash(s: str) -> str:
+    # H('') = seed pinned on both engines (they fabricate different
+    # codepoints for the empty string — see functions/text.poly_hash)
     return (
+        f"(CASE WHEN length({s}) = 0 THEN CAST({T.HASH_SEED} AS BIGINT) ELSE "
         f"list_reduce(list_prepend(CAST({T.HASH_SEED} AS BIGINT), "
         f"list_transform(string_split({s}, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(h, c) -> (h * {T.HASH_BASE} + c) % {T.HASH_P})"
+        f"(h, c) -> (h * {T.HASH_BASE} + c) % {T.HASH_P}) END)"
     )
 
 

@@ -1,0 +1,131 @@
+"""Invariant tests for the LLM-pipeline suites (SURVEY §5 step 3):
+properties that hold by construction, checked independently of the
+DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.text import (
+    HASH_BASE,
+    HASH_P,
+    HASH_SEED,
+    LANG_MARKERS,
+    poly_hash,
+    predicted_lang,
+    quality_score,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_sketch,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+    ivf_centroids,
+    ivf_topk,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+    exact_topk,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+
+
+def _py_poly(s: str) -> int:
+    h = HASH_SEED
+    for ch in s:
+        h = (h * HASH_BASE + ord(ch)) % HASH_P
+    return h
+
+
+def test_poly_hash_matches_python_fold(spark):
+    cases = [
+        "key agg row scan",
+        "a",
+        "",
+        "x" * 200,
+        "Mixed CASE 123 !@# spaces  double",
+        "0123456789",
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    got = {r.s: r.h for r in df.select("s", poly_hash(F.col("s")).alias("h")).collect()}
+    for s in cases:
+        expected = _py_poly(s) if s else HASH_SEED
+        assert got[s] == expected, s
+
+
+def test_quality_score_bounded_and_lang_in_domain(spark, sf_small):
+    d = load_table(spark, sf_small, "documents").select(
+        quality_score(F.col("text")).alias("q"),
+        predicted_lang(F.col("text")).alias("lang"),
+    )
+    rows = d.collect()
+    assert rows
+    langs = set(LANG_MARKERS) | {"und"}
+    for r in rows:
+        assert 0.0 <= r.q <= 1.0
+        assert r.lang in langs
+
+
+def test_simhash_byte_banding_is_lossless(spark, sf_small):
+    """Pigeonhole: pairs within hamming 3 must all survive the
+    byte-band candidate generation — banded result == quadratic scan."""
+    docs = load_table(spark, sf_small, "documents")
+    banded = {
+        (r.id_a, r.id_b, r.hamming) for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sk = simhash_sketch(docs)
+    a = sk.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sk.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    quad = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    assert banded == {(r.id_a, r.id_b, r.hamming) for r in quad.collect()}
+
+
+def test_dedup_pairs_respect_thresholds(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    for r in ngram_jaccard_pairs(docs, threshold=0.05).collect():
+        assert 0.05 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+    for r in minhash_lsh_pairs(docs, threshold=0.3).collect():
+        assert 0.3 <= r.jaccard <= 1.0
+
+
+def test_minhash_verify_is_subset_of_exact(spark, sf_small):
+    """LSH banding may only *drop* pairs relative to the quadratic
+    Jaccard scan, never invent or mis-score them."""
+    docs = load_table(spark, sf_small, "documents")
+    tau = 0.2
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=tau).collect()
+    }
+    for r in minhash_lsh_pairs(docs, threshold=tau).collect():
+        assert (r.id_a, r.id_b) in exact
+        assert abs(exact[(r.id_a, r.id_b)] - r.jaccard) < 1e-9
+
+
+def test_ivf_probing_all_cells_equals_exact(spark, sf_small):
+    """With nprobe >= n_cells IVF degenerates to brute force: every
+    cell is probed, candidates = whole corpus, result must equal the
+    exact top-K bit for bit."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    n_cells = ivf_centroids(corpus).count()
+    k = 10
+    ivf = ivf_topk(queries, corpus, k, nprobe=n_cells)
+    exact = exact_topk(queries, corpus, k, metric="cosine")
+    got = sorted(map(tuple, ivf.select("query_id", "rank", "neighbor_id").collect()))
+    want = sorted(map(tuple, exact.select("query_id", "rank", "neighbor_id").collect()))
+    assert got == want
