@@ -31,6 +31,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_parallelism
 from ..functions.text import HASH_P, poly_hash, tokens, word_shingles
 from ..functions.vector import cosine
 
@@ -72,7 +73,9 @@ def shingle_index(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     scalable form: the shuffle is keyed by shingle, so the join that
     follows is a plain hash partition, no broadcast of the corpus."""
     sh = word_shingles(tokens(F.col(text_col)), n)
-    return docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -222,7 +225,7 @@ def simhash_sketch(
     votes ±1 on every bit of its rolling hash; bit b of the sketch is
     1 iff the vote sum is positive. Map-reduce shape — explode tokens
     × bits, two hash aggregations — no Python in the path."""
-    toked = docs.select(
+    toked = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("id", poly_hash(F.col("tok")).alias("h"))

@@ -59,7 +59,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.fp16 import FP16_EXP_BITS, with_fp16_rounded, with_reduced_precision
-from ..functions.vector import delta_from_exp_col, dot, l2_norm, unit
+from ..session import ensure_parallelism
+from ..functions.vector import NORM_EPS, delta_from_exp_col, dot, l2_norm, unit
 from .topk import topk_per_query
 
 MODES = ("cos-hoeff", "cos-l1", "cos-l2", "l2-sym", "l2-tz", "l2-hoeff")
@@ -97,6 +98,7 @@ def prepare_corpus(
     separate Parquet columns (paper §3.3 disaggregated placement); the
     cheap pass then scans only (redv, delta)-backed pages.
     """
+    corpus = ensure_parallelism(corpus)
     df = with_reduced_precision(
         with_fp16_rounded(corpus.select(id_col, vec_col), vec_col, out_col="vec16"),
         keep_m,
@@ -104,12 +106,20 @@ def prepare_corpus(
     )
     delta_col = delta_from_exp_col("kept_exp", keep_m)
     if is_cosine(mode):
-        df = df.select(
-            id_col,
-            vec_col,
-            unit("vec16").alias("full"),
-            unit("red").alias("redv"),
-            delta_col.alias("delta"),
+        # norms hoisted into their own projection: inside a transform
+        # lambda the fold would re-evaluate per element (measured 4×
+        # slower); as outer attributes they evaluate once per row and
+        # the division lambda just reads the slot
+        df = (
+            df.withColumn("__n16", F.greatest(l2_norm("vec16"), F.lit(NORM_EPS)))
+            .withColumn("__nred", F.greatest(l2_norm("red"), F.lit(NORM_EPS)))
+            .select(
+                id_col,
+                vec_col,
+                F.transform("vec16", lambda v: v.cast("double") / F.col("__n16")).alias("full"),
+                F.transform("red", lambda v: v.cast("double") / F.col("__nred")).alias("redv"),
+                delta_col.alias("delta"),
+            )
         )
         if mode == "cos-l2":
             diff = F.zip_with("full", "redv", lambda a, b: a - b)
@@ -225,7 +235,15 @@ def refine_topk(
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
     cos = is_cosine(mode)
-    corp = prepared_corpus if prepared_corpus is not None else prepare_corpus(corpus, keep_m, mode)
+    if prepared_corpus is not None:
+        corp = prepared_corpus
+    else:
+        # the prepared corpus feeds three plan branches (phase-1 scan,
+        # seed fetch, survivor fetch); persist is the local analog of
+        # the production layout, where these columns are written once
+        # per keep_m as separate parquet columns (paper §3.3) instead
+        # of re-deriving the FP16 reduction per branch
+        corp = prepare_corpus(corpus, keep_m, mode).persist()
     qs = prepare_queries(queries, mode)
 
     # ---- phase 1: cheap pass over the reduced representation (J1) ----
@@ -320,9 +338,13 @@ def refine_metrics(
     All counts are computed as Spark aggregates — no driver loops.
     """
     cos = is_cosine(mode)
-    corp = prepare_corpus(corpus, keep_m, mode)
+    corp = prepare_corpus(corpus, keep_m, mode).persist()
     qs = prepare_queries(queries, mode)
     res = refine_topk(queries, corpus, mode, k, keep_m, delta, prepared_corpus=corp)
+    # the top-K and fetch sets each feed two counting branches
+    res = RefineResult(
+        topk=res.topk.persist(), fetched=res.fetched.persist(), scored=res.scored
+    )
     # ground truth: exact top-K over the fp16 full-precision columns
     gt_pairs = (
         corp.select(F.col("vec_id").alias("neighbor_id"), "full")

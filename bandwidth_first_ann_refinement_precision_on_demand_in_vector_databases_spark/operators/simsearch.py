@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import ensure_parallelism
 from ..functions.vector import cosine, dist2
 from .topk import topk_per_query
 
@@ -65,7 +66,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     L2, ties → smaller centroid_id). Centroids broadcast; the corpus
     streams once — this is the offline index build, and ``cell`` is
     the storage partition key at scale."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    scored = ensure_parallelism(corpus).crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
         "centroid_id",

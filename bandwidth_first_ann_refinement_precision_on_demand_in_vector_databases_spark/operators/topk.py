@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine, dist2
+from ..session import ensure_parallelism
 
 TOPK_SCHEMA = "query_id bigint, rank int, neighbor_id bigint, score double"
 
@@ -56,7 +57,9 @@ def score_crossjoin(
     q = F.broadcast(
         queries.select(F.col("query_id"), F.col(query_col).alias("__q"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(corpus_col).alias("__c"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(corpus_col).alias("__c"))
+    )
     if metric == "cosine":
         score = cosine("__q", "__c")
 

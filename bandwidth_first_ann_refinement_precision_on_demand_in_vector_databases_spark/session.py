@@ -45,3 +45,19 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Guard against under-partitioned inputs feeding compute-heavy
+    operators (cross-join scoring, shingle hashing).
+
+    A fixture-sized table is one parquet file → one scan partition →
+    one core does all downstream work before the first shuffle. At
+    production scale inputs arrive in many splits and this is a no-op;
+    locally it spreads the corpus across the cluster once, *before*
+    the operator multiplies the work (×queries, ×shingles, ×hashes).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
