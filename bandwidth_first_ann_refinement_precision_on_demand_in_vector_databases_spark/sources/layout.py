@@ -1,0 +1,77 @@
+"""Storage layouts for the 100 TB design point (SURVEY §4 physical
+concerns). Two layouts the engine's scale story depends on, made
+concrete and testable:
+
+* **Cell-partitioned corpus** (IVF): the assigned corpus written as
+  parquet partitioned by ``cell``. A probe then *scans only the
+  probed cells* — `PartitionFilters` in the scan node, ~nprobe/n_cells
+  of the bytes — which is the IVF bandwidth win the reference's
+  two-phase scan is "orthogonal to" (README.md:11) and that a real
+  deployment combines with it.
+* **Bucketed join tables**: both sides of a recurring equi-join
+  written bucketed by the join key (`bucketBy` + `sortBy`), so the
+  join plans with zero Exchange on either side — the co-located join
+  every repeated 100 TB pipeline stage should use instead of paying
+  the shuffle per run.
+
+Column-layout note: the refinement engine's analog is
+``prepare_corpus`` columns (redv/delta/full) written once per
+``keep_m`` as separate parquet column chunks — parquet's columnar
+chunking already gives the paper's §3.3 "disaggregated placement"
+(phase 1 reads only redv/delta pages; `ReadSchema` proves pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.simsearch import ivf_assign, ivf_centroids
+
+
+def write_cell_partitioned(
+    corpus: DataFrame, out_path: str, stride: int | None = None
+) -> None:
+    """Materialize the IVF-assigned corpus partitioned by cell id.
+    One directory per cell; a probed query reads only its cells."""
+    cents = ivf_centroids(corpus, stride) if stride else ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents)
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_path)
+    )
+
+
+def read_probed_cells(spark: SparkSession, path: str, cells: list[int]) -> DataFrame:
+    """Scan restricted to the probed cells. The `cell IN (...)`
+    predicate is a partition filter: non-probed directories are never
+    opened (check `PartitionFilters` in the scan node)."""
+    df = spark.read.parquet(path)
+    return df.where(F.col("cell").isin([int(c) for c in cells]))
+
+
+def write_bucketed_pair(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_buckets: int,
+    left_table: str,
+    right_table: str,
+) -> None:
+    """Persist both join sides bucketed+sorted by the key, so the
+    equi-join is exchange-free (bucket-to-bucket, pre-sorted)."""
+    for df, name in ((left, left_table), (right, right_table)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key: Catalyst
+    plans a SortMergeJoin with no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key)

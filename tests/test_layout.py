@@ -1,0 +1,82 @@
+"""Storage-layout guarantees (SURVEY §4): the plans must prove the
+scale properties, not just produce correct rows — partition pruning
+for IVF cells, zero exchanges for bucketed joins, column pruning for
+the disaggregated refinement layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+    prepare_corpus,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+    bucketed_join,
+    read_probed_cells,
+    write_bucketed_pair,
+    write_cell_partitioned,
+)
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cell_partition_pruning(spark, sf_small, tmp_path):
+    corpus = load_table(spark, sf_small, "embeddings")
+    out = str(tmp_path / "cells")
+    write_cell_partitioned(corpus, out)
+    all_cells = [r.cell for r in spark.read.parquet(out).select("cell").distinct().collect()]
+    probe = sorted(all_cells)[:2]
+    df = read_probed_cells(spark, out, probe)
+    plan = _phys(df)
+    assert "PartitionFilters" in plan
+    # the filter must actually restrict partitions: probed rows < all
+    assert 0 < df.count() < spark.read.parquet(out).count()
+    assert {r.cell for r in df.select("cell").distinct().collect()} == set(probe)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    # warehouse.dir is static config — park the tables in a tmp-backed
+    # database instead
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path / 'wh'}'")
+    try:
+        orders = load_table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_small, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed_pair(
+            li, orders, "o_orderkey", 8, "bucketdb.li_b", "bucketdb.orders_b"
+        )
+        # fixture tables are broadcast-sized, which would bypass the
+        # bucket-to-bucket path being asserted; at 100 TB neither side
+        # broadcasts, so emulate that regime
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bucketdb.li_b", "bucketdb.orders_b", "o_orderkey")
+        plan = _phys(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # sanity: same result as the shuffled join
+        expected = li.join(orders, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_refinement_phase1_prunes_full_column(spark, sf_small, tmp_path):
+    """Disaggregated placement: persist the prepared corpus, then a
+    phase-1-style scan over (redv, delta) must not read the full
+    column (parquet columnar chunking = paper §3.3 analog)."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    out = str(tmp_path / "prepared")
+    prepare_corpus(corpus, 6, "cos-l1").write.mode("overwrite").parquet(out)
+    phase1 = spark.read.parquet(out).select("vec_id", "redv", "delta")
+    plan = _phys(phase1)
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "redv" in read_schema and "delta" in read_schema
+    assert "full" not in read_schema, read_schema
