@@ -307,3 +307,38 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-blocked (the 100 TB path for
+    ``embedding_neardup_pairs``): candidates are pairs sharing ≥1
+    hyperplane signature band (cosine-space blocking — random
+    hyperplanes preserve angular closeness), then the exact cosine
+    predicate verifies survivors. The band equi-join replaces the
+    N²/2 triangular join; recall vs. the exact variant follows the
+    banding s-curve."""
+    from .simsearch import lsh_signature_bands
+
+    bands = lsh_signature_bands(emb, vec_col, id_col)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -189,6 +189,31 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS_TAU}
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS_TAU
+    )
+
+
+# replicate the hyperplane banding of registry_simsearch over the
+# corpus-vs-corpus pair space, then exact-cosine verify
+def _sql_dedup_lsh() -> str:
+    from .registry_simsearch import _sql_bands
+
+    return f"""
+WITH cb AS ({_sql_bands("embeddings", "vec_id", "embedding")}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.vec AS va, y.vec AS vb
+  FROM cb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+),
+pairs AS (
+  SELECT id_a, id_b, round({_SQL_COS_AB.replace("a.embedding", "va").replace("b.embedding", "vb")}, 6) AS cos_sim
+  FROM cand
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS_TAU}
+"""
+
+
 DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -197,6 +222,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_sketch": q_simhash_sketch,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }
 
 DEDUP_ORACLES: dict[str, str] = {
@@ -207,4 +233,5 @@ DEDUP_ORACLES: dict[str, str] = {
     "simhash_sketch": SQL_SIMHASH_SKETCH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": _sql_dedup_lsh(),
 }
