@@ -325,20 +325,21 @@ def embedding_neardup_lsh(
     from .simsearch import lsh_signature_bands
 
     bands = lsh_signature_bands(emb, vec_col, id_col)
-    cand = (
+    # distinct over the id pair only (arrays re-attach afterwards —
+    # see lsh_topk for the shuffle-width rationale)
+    cand_ids = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bkey"])
         .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.vec").alias("va"),
-            F.col("y.vec").alias("vb"),
-        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
     return (
-        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

@@ -154,16 +154,20 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     band/row trade-off exactly as in MinHash LSH."""
     qb = lsh_signature_bands(queries, "embedding", "query_id")
     cb = lsh_signature_bands(corpus, "embedding", "vec_id")
-    cand = (
+    # dedupe on the id pair only — running distinct over rows that
+    # carry both embedding arrays shuffles ~16× more bytes for the
+    # same result; vectors re-attach after the pair set is small
+    cand_ids = (
         qb.alias("q")
         .join(cb.alias("c"), ["band", "bkey"])
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            F.col("q.vec").alias("qvec"),
-            F.col("c.vec").alias("cvec"),
-        )
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
         .distinct()
+    )
+    qv = F.broadcast(queries.select("query_id", F.col("embedding").alias("qvec")))
+    cv = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    cand = (
+        cand_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("score"))
     )
     return topk_per_query(cand, k, ascending=False, salted=False)
