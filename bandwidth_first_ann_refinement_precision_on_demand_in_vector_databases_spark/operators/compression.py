@@ -102,3 +102,47 @@ def avg_reduced_bytes_per_vec(
         .collect()[0]
     )
     return float(totals["b"]) / float(totals["n"]) if totals["n"] else 0.0
+
+
+def compression_stats_df(
+    corpus: DataFrame,
+    keep_e: int,
+    keep_m: int,
+    level: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A5 as a declarative one-row result: compressed bytes/vector of
+    the bit-plane reduced layout and its ratios against the raw
+    reduced and full layouts (paper §4.3 / Fig.13 quantities).
+    Distributed end to end — per-partition pack+zlib, one tiny
+    aggregate; no vector data reaches the driver."""
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mats = [
+            np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not mats:
+            return
+        mat = np.concatenate(mats, axis=0)
+        u16 = mat.astype(np.float16).view(np.uint16)
+        blob = pack_bitplanes_np(u16, keep_e, keep_m)
+        comp = len(zlib.compress(blob, level=max(0, min(9, level)))) if blob else 0
+        yield pd.DataFrame({"comp_bytes": [comp], "n_vec": [mat.shape[0]]})
+
+    b_red = (1 + keep_e + keep_m) * dim / 8.0
+    b_full = 16.0 * dim / 8.0
+    totals = (
+        corpus.select(vec_col)
+        .mapInPandas(per_partition, schema="comp_bytes bigint, n_vec bigint")
+        .agg(F.sum("comp_bytes").alias("b"), F.sum("n_vec").alias("n"))
+    )
+    avg = F.col("b").cast("double") / F.col("n")
+    return totals.select(
+        F.col("n").alias("n_vec"),
+        F.round(avg, 3).alias("avg_comp_bytes"),
+        F.round(F.lit(b_red) / avg, 4).alias("ratio_vs_reduced"),
+        F.round(F.lit(b_full) / avg, 4).alias("ratio_vs_full"),
+    )

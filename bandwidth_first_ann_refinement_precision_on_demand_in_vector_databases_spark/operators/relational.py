@@ -137,3 +137,33 @@ def range_join_count(
         .withColumn("n_followers", F.coalesce("n_followers", F.lit(0)))
         .drop("__k", "__lsec")
     )
+
+
+def salted_agg_sum_count(
+    df: DataFrame, key: str, value_col: str, shards: int = 8
+) -> DataFrame:
+    """Skew-resistant aggregation: pre-aggregate within
+    ``(key, random-ish shard)`` then combine — the classic salting
+    pattern for hot keys whose single reducer would straggle at scale.
+    The shard id derives from a hash of a stable row attribute (not
+    ``rand()``), keeping the result deterministic; sums are DECIMAL so
+    the two-phase combine is order-independent and exactly equals the
+    direct groupBy (the oracle asserts that identity).
+    """
+    shard = F.pmod(F.xxhash64(F.col(value_col)), F.lit(shards))
+    partial = (
+        df.groupBy(F.col(key), shard.alias("__shard"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("__s").alias("__s2"), F.sum("__n").alias("n_rows"))
+        .select(
+            key,
+            F.col("__s2").cast("double").alias("sum_value"),
+            "n_rows",
+        )
+    )

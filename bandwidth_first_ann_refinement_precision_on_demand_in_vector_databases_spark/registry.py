@@ -170,6 +170,17 @@ def q_reduce_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compression_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: bit-plane + zlib compressed-size model (``ANNCode.py:
+    668-704``; paper §4.3 Fig.13). mapInPandas + zlib has no SQL
+    form → rows-only check."""
+    from .operators.compression import compression_stats_df
+
+    return compression_stats_df(
+        load_table(spark, sf_dir, "embeddings"), keep_e=5, keep_m=KEEP_M_DEFAULT
+    )
+
+
 def _refine_topk_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = DELTA_DEFAULT if "hoeff" in mode else None
@@ -216,6 +227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rownorm_unit": q_rownorm_unit,
     "recall_l2_vs_cosine": q_recall_l2_vs_cosine,
     "reduce_precision": q_reduce_precision,
+    "compression_model": q_compression_model,
 }
 
 for _mode in MODES:

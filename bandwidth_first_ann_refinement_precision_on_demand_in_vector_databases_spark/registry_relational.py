@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .operators.relational import asof_join, range_join_count
+from .operators.relational import asof_join, range_join_count, salted_agg_sum_count
 from .sources.fixtures import load_table
 
 
@@ -444,6 +444,48 @@ FROM events WHERE CAST(props->>'$.k' AS INT) > 50
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation; the oracle is the plain GROUP BY,
+    asserting the skew-resistant plan changes nothing but the shuffle."""
+    return salted_agg_sum_count(load_table(spark, sf_dir, "events"), "event_type", "value")
+
+
+SQL_SALTED_AGG = """
+SELECT event_type,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  count(*) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (sort-based
+    aggregate; both engines use the linear-interpolation definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("__p"))
+        .select(
+            "event_type",
+            *[
+                F.round(F.element_at("__p", i + 1), 6).alias(name)
+                for i, name in enumerate(["p25", "p50", "p75", "p90"])
+            ],
+        )
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "rollup_lineitem": q_rollup_lineitem,
@@ -462,6 +504,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_text": q_scalar_text,
     "scalar_datetime": q_scalar_datetime,
     "scalar_json": q_scalar_json,
+    "salted_agg": q_salted_agg,
+    "value_quantiles": q_value_quantiles,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -482,4 +526,6 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "scalar_text": SQL_SCALAR_TEXT,
     "scalar_datetime": SQL_SCALAR_DATETIME,
     "scalar_json": SQL_SCALAR_JSON,
+    "salted_agg": SQL_SALTED_AGG,
+    "value_quantiles": SQL_VALUE_QUANTILES,
 }
