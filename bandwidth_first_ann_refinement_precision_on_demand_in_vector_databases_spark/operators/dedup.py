@@ -229,22 +229,22 @@ def simhash_sketch(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).select("id", poly_hash(F.col("tok")).alias("h"))
-    votes = (
-        toked.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"))
-        .groupBy("id", "b")
-        .agg(
-            # shift amount is a column → SQL form (the Python wrapper
-            # only takes int literals)
+    # one conditional sum per bit instead of exploding rows ×32: same
+    # votes, but the shuffle carries one row per document with 32
+    # partial sums (map-side combine) rather than 32× the token rows
+    votes = toked.groupBy("id").agg(
+        *[
             F.sum(
-                F.when(F.expr("shiftright(h, b) % 2") == 1, 1).otherwise(-1)
-            ).alias("vote")
-        )
+                F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        packed = term if packed is None else packed + term
+    return votes.select("id", packed.alias("simhash"))
 
 
 def simhash_pairs(
