@@ -338,50 +338,135 @@ def refine_metrics(
     All counts are computed as Spark aggregates — no driver loops.
     """
     cos = is_cosine(mode)
-    corp = prepare_corpus(corpus, keep_m, mode).persist()
+    corp = prepare_corpus(corpus, keep_m, mode)
     qs = prepare_queries(queries, mode)
-    res = refine_topk(queries, corpus, mode, k, keep_m, delta, prepared_corpus=corp)
-    # the top-K and fetch sets each feed two counting branches
-    res = RefineResult(
-        topk=res.topk.persist(), fetched=res.fetched.persist(), scored=res.scored
+
+    # ---- one fused scan: reduced score, exact score, admission bound ----
+    # The metrics operator must rank *every* candidate by exact score
+    # anyway (ground truth), so unlike ``refine_topk`` there is nothing
+    # to gain from keeping the full-precision column unread: compute
+    # both representations' scores and the cushion in a single pass and
+    # reduce each pair to four scalars. The cached frame is
+    # O(|Q|·N) scalars (no vectors); at production scale this is the
+    # sweep's intermediate you would write to Parquet once per
+    # (mode, m) grid point rather than cache.
+    pair_cols = ["vec_id", "redv", "delta", "embedding", "full"] + (
+        ["bconst"] if mode == "cos-l2" else []
     )
-    # ground truth: exact top-K over the fp16 full-precision columns
-    gt_pairs = (
-        corp.select(F.col("vec_id").alias("neighbor_id"), "full")
-        .crossJoin(F.broadcast(qs))
-        .select("query_id", "neighbor_id", _exact_score_expr(cos).alias("score"))
+    pairs = corp.select(*pair_cols).crossJoin(F.broadcast(qs))
+    if cos:
+        pairs = pairs.withColumn("s_hat", dot("redv", "q"))
+        red_score = F.col("s_hat")
+        # admit when s_hat + cushion >= tau0 ⇔ admit_score >= tau0
+        admit = F.col("s_hat") + cushion_expr(mode, delta)
+    else:
+        pairs = pairs.withColumn(
+            "d2_hat",
+            _fold_sum(
+                F.transform(F.zip_with("q", "redv", lambda q, r: q - r), lambda v: v * v)
+            ),
+        )
+        red_score = F.col("d2_hat")
+        # admit when lower bound <= tau0
+        admit = l2_lower_bound_expr(mode, delta)
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        red_score.alias("red_score"),
+        _exact_score_expr(cos).alias("exact_score"),
+        admit.alias("admit_score"),
+    ).persist()
+
+    def _ids(df: DataFrame) -> DataFrame:
+        return df.select("query_id", "neighbor_id")
+
+    # seed (W5) and ground truth (W1/W2): salted two-phase ranks over
+    # the same cached scalar frame
+    seed = _ids(
+        topk_per_query(
+            scored.select("query_id", "neighbor_id", F.col("red_score").alias("score")),
+            k,
+            ascending=not cos,
+        )
     )
-    gt = topk_per_query(gt_pairs, k, ascending=not cos)
+    gt = _ids(
+        topk_per_query(
+            scored.select("query_id", "neighbor_id", F.col("exact_score").alias("score")),
+            k,
+            ascending=not cos,
+        )
+    )
+
+    # τ₀ = K-th best exact score within the seed set
+    tau0 = (
+        scored.join(F.broadcast(seed), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg((F.min if cos else F.max)("exact_score").alias("tau0"))
+    )
+
+    # fetched = seed ∪ admitted survivors (P8 over the cached scalars)
+    flagged = (
+        scored.join(
+            F.broadcast(seed.withColumn("__seed", F.lit(True))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(F.broadcast(tau0), "query_id")
+        .withColumn(
+            "fetched",
+            F.coalesce(F.col("__seed"), F.lit(False))
+            | (
+                (F.col("admit_score") >= F.col("tau0"))
+                if cos
+                else (F.col("admit_score") <= F.col("tau0"))
+            ),
+        )
+    )
+    fetched = flagged.where("fetched").persist()
+
+    # final top-K among fetched candidates (W6)
+    final = _ids(
+        topk_per_query(
+            fetched.select("query_id", "neighbor_id", F.col("exact_score").alias("score")),
+            k,
+            ascending=not cos,
+        )
+    )
 
     b_full = 16.0 * dim / 8.0
     b_red = red_bytes_override if red_bytes_override is not None else (1 + keep_e + keep_m) * dim / 8.0
 
-    n_q = queries.agg(F.count("*").alias("n_q"))
-    n_c = corpus.agg(F.count("*").alias("n_c"))
-    n_fetched = res.fetched.agg(F.count("*").alias("n_fetched"))
-    hits = (
-        gt.select("query_id", "neighbor_id")
-        .join(res.topk.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        .agg(F.count("*").alias("n_hits"))
-    )
-    unnecessary = (
-        res.fetched.join(
-            res.topk.select("query_id", "neighbor_id"),
+    # one counting pass over the fetch set + one over the pair frame
+    per_fetch = (
+        fetched.join(
+            F.broadcast(final.withColumn("__final", F.lit(True))),
             ["query_id", "neighbor_id"],
-            "left_anti",
-        ).agg(F.count("*").alias("n_unnecessary"))
+            "left",
+        )
+        .join(
+            F.broadcast(gt.withColumn("__gt", F.lit(True))),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.count(F.when(F.col("__final") & F.col("__gt"), 1)).alias("n_hits"),
+            F.count(F.when(F.col("__final").isNull(), 1)).alias("n_unnecessary"),
+        )
+    )
+    totals = scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("query_id").alias("n_q"),
     )
 
-    stats = (
-        n_q.crossJoin(n_c).crossJoin(n_fetched).crossJoin(hits).crossJoin(unnecessary)
-    )
-    total_bytes = F.lit(b_red) * F.col("n_c") * F.col("n_q") + F.lit(b_full) * F.col("n_fetched")
-    baseline = F.lit(b_full) * F.col("n_c") * F.col("n_q")
+    stats = per_fetch.crossJoin(totals)
+    total_bytes = F.lit(b_red) * F.col("n_pairs") + F.lit(b_full) * F.col("n_fetched")
+    baseline = F.lit(b_full) * F.col("n_pairs")
     return stats.select(
         F.lit(mode).alias("mode"),
         F.lit(keep_m).alias("m_keep"),
         F.lit(float(delta) if delta is not None else 0.0).alias("delta"),
         (F.col("n_hits") / (F.col("n_q") * F.lit(float(k)))).alias("recall"),
         (F.lit(1.0) - total_bytes / baseline).alias("save"),
-        (F.col("n_unnecessary") / (F.col("n_c") * F.col("n_q"))).alias("fpr"),
+        (F.col("n_unnecessary") / F.col("n_pairs")).alias("fpr"),
     )

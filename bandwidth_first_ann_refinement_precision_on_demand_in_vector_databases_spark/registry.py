@@ -170,14 +170,16 @@ def q_reduce_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_compression_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_compression_model(
+    spark: SparkSession, sf_dir: str, keep_m: int = KEEP_M_DEFAULT
+) -> DataFrame:
     """A5: bit-plane + zlib compressed-size model (``ANNCode.py:
     668-704``; paper §4.3 Fig.13). mapInPandas + zlib has no SQL
     form → rows-only check."""
     from .operators.compression import compression_stats_df
 
     return compression_stats_df(
-        load_table(spark, sf_dir, "embeddings"), keep_e=5, keep_m=KEEP_M_DEFAULT
+        load_table(spark, sf_dir, "embeddings"), keep_e=5, keep_m=keep_m
     )
 
 
@@ -198,7 +200,9 @@ def _refine_topk_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-def _refine_metrics_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+def _refine_metrics_query(
+    mode: str, keep_m: int = KEEP_M_DEFAULT
+) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = DELTA_DEFAULT if "hoeff" in mode else None
         row = refine_metrics(
@@ -206,14 +210,17 @@ def _refine_metrics_query(mode: str) -> Callable[[SparkSession, str], DataFrame]
             load_table(spark, sf_dir, "embeddings"),
             mode,
             K_DEFAULT,
-            KEEP_M_DEFAULT,
+            keep_m,
             delta,
         )
         # no rounding: both engines derive these from identical integer
         # counts with the same double formula, so values are bit-identical
         return row.select("mode", "m_keep", "delta", "recall", "save", "fpr")
 
-    run.__doc__ = f"A2/A3 metrics row for mode {mode} (``ANNCode.py:735`` schema)."
+    run.__doc__ = (
+        f"A2/A3 metrics row for mode {mode}, keep_m={keep_m} "
+        "(``ANNCode.py:735`` schema)."
+    )
     return run
 
 
@@ -234,6 +241,19 @@ for _mode in MODES:
     _slug = _mode.replace("-", "_")
     QUERIES[f"refine_{_slug}_topk"] = _refine_topk_query(_mode)
     QUERIES[f"refine_{_slug}_metrics"] = _refine_metrics_query(_mode)
+
+#: sweep-selected operating point on the fixture corpus (D=64 Gaussian):
+#: keep_m=3 maximizes bandwidth saving among the zero-miss modes
+#: (save ≈ 0.36 at recall exactly 1.0). The paper tunes the truncation
+#: level per dataset the same way (§4.1 sweeps t = 0..10; the "≤60%"
+#: headline is the best-dataset point, README.md:20). Deeper truncation
+#: on this corpus inflates FPR faster than the reduced pass shrinks.
+KEEP_M_TUNED = 3
+QUERIES["refine_l2_tz_tuned_metrics"] = _refine_metrics_query("l2-tz", KEEP_M_TUNED)
+QUERIES["refine_cos_l1_tuned_metrics"] = _refine_metrics_query("cos-l1", KEEP_M_TUNED)
+QUERIES["compression_model_tuned"] = lambda spark, sf_dir: q_compression_model(
+    spark, sf_dir, keep_m=KEEP_M_TUNED
+)
 
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES  # noqa: E402
@@ -303,6 +323,12 @@ for _mode in MODES:
     ORACLES[f"refine_{_slug}_metrics"] = duck_oracle.refine_metrics_sql(
         _mode, K_DEFAULT, KEEP_M_DEFAULT, _delta, QUERY_STRIDE
     )
+ORACLES["refine_l2_tz_tuned_metrics"] = duck_oracle.refine_metrics_sql(
+    "l2-tz", K_DEFAULT, KEEP_M_TUNED, None, QUERY_STRIDE
+)
+ORACLES["refine_cos_l1_tuned_metrics"] = duck_oracle.refine_metrics_sql(
+    "cos-l1", K_DEFAULT, KEEP_M_TUNED, None, QUERY_STRIDE
+)
 ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TEXT_ORACLES)
 ORACLES.update(DEDUP_ORACLES)

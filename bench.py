@@ -33,6 +33,11 @@ def _suite():
         "recall_l2_vs_cosine",
         "refine_cos_l1_topk",
         "refine_l2_tz_metrics",
+        "refine_l2_tz_tuned_metrics",
+        "refine_cos_l1_tuned_metrics",
+        "refine_cos_hoeff_metrics",
+        "compression_model",
+        "compression_model_tuned",
         "pricing_summary",
         "region_revenue",
         "top_orders",
@@ -81,12 +86,33 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
+    headline: dict[str, dict] = {}
     suite = _suite()
     for name, fn in suite.items():
         start = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        df = fn(spark, SF_DIR)
+        # single-row quality-metric queries: collect the row so the
+        # BASELINE.md targets (saving / recall / FPR, compression
+        # ratio) land in the bench record next to the timings
+        if name.endswith("_metrics") or name.startswith("compression_model"):
+            rows = df.collect()
+            if rows:
+                headline[name] = {
+                    k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in rows[0].asDict().items()
+                }
+        else:
+            df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
     total = round(sum(timings.values()), 3)
+    # paper §4.3: combined saving = 1 - (1-s)/R (early-reject saving s
+    # composed with bit-plane compression ratio R vs the reduced layout)
+    try:
+        s = headline["refine_l2_tz_tuned_metrics"]["save"]
+        r = headline["compression_model_tuned"]["ratio_vs_reduced"]
+        headline["combined_saving_l2_tz"] = round(1.0 - (1.0 - s) / r, 4)
+    except KeyError:
+        pass
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -95,6 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "headline": headline,
                 "sf": float(sf),
             }
         )
