@@ -254,17 +254,34 @@ def refine_topk(
     if cos:
         pairs = pairs.withColumn("s_hat", dot("redv", "q"))
         phase1_score, ascending = "s_hat", False
+        # admit when s_hat + cushion >= tau0 ⇔ admit_score >= tau0
+        admit = F.col("s_hat") + cushion_expr(mode, delta)
     else:
         d2_hat = _fold_sum(
             F.transform(F.zip_with("q", "redv", lambda q, r: q - r), lambda v: v * v)
         )
         pairs = pairs.withColumn("d2_hat", d2_hat)
         phase1_score, ascending = "d2_hat", True
+        # admit when the distance lower bound <= tau0
+        admit = l2_lower_bound_expr(mode, delta)
+
+    # The phase-1 scan feeds two consumers (seed rank, cushion filter).
+    # Reduce each pair to three scalars and cache that, so the array
+    # arithmetic (scores + cushions, the expensive folds) runs exactly
+    # once per pair. At production scale this frame is q·N scalars —
+    # MEMORY_AND_DISK-spillable and far smaller than re-reading the
+    # reduced vector pages for a second scoring pass.
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.col(phase1_score).alias("red_score"),
+        admit.alias("admit_score"),
+    ).persist()
 
     # ---- seed: best K under the reduced score (W5) ----
     seed_ids = topk_per_query(
-        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                     F.col(phase1_score).alias("score")),
+        scored.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      F.col("red_score").alias("score")),
         k,
         ascending=ascending,
     ).select("query_id", "neighbor_id")
@@ -283,17 +300,15 @@ def refine_topk(
     )
 
     # ---- cushion filter over non-seed candidates (P8) ----
-    rest = pairs.join(
+    rest = scored.join(
         F.broadcast(seed_ids.withColumnRenamed("neighbor_id", "vec_id")),
         ["query_id", "vec_id"],
         "left_anti",
     ).join(F.broadcast(tau0), "query_id")
     if cos:
-        admitted = rest.where(
-            F.col("s_hat") + cushion_expr(mode, delta) >= F.col("tau0")
-        )
+        admitted = rest.where(F.col("admit_score") >= F.col("tau0"))
     else:
-        admitted = rest.where(l2_lower_bound_expr(mode, delta) <= F.col("tau0"))
+        admitted = rest.where(F.col("admit_score") <= F.col("tau0"))
 
     # ---- phase 2: late materialization of full precision (J2) ----
     surv_exact = (
