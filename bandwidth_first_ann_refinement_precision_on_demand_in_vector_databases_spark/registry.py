@@ -243,12 +243,15 @@ for _mode in MODES:
     QUERIES[f"refine_{_slug}_metrics"] = _refine_metrics_query(_mode)
 
 #: sweep-selected operating point on the fixture corpus (D=64 Gaussian):
-#: keep_m=3 maximizes bandwidth saving among the zero-miss modes
-#: (save ≈ 0.36 at recall exactly 1.0). The paper tunes the truncation
-#: level per dataset the same way (§4.1 sweeps t = 0..10; the "≤60%"
-#: headline is the best-dataset point, README.md:20). Deeper truncation
-#: on this corpus inflates FPR faster than the reduced pass shrinks.
-KEEP_M_TUNED = 3
+#: the optimum is corpus-size dependent because the full-fetch fraction
+#: shrinks as N grows at fixed K. At sf0.1 (N=2000, the bench scale)
+#: keep_m=2 maximizes saving among the zero-miss modes (l2-tz save
+#: ≈ 0.446, cos-l1 ≈ 0.409, recall exactly 1.0, fpr ≤ 8%); at sf0.01
+#: (N=500) keep_m=3 wins instead. The paper tunes the truncation level
+#: per dataset the same way (§4.1 sweeps t = 0..10; the "≤60%" headline
+#: is the best-dataset point, README.md:20). Deeper truncation inflates
+#: FPR faster than the reduced pass shrinks.
+KEEP_M_TUNED = 2
 QUERIES["refine_l2_tz_tuned_metrics"] = _refine_metrics_query("l2-tz", KEEP_M_TUNED)
 QUERIES["refine_cos_l1_tuned_metrics"] = _refine_metrics_query("cos-l1", KEEP_M_TUNED)
 QUERIES["compression_model_tuned"] = lambda spark, sf_dir: q_compression_model(
