@@ -68,6 +68,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
 
 
+def test_similarity_join_broadcasts_query_side(spark, sf_small):
+    """J1 (the flagship join): the query side must broadcast so the
+    corpus streams past it without a shuffle, and column pruning must
+    reach the corpus scan (`label` never read). At 100 TB the corpus
+    side cannot shuffle; this plan shape is the scale contract."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        exact_topk,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    df = exact_topk(queries_view(spark, sf_small), corpus, 5)
+    plan = _phys(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "embedding" in read_schema
+    assert "label" not in read_schema, read_schema
+
+
 def test_refinement_phase1_prunes_full_column(spark, sf_small, tmp_path):
     """Disaggregated placement: persist the prepared corpus, then a
     phase-1-style scan over (redv, delta) must not read the full
