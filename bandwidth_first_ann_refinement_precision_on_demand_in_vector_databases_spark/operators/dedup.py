@@ -96,7 +96,9 @@ def ngram_jaccard_pairs(
     contributes d² join rows — the classic skew bomb) and accept the
     documented recall trade.
     """
-    idx = shingle_index(docs, n, text_col, id_col)
+    # sizes, the optional DF cap, and both join sides read the index;
+    # persist so the shingle explode runs once per document
+    idx = shingle_index(docs, n, text_col, id_col).persist()
     sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         keep = idx.groupBy("shingle").agg(F.count("*").alias("df")).where(
@@ -189,7 +191,11 @@ def minhash_lsh_pairs(
     predicate decides. Deterministic end-to-end: constants are fixed,
     so the DuckDB oracle replays the identical pipeline."""
     sigs = minhash_signatures(docs, n, text_col, id_col)
-    bb = minhash_band_buckets(sigs)
+    # both self-join sides read the band frame and three consumers
+    # read the shingle index; persist both so the shingle explode +
+    # rolling hash run once per document, not 5× (the persisted
+    # sketch/index is what a production dedup pipeline stores anyway)
+    bb = minhash_band_buckets(sigs).persist()
     cand = (
         bb.alias("x")
         .join(bb.alias("y"), ["band", "bkey"])
@@ -197,7 +203,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    idx = shingle_index(docs, n, text_col, id_col)
+    idx = shingle_index(docs, n, text_col, id_col).persist()
     sizes = idx.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = idx.select(F.col("id").alias("id_a"), "shingle")
     b = idx.select(F.col("id").alias("id_b"), "shingle")
@@ -260,6 +266,10 @@ def simhash_pairs(
     ``bit_count(xor)`` on survivors."""
     if max_hamming >= SIMHASH_BANDS:
         raise ValueError("byte-banding is only lossless for hamming < 4")
+    # the band frame feeds both sides of the self-join; without a
+    # persist the whole sketch pipeline (tokenize → explode → 32
+    # vote aggregates) runs twice. 4 scalar rows per document —
+    # this is the sketch a 100 TB pipeline materializes anyway.
     sk = simhash_sketch(docs, text_col, id_col)
     bands = sk.select(
         "id",
@@ -270,7 +280,7 @@ def simhash_pairs(
         "simhash",
         "band",
         F.expr("shiftright(simhash, band * 8) % 256").alias("bkey"),
-    )
+    ).persist()
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bkey"])
