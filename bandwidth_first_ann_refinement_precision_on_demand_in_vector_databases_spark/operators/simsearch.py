@@ -98,7 +98,10 @@ def ivf_topk(
     cells per query, score exhaustively inside them. At scale the
     ``cell`` equi-join is a partition-pruned scan of ~nprobe/n_cells
     of the corpus — the bandwidth saving that motivates IVF."""
-    cents = ivf_centroids(corpus, stride)
+    # the quantizer feeds two broadcasts (assignment + probe scoring);
+    # persist so the sampled corpus scan runs once — this is the
+    # always-materialized coarse quantizer of a production IVF index
+    cents = ivf_centroids(corpus, stride).persist()
     assigned = ivf_assign(corpus, cents)
     probes = queries.crossJoin(F.broadcast(cents)).select(
         "query_id",
@@ -177,6 +180,9 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Recall@K of an ANN result against the exact top-K (reference
     metric shape, ``ANNCode.py:651-660``): per-query overlap / K,
     averaged. Inner join on (query_id, neighbor_id) — no collect."""
+    # `exact` is a full top-K pipeline consumed twice (hit join +
+    # query universe); persist its q×k rows rather than run it twice
+    exact = exact.persist()
     hits = ann.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
