@@ -37,11 +37,18 @@ FP16_MAN_BITS = 10
 # ---------------------------------------------------------------------------
 
 def fp16_cte(keep_m: int, table: str = "embeddings", id_col: str = "vec_id",
-             vec_col: str = "embedding") -> str:
+             vec_col: str = "embedding", keep_e: int = 5) -> str:
     """CTE chain ending in ``red_tbl(vec_id, vec16, red, kept_exp,
     delta, sgn_raw)`` — the SQL twin of ``reduce_precision_np`` +
-    ``delta_from_exp_np`` + ``fp16_round_np``."""
+    ``delta_from_exp_np`` + ``fp16_round_np``.
+
+    ``keep_e < 5`` additionally clears the low exponent-field bits
+    (``reduce_precision_keep_both``, ``ANNCode.py:219-242``): when the
+    truncated field reaches 0 the stored bits reinterpret as a
+    subnormal (implicit leading 1 lost), exactly like the u16 AND-mask
+    kernel's bit reinterpretation."""
     drop = 1 << (FP16_MAN_BITS - keep_m)
+    edrop = 1 << (5 - keep_e)
     return f"""
 ex AS (
   SELECT {id_col} AS vec_id, generate_subscripts({vec_col}, 1) AS idx,
@@ -68,15 +75,16 @@ s6 AS (SELECT vec_id, idx, x, sgn,
               ELSE CASE WHEN m_rhe >= 1024 THEN e0 + 16 ELSE e0 + 15 END END AS efield,
          CASE WHEN a = 0 OR m_rhe >= 1024 THEN 0 ELSE m_rhe END AS m16
        FROM s5),
-s7 AS (SELECT *, (m16 // {drop}) * {drop} AS m_t FROM s6),
+s7 AS (SELECT *, (m16 // {drop}) * {drop} AS m_t,
+              (efield // {edrop}) * {edrop} AS efield_t FROM s6),
 vals AS (
-  SELECT vec_id, idx, x, efield,
+  SELECT vec_id, idx, x, efield_t AS efield,
     CASE WHEN efield = 0 THEN sgn * (CAST(m16 AS DOUBLE) / 1024.0) * 0.00006103515625
          ELSE sgn * power(2.0, efield - 15) * (1.0 + CAST(m16 AS DOUBLE) / 1024.0) END AS x16,
-    CASE WHEN efield = 0 THEN sgn * (CAST(m_t AS DOUBLE) / 1024.0) * 0.00006103515625
-         ELSE sgn * power(2.0, efield - 15) * (1.0 + CAST(m_t AS DOUBLE) / 1024.0) END AS xr,
-    CASE WHEN efield = 0 THEN power(2.0, {1 - 15 - keep_m})
-         ELSE power(2.0, efield - 15 - {keep_m}) END AS dlt,
+    CASE WHEN efield_t = 0 THEN sgn * (CAST(m_t AS DOUBLE) / 1024.0) * 0.00006103515625
+         ELSE sgn * power(2.0, efield_t - 15) * (1.0 + CAST(m_t AS DOUBLE) / 1024.0) END AS xr,
+    CASE WHEN efield_t = 0 THEN power(2.0, {1 - 15 - keep_m})
+         ELSE power(2.0, efield_t - 15 - {keep_m}) END AS dlt,
     CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sgn_raw
   FROM s7),
 red_tbl AS (
@@ -283,15 +291,20 @@ FROM counts
 """
 
 
-def reduce_precision_sql(keep_m: int) -> str:
-    """Oracle for the P5/P7 projection: reduced values, kept exponent
-    field, Δ. ``+ 0.0`` normalizes −0.0 on both engines."""
+def reduce_precision_sql(keep_m: int, keep_e: int = 5) -> str:
+    """Oracle for the P5/P6/P7 projection in long form
+    ``(vec_id, pos, vec16, red, kept_exp, delta)`` — one scalar row per
+    coordinate so the driver's value hash applies (ARRAY cells are not
+    hashable there). ``+ 0.0`` normalizes −0.0 on both engines;
+    ``idx`` from ``generate_subscripts`` is 1-based vs posexplode's
+    0-based ``pos``."""
     return f"""
-WITH {fp16_cte(keep_m)}
+WITH {fp16_cte(keep_m, keep_e=keep_e)}
 SELECT vec_id,
-       list_transform(vec16, v -> v + 0.0) AS vec16,
-       list_transform(red, v -> v + 0.0) AS red,
-       kept_exp,
-       delta
-FROM red_tbl
+       CAST(idx - 1 AS INT) AS pos,
+       x16 + 0.0 AS vec16,
+       xr + 0.0 AS red,
+       CAST(efield AS INT) AS kept_exp,
+       dlt AS delta
+FROM vals
 """

@@ -129,12 +129,21 @@ def q_topk_l2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rownorm_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: row L2-normalize with 1e-12 floor (``ANNCode.py:45-52``)."""
+    """P1: row L2-normalize with 1e-12 floor (``ANNCode.py:45-52``).
+
+    Long form ``(vec_id, pos, u, norm)`` — one row per coordinate —
+    so every output column is a hashable scalar for the driver's
+    order-insensitive value hash (ARRAY columns are not)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.transform(unit("embedding"), lambda v: F.round(v, 6)).alias("unit_vec"),
         F.round(l2_norm("embedding"), 6).alias("norm"),
+        F.posexplode(unit("embedding")).alias("pos", "__u"),
+    ).select(
+        "vec_id",
+        "pos",
+        (F.round("__u", 6) + F.lit(0.0)).alias("u"),
+        "norm",
     )
 
 
@@ -149,24 +158,38 @@ def q_recall_l2_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("k", F.round("recall", 6).alias("recall"))
 
 
-def q_reduce_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5+P7: bit-accurate FP16 mantissa truncation + kept exponents +
-    no-peek Δ (``ANNCode.py:202-216, 245-258``), oracle-checked against
-    the exact arithmetic emulation in ``plans/duck_oracle.py``."""
+def q_reduce_precision(
+    spark: SparkSession, sf_dir: str, keep_m: int = KEEP_M_DEFAULT, keep_e: int = 5
+) -> DataFrame:
+    """P5+P7 (and P6 when ``keep_e < 5``): bit-accurate FP16 mantissa
+    (+ exponent) truncation + kept exponents + no-peek Δ
+    (``ANNCode.py:202-242, 245-258``), oracle-checked against the exact
+    arithmetic emulation in ``plans/duck_oracle.py``.
+
+    Long form ``(vec_id, pos, vec16, red, kept_exp, delta)`` — one row
+    per coordinate, all scalar columns, driver-hashable. ``+ 0.0``
+    normalizes ``-0.0`` identically on both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     from .functions.fp16 import with_fp16_rounded
 
     df = with_reduced_precision(
         with_fp16_rounded(emb.select("vec_id", "embedding"), out_col="vec16"),
-        KEEP_M_DEFAULT,
+        keep_m,
+        keep_e,
     )
-    norm0 = lambda c: F.transform(c, lambda v: v.cast("double") + F.lit(0.0))  # noqa: E731
-    return df.select(
+    zipped = F.arrays_zip(
+        F.col("vec16").alias("vec16"),
+        F.col("red").alias("red"),
+        F.col("kept_exp").alias("kept_exp"),
+        delta_from_exp_col("kept_exp", keep_m).alias("delta"),
+    )
+    return df.select("vec_id", F.posexplode(zipped).alias("pos", "__z")).select(
         "vec_id",
-        norm0("vec16").alias("vec16"),
-        norm0("red").alias("red"),
-        "kept_exp",
-        delta_from_exp_col("kept_exp", KEEP_M_DEFAULT).alias("delta"),
+        "pos",
+        (F.col("__z.vec16").cast("double") + F.lit(0.0)).alias("vec16"),
+        (F.col("__z.red").cast("double") + F.lit(0.0)).alias("red"),
+        F.col("__z.kept_exp").cast("int").alias("kept_exp"),
+        F.col("__z.delta").alias("delta"),
     )
 
 
@@ -277,9 +300,8 @@ ORACLES: dict[str, str] = {
     "topk_l2_exact": _sql_topk(_sql_dist2("q.qe", "e.embedding"), "ASC", K_DEFAULT),
     "rownorm_unit": f"""
 SELECT vec_id,
-       list_transform(embedding,
-         x -> round(CAST(x AS DOUBLE) / greatest({_sql_norm('embedding')}, 1e-12), 6)
-       ) AS unit_vec,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE) / greatest({_sql_norm('embedding')}, 1e-12), 6) + 0.0 AS u,
        round({_sql_norm('embedding')}, 6) AS norm
 FROM embeddings
 """,
