@@ -170,11 +170,26 @@ def refine_replica(
     k: int,
     keep_m: int,
     delta: float | None = None,
+    max_corpus_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Per-query replica summary frame (one row per query)."""
+    """Per-query replica summary frame (one row per query).
+
+    The replica intentionally collects the corpus to the driver and
+    broadcasts it (the reference's sequential evolving-threshold scan
+    is order-dependent and does not parallelize over the corpus) — a
+    parity tool, not a production path. ``max_corpus_rows`` is a hard
+    ceiling so a mistaken call on a large corpus fails fast instead of
+    OOMing the driver."""
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}")
     spark = queries.sparkSession
+    n_corpus = corpus.select("vec_id").limit(max_corpus_rows + 1).count()
+    if n_corpus > max_corpus_rows:
+        raise ValueError(
+            f"refine_replica collects the corpus to the driver; corpus has "
+            f"> {max_corpus_rows} rows. Use refine_topk/refine_metrics (the "
+            f"distributed path) or raise max_corpus_rows explicitly."
+        )
     corpus_pdf = corpus.select("vec_id", "embedding").toPandas()
     pack = _corpus_pack(corpus_pdf, mode, keep_m)
     bc = spark.sparkContext.broadcast(pack)

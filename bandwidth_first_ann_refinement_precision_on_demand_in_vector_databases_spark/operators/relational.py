@@ -105,17 +105,24 @@ def range_join_count(
     gap = F.lit(max_gap_seconds)
     lsec = F.unix_timestamp(F.col(left_ts))
     rsec = F.unix_timestamp(F.col(right_ts))
-    lt = left.select(
-        F.col(key).alias("__k"),
-        F.col(left_ts).alias("__lts"),
-        lsec.alias("__lsec"),
-        F.explode(
-            F.array(
-                F.floor(lsec / gap).cast("long"),
-                (F.floor(lsec / gap) + 1).cast("long"),
-            )
-        ).alias("__bucket"),
-        "*",
+    # the follower count is a function of (key, left-second) only, so
+    # the bucket join runs over DISTINCT (key, second) pairs: duplicate
+    # left rows neither multiply the join fan-out nor inflate the count
+    # (grouping by the pair over a non-distinct left would credit every
+    # duplicate's matches to every other duplicate)
+    lt = (
+        left.select(F.col(key).alias("__k"), lsec.alias("__lsec"))
+        .distinct()
+        .select(
+            "__k",
+            "__lsec",
+            F.explode(
+                F.array(
+                    F.floor(F.col("__lsec") / gap).cast("long"),
+                    (F.floor(F.col("__lsec") / gap) + 1).cast("long"),
+                )
+            ).alias("__bucket"),
+        )
     )
     rt = right.select(
         F.col(key).alias("__k"),

