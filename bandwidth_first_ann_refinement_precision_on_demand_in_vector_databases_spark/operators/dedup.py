@@ -54,17 +54,44 @@ SIMHASH_BANDS = 4  # byte-wide bands → lossless for hamming ≤ 3
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: canonical (minimum) id + multiplicity
-    per distinct text. One hash-aggregate with map-side combine; at
-    scale, group by ``xxhash64(text)`` first and only compare full
-    texts within colliding buckets."""
-    return (
-        docs.groupBy(F.lower(F.col(text_col)).alias("__key"))
-        .agg(
-            F.min(id_col).alias("canonical_id"),
-            F.count("*").alias("n_copies"),
+    per distinct (lowercased) text.
+
+    Hash-first at scale: the shuffle is keyed by ``xxhash64`` of the
+    canonicalized text — 8 bytes per row with map-side combine — never
+    by the document body itself. A second, independently-seeded hash
+    travels through the same aggregate as a collision detector
+    (``count_distinct``): buckets whose rows disagree on the check
+    hash are re-resolved by exact text via a broadcast join back over
+    just those buckets, so a genuine 64-bit collision costs one extra
+    tiny join instead of silently merging distinct documents. Both
+    branches together equal the naive ``GROUP BY lower(text)``
+    semantics (which is what the DuckDB oracle runs).
+    """
+    low = F.lower(F.col(text_col))
+    hashed = docs.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(low).alias("__h"),
+        F.xxhash64(F.lit("bfann-collision-check"), low).alias("__fp"),
+    )
+    buckets = hashed.groupBy("__h").agg(
+        F.min("__id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.count_distinct("__fp").alias("__nfp"),
+    )
+    clean = buckets.where(F.col("__nfp") == 1).select("canonical_id", "n_copies")
+    colliding = buckets.where(F.col("__nfp") > 1).select("__h")
+    resolved = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            low.alias("__t"),
+            F.xxhash64(low).alias("__h"),
         )
+        .join(F.broadcast(colliding), "__h")
+        .groupBy("__h", "__t")
+        .agg(F.min("__id").alias("canonical_id"), F.count("*").alias("n_copies"))
         .select("canonical_id", "n_copies")
     )
+    return clean.unionByName(resolved)
 
 
 def shingle_index(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -334,7 +361,9 @@ def embedding_neardup_lsh(
     banding s-curve."""
     from .simsearch import lsh_signature_bands
 
-    bands = lsh_signature_bands(emb, vec_col, id_col)
+    # both self-join sides read the band frame: persist so the 16
+    # hyperplane projections run once per vector, not twice
+    bands = lsh_signature_bands(emb, vec_col, id_col).persist()
     # distinct over the id pair only (arrays re-attach afterwards —
     # see lsh_topk for the shuffle-width rationale)
     cand_ids = (

@@ -168,7 +168,13 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_neardup_pairs(
+    """Primary embedding near-dup query = the LSH-blocked plan (band
+    equi-join + exact-cosine verify), the form that survives 100 TB.
+    The O(N²/2) triangular self-join (``embedding_neardup_pairs``)
+    stays a fixture-scale cross-check in ``tests/test_dedup_plan.py``;
+    the oracle replays the identical banding, so the hash check is
+    exact."""
+    return D.embedding_neardup_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS_TAU
     )
 
@@ -180,24 +186,21 @@ _SQL_COS_AB = (
     "greatest(sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12))"
 )
 
-SQL_DEDUP_EMBEDDING = f"""
-WITH pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_SQL_COS_AB}, 6) AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS_TAU}
-"""
+#: second registered operating point on the banding s-curve: a tighter
+#: near-dup radius over the same blocked plan (0.45 vs the primary
+#: 0.35; fixture max pairwise cosine ≈ 0.513 keeps both non-trivial)
+NEARDUP_COS_TAU_TIGHT = 0.45
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_neardup_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS_TAU
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS_TAU_TIGHT
     )
 
 
 # replicate the hyperplane banding of registry_simsearch over the
 # corpus-vs-corpus pair space, then exact-cosine verify
-def _sql_dedup_lsh() -> str:
+def _sql_dedup_lsh(tau: float) -> str:
     from .registry_simsearch import _sql_bands
 
     return f"""
@@ -210,7 +213,7 @@ pairs AS (
   SELECT id_a, id_b, round({_SQL_COS_AB.replace("a.embedding", "va").replace("b.embedding", "vb")}, 6) AS cos_sim
   FROM cand
 )
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS_TAU}
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {tau}
 """
 
 
@@ -232,6 +235,6 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "simhash_sketch": SQL_SIMHASH_SKETCH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    "dedup_embedding": SQL_DEDUP_EMBEDDING,
-    "dedup_embedding_lsh": _sql_dedup_lsh(),
+    "dedup_embedding": _sql_dedup_lsh(NEARDUP_COS_TAU),
+    "dedup_embedding_lsh": _sql_dedup_lsh(NEARDUP_COS_TAU_TIGHT),
 }
