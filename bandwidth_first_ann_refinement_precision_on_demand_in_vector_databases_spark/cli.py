@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ekeep", type=int, default=5, help="exponent bits kept")
     p.add_argument("--delta", type=float, default=0.7, help="Hoeffding miss budget")
     p.add_argument("--maxrows", type=int, default=100_000)
+    p.add_argument("--compress_level", type=int, default=-1,
+                   help="zlib level (0..9) for reduced-pass bit-planes; "
+                        "<0 disables (ANNCode.py:806)")
     p.add_argument("--exact-replica", action="store_true",
                    help="order-sensitive replica path (reference byte accounting)")
     p.add_argument("--csv_out", help="append sweep metrics CSV to this dir (S6)")
@@ -97,22 +100,42 @@ def main(argv: list[str] | None = None) -> int:
     delta = args.delta if "hoeff" in mode else None
     dim = len(corpus.select("embedding").first()[0])
 
+    # optional compression model: override the reduced-pass bytes with
+    # measured compressed bytes/vec of the (keep_e, keep_m) bit planes
+    # (ANNCode.py:831-833)
+    red_bytes_override = None
+    if args.compress_level is not None and args.compress_level >= 0:
+        from .operators.compression import avg_reduced_bytes_per_vec
+
+        red_bytes_override = avg_reduced_bytes_per_vec(
+            corpus, args.ekeep, args.keep, level=args.compress_level
+        )
+
     preds = refine_topk(queries, corpus, mode, args.k, args.keep, delta).topk
-    metrics = refine_metrics(queries, corpus, mode, args.k, args.keep, delta, dim=dim)
+    metrics = refine_metrics(
+        queries, corpus, mode, args.k, args.keep, delta,
+        keep_e=args.ekeep, red_bytes_override=red_bytes_override, dim=dim,
+    )
     n_preds = preds.count()
     row = metrics.first().asDict()
     # S8: final report line (reference shape, ANNCode.py:863-867)
     print(
-        f"mode={args.mode} k={args.k} m_keep={args.keep} delta={delta} "
-        f"preds={n_preds} recall={row.get('recall')} save={row.get('save')} "
-        f"fpr={row.get('fpr')}"
+        f"mode={args.mode} k={args.k} m_keep={args.keep} e_keep={args.ekeep} "
+        f"delta={delta} preds={n_preds} recall={row.get('recall')} "
+        f"save={row.get('save')} fpr={row.get('fpr')}"
     )
+    if red_bytes_override is not None:
+        print(f"compressed reduced-pass bytes/vec ~= {red_bytes_override:.2f}")
 
     if args.sweep_m:
         m_keeps = [int(x) for x in args.sweep_m.split(",")]
         deltas = [float(x) for x in args.sweep_delta.split(",")] if args.sweep_delta else None
         sw = sweep_metrics(queries, corpus, mode, args.k, m_keeps, deltas,
-                           exact_replica=args.exact_replica, dim=dim)
+                           exact_replica=args.exact_replica, dim=dim,
+                           keep_e=args.ekeep,
+                           compress_level=(None if args.compress_level is None
+                                           or args.compress_level < 0
+                                           else args.compress_level))
         rows = [r.asDict() for r in sw.collect()]
         if args.csv_out:
             write_metrics_csv(sw, args.csv_out)

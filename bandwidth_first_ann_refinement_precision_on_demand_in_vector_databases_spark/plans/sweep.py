@@ -30,11 +30,17 @@ def sweep_metrics(
     deltas: list[float] | None = None,
     exact_replica: bool = False,
     dim: int = 64,
+    keep_e: int = 5,
+    compress_level: int | None = None,
 ) -> DataFrame:
     """Metrics rows for a (mode, m_keep, delta) grid.
 
     ``exact_replica=True`` uses the order-sensitive replica (reference
     byte accounting); default uses the scalable fixed-τ₀ path.
+    ``compress_level`` ≥ 0 recomputes the bit-plane compression model
+    per ``m`` and overrides the reduced-pass bytes with measured
+    compressed bytes/vec (``ANNCode.py:746-748, 831-833``), which is
+    how the combined early-reject × compression saving is composed.
 
     Each ``m_keep`` is executed eagerly (the reference sweep is eager
     too, ``ANNCode.py:743-780``) and its persisted intermediates —
@@ -43,6 +49,8 @@ def sweep_metrics(
     cached partitions across configurations. δ points within one ``m``
     deliberately share the cached prepared corpus.
     """
+    from ..operators.compression import avg_reduced_bytes_per_vec
+
     spark = queries.sparkSession
     deltas_in = (deltas or [0.7]) if "hoeff" in mode else [None]
     rows = []
@@ -52,6 +60,11 @@ def sweep_metrics(
             if exact_replica
             else refine_mod.prepare_corpus_cached(corpus, m, mode, cache_key=None)
         )
+        override = (
+            avg_reduced_bytes_per_vec(corpus, keep_e, m, level=compress_level)
+            if compress_level is not None
+            else None
+        )
         for d in deltas_in:
             if exact_replica:
                 n_corpus = corpus.count()
@@ -59,7 +72,8 @@ def sweep_metrics(
                 frame, intermediates = replica_metrics(rep, mode, k, m, n_corpus, dim, d), []
             else:
                 frame, intermediates = _refine_metrics_with_frames(
-                    queries, corpus, mode, k, m, d, 5, None, dim, None, prepared
+                    queries, corpus, mode, k, m, d, keep_e, override, dim,
+                    None, prepared,
                 )
             rows.extend(frame.collect())
             for f in intermediates:

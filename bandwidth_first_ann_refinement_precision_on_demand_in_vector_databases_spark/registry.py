@@ -275,6 +275,67 @@ QUERIES["compression_model_tuned"] = lambda spark, sf_dir: q_compression_model(
     spark, sf_dir, keep_m=KEEP_M_TUNED
 )
 
+#: exponent-truncation surface (P6 end-to-end). Two registered faces:
+#: the keep-both TRANSFORM at keep_e=4 (bit-exact, oracle-checked
+#: against the SQL fp16 emulation), and the refine byte model at
+#: keep_e=4 — which, exactly like the reference CLI, feeds keep_e into
+#: the bytes-per-vector accounting while the refinement VALUES come
+#: from the keep-exponent reduction (``ANNCode.py:827`` builds DBr with
+#: reduce_precision_keep_exp regardless of --ekeep; the Δ bound is not
+#: valid under exponent-truncated values, which is why keep_both's
+#: abs_err output is "diagnostics only", ``ANNCode.py:225``).
+KEEP_E_TUNED = 4
+QUERIES["reduce_precision_ekeep"] = lambda spark, sf_dir: q_reduce_precision(
+    spark, sf_dir, keep_m=KEEP_M_DEFAULT, keep_e=KEEP_E_TUNED
+)
+
+
+def q_refine_l2_tz_ekeep_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 byte model with keep_e=4 (``ANNCode.py:316-319``: bits_red =
+    1 + keep_e + keep_m): recall/fpr match the keep_e=5 row, save rises
+    by exactly one exponent plane of the reduced pass."""
+    return refine_metrics(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        "l2-tz",
+        K_DEFAULT,
+        KEEP_M_DEFAULT,
+        None,
+        keep_e=KEEP_E_TUNED,
+        cache_key=sf_dir,
+    ).select("mode", "m_keep", "delta", "recall", "save", "fpr")
+
+
+QUERIES["refine_l2_tz_ekeep_metrics"] = q_refine_l2_tz_ekeep_metrics
+
+
+def q_refine_l2_tz_compressed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined early-reject × compression saving, composed the way the
+    reference composes it (``ANNCode.py:831-833``): measure compressed
+    bytes/vec of the tuned bit-plane layout (A5) and feed it into the
+    bandwidth accounting as ``red_bytes_override`` — so the full-fetch
+    bytes are NOT discounted by the compression ratio (the hand formula
+    ``1 − (1−s)/R`` overstated the saving by doing exactly that).
+    rows-only check: the zlib byte count has no SQL form."""
+    from .operators.compression import avg_reduced_bytes_per_vec
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    override = avg_reduced_bytes_per_vec(corpus, keep_e=5, keep_m=KEEP_M_TUNED, level=6)
+    return refine_metrics(
+        queries_view(spark, sf_dir),
+        corpus,
+        "l2-tz",
+        K_DEFAULT,
+        KEEP_M_TUNED,
+        None,
+        keep_e=5,
+        red_bytes_override=override,
+        cache_key=sf_dir,
+    ).select("mode", "m_keep", "delta", "recall", "save", "fpr")
+
+
+QUERIES["refine_l2_tz_compressed_metrics"] = q_refine_l2_tz_compressed_metrics
+
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES  # noqa: E402
 from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
@@ -347,6 +408,12 @@ ORACLES["refine_l2_tz_tuned_metrics"] = duck_oracle.refine_metrics_sql(
 )
 ORACLES["refine_cos_l1_tuned_metrics"] = duck_oracle.refine_metrics_sql(
     "cos-l1", K_DEFAULT, KEEP_M_TUNED, None, QUERY_STRIDE
+)
+ORACLES["reduce_precision_ekeep"] = duck_oracle.reduce_precision_sql(
+    KEEP_M_DEFAULT, keep_e=KEEP_E_TUNED
+)
+ORACLES["refine_l2_tz_ekeep_metrics"] = duck_oracle.refine_metrics_sql(
+    "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE, keep_e=KEEP_E_TUNED
 )
 ORACLES.update(RELATIONAL_ORACLES)
 ORACLES.update(TEXT_ORACLES)

@@ -36,6 +36,8 @@ def _suite():
         "refine_l2_tz_tuned_metrics",
         "refine_cos_l1_tuned_metrics",
         "refine_cos_hoeff_metrics",
+        "refine_l2_tz_compressed_metrics",
+        "refine_l2_tz_ekeep_metrics",
         "compression_model",
         "compression_model_tuned",
         "pricing_summary",
@@ -105,12 +107,15 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
     total = round(sum(timings.values()), 3)
-    # paper §4.3: combined saving = 1 - (1-s)/R (early-reject saving s
-    # composed with bit-plane compression ratio R vs the reduced layout)
+    # paper §4.3 combined saving: measured compressed bytes/vec feed
+    # the byte accounting as red_bytes_override (ANNCode.py:831-833) —
+    # computed inside the registered query, not by a driver-side
+    # formula (the old 1-(1-s)/R shortcut wrongly discounted the
+    # full-fetch bytes by the compression ratio too)
     try:
-        s = headline["refine_l2_tz_tuned_metrics"]["save"]
-        r = headline["compression_model_tuned"]["ratio_vs_reduced"]
-        headline["combined_saving_l2_tz"] = round(1.0 - (1.0 - s) / r, 4)
+        headline["combined_saving_l2_tz"] = headline[
+            "refine_l2_tz_compressed_metrics"
+        ]["save"]
     except KeyError:
         pass
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
