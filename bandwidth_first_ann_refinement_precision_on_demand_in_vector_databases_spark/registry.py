@@ -350,6 +350,36 @@ QUERIES.update(SIMSEARCH_QUERIES)
 QUERIES.update(STREAMING_QUERIES)
 QUERIES.update(MULTIMODAL_QUERIES)
 
+#: The correctness harness executes queries in registration order under
+#: a global budget — the r01/r02 runs stopped after 50 of 61, leaving
+#: the ann/dedup-embedding/media/stream families without a single
+#:  driver row. Front-load exactly those (plus the two previously
+#: red rows and this round's new queries) so a truncated run still
+#: covers the whole surface; the long-green remainder follows in its
+#: original order.
+_FRONT = [
+    "rownorm_unit",
+    "reduce_precision",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "media_metadata",
+    "media_features",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "reduce_precision_ekeep",
+    "refine_l2_tz_ekeep_metrics",
+    "refine_l2_tz_compressed_metrics",
+]
+assert all(name in QUERIES for name in _FRONT)
+QUERIES = {name: QUERIES[name] for name in _FRONT} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_FRONT)
+}
+
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
     "topk_l2_exact": _sql_topk(_sql_dist2("q.qe", "e.embedding"), "ASC", K_DEFAULT),
