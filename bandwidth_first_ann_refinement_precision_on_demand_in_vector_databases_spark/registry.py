@@ -309,6 +309,18 @@ def q_refine_l2_tz_ekeep_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["refine_l2_tz_ekeep_metrics"] = q_refine_l2_tz_ekeep_metrics
 
 
+#: Operating point selected by ``tools/sweep_operating_point.py`` at
+#: sf0.1 (``reports/sweep_operating_point.csv``): l2-tz, keep_m=2,
+#: stored layout keep_e=3, zlib level 9 maximizes the correctly-composed
+#: combined saving at recall 1.0 (0.670 vs 0.544 for the keep_e=5
+#: layout). Matches the reference CLI's own composition semantics
+#: (``ANNCode.py:827-833``): refinement values always come from the
+#: keep-exponent reduction; ``--ekeep`` shapes only the stored
+#: bit-plane layout and the byte accounting.
+KEEP_E_COMPRESSED = 3
+ZLIB_LEVEL_TUNED = 9
+
+
 def q_refine_l2_tz_compressed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined early-reject × compression saving, composed the way the
     reference composes it (``ANNCode.py:831-833``): measure compressed
@@ -320,7 +332,12 @@ def q_refine_l2_tz_compressed_metrics(spark: SparkSession, sf_dir: str) -> DataF
     from .operators.compression import avg_reduced_bytes_per_vec
 
     corpus = load_table(spark, sf_dir, "embeddings")
-    override = avg_reduced_bytes_per_vec(corpus, keep_e=5, keep_m=KEEP_M_TUNED, level=6)
+    override = avg_reduced_bytes_per_vec(
+        corpus,
+        keep_e=KEEP_E_COMPRESSED,
+        keep_m=KEEP_M_TUNED,
+        level=ZLIB_LEVEL_TUNED,
+    )
     return refine_metrics(
         queries_view(spark, sf_dir),
         corpus,
