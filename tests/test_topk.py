@@ -9,6 +9,7 @@ import pytest
 from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
     exact_topk,
     exact_topk_fast,
+    exact_topk_pruned,
 )
 from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
     load_table,
@@ -72,6 +73,21 @@ def test_fast_path_matches_sql_path(spark, sf_small, metric):
     fast = fast.sort_values(key, ignore_index=True)
     assert slow["neighbor_id"].tolist() == fast["neighbor_id"].tolist()
     assert np.allclose(slow["score"], fast["score"], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2"])
+def test_pruned_path_bit_identical_to_sql_path(spark, sf_small, metric):
+    """The pruner changes which pairs are scored, never the arithmetic:
+    final frames must be EQUAL (not just close) — ids, ranks, and
+    bit-level scores — since the registered queries hash these values."""
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    slow = exact_topk(queries, corpus, K, metric=metric).toPandas()
+    pruned = exact_topk_pruned(queries, corpus, K, metric=metric).toPandas()
+    key = ["query_id", "rank"]
+    slow = slow.sort_values(key, ignore_index=True)
+    pruned = pruned.sort_values(key, ignore_index=True)
+    assert slow.equals(pruned)
 
 
 def test_salted_equals_unsalted(spark, sf_small):
