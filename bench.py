@@ -116,6 +116,16 @@ def main() -> None:
         headline["combined_saving_l2_tz"] = headline[
             "refine_l2_tz_compressed_metrics"
         ]["save"]
+        # comparability with the paper's §4.3 headline (≈0.70–0.80),
+        # which composes with the looser s_total = 1 − (1−s)/R — i.e.
+        # it discounts the full-fetch traffic by the compression ratio
+        # as well. Reported separately and clearly labeled; the honest
+        # number above overrides only the reduced-pass bytes.
+        s = headline["refine_l2_tz_tuned_metrics"]["save"]
+        r = headline["compression_model_tuned"]["ratio_vs_full"]
+        headline["combined_saving_l2_tz_paper_formula"] = round(
+            1.0 - (1.0 - s) / r, 4
+        )
     except KeyError:
         pass
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

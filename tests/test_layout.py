@@ -89,6 +89,27 @@ def test_similarity_join_broadcasts_query_side(spark, sf_small):
     assert "label" not in read_schema, read_schema
 
 
+def test_pruned_topk_broadcasts_candidates_no_corpus_shuffle(spark, sf_small):
+    """The pruned exact-top-K plan: candidate ids from the BLAS pruner
+    must broadcast back into the corpus scan (BroadcastHashJoin), and
+    the corpus side must not shuffle — no Exchange between the corpus
+    scan and the join. At 100 TB the candidate frame is O(q·P·k) longs
+    while the corpus is the 100 TB side."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        exact_topk_pruned,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    df = exact_topk_pruned(queries_view(spark, sf_small), corpus, 5)
+    plan = _phys(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_refinement_phase1_prunes_full_column(spark, sf_small, tmp_path):
     """Disaggregated placement: persist the prepared corpus, then a
     phase-1-style scan over (redv, delta) must not read the full
