@@ -139,6 +139,17 @@ def prepare_corpus(
     return df
 
 
+#: metrics phase-1 frames keyed by (session id, source key, mode, k,
+#: keep_m, delta): the (scored, fetched) scalar frames that every
+#: byte-model variant of one operating point shares (keep_e /
+#: compression overrides change only the per-vector byte constants).
+_SCORED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _ids(df: DataFrame) -> DataFrame:
+    return df.select("query_id", "neighbor_id")
+
+
 #: prepared corpora keyed by (session id, source key, keep_m, space):
 #: the local analog of the production layout, where the reduced/full/Δ
 #: columns are written once per keep_m as separate parquet columns
@@ -415,68 +426,113 @@ def _refine_metrics_with_frames(
 ) -> tuple[DataFrame, list[DataFrame]]:
     """``refine_metrics`` body; also returns the internally persisted
     frames so eager callers (the sweep) can unpersist them after the
-    row is collected."""
+    row is collected.
+
+    Phase 1 (the fused pair scan and the fetch-set decision) depends
+    only on ``(mode, k, keep_m, delta)`` — ``keep_e`` and
+    ``red_bytes_override`` enter the byte constants *after* the scan —
+    so for keyed callers the ``(scored, fetched)`` pair is memoized in
+    ``_SCORED_CACHE`` and shared across byte-model variants of the same
+    operating point (base vs ``--ekeep`` vs compression-override rows,
+    ``ANNCode.py:827-833``). Keyed cache hits return no intermediates:
+    the cached frames stay persisted for later variants."""
     cos = is_cosine(mode)
-    if prepared_corpus is not None:
-        corp = prepared_corpus
-    elif cache_key is not None:
-        corp = prepare_corpus_cached(corpus, keep_m, mode, cache_key)
-    else:
-        # uncached callers consume the prepared corpus exactly once
-        # (the fused pairs scan below), so no persist
-        corp = prepare_corpus(corpus, keep_m, mode)
-    qs = prepare_queries(queries, mode)
-
-    # ---- one fused scan: reduced score, exact score, admission bound ----
-    # The metrics operator must rank *every* candidate by exact score
-    # anyway (ground truth), so unlike ``refine_topk`` there is nothing
-    # to gain from keeping the full-precision column unread: compute
-    # both representations' scores and the cushion in a single pass and
-    # reduce each pair to four scalars. The cached frame is
-    # O(|Q|·N) scalars (no vectors); at production scale this is the
-    # sweep's intermediate you would write to Parquet once per
-    # (mode, m) grid point rather than cache.
-    pair_cols = (
-        ["vec_id", "redv", "delta", "full"]
-        + (["embedding"] if mode == "l2-tz" else [])
-        + (["bconst"] if mode == "cos-l2" else [])
+    key = (
+        (id(queries.sparkSession), cache_key, mode, k, keep_m, delta)
+        if cache_key is not None
+        else None
     )
-    pairs = corp.select(*pair_cols).crossJoin(F.broadcast(qs))
-    if cos:
-        pairs = pairs.withColumn("s_hat", dot("redv", "q"))
-        red_score = F.col("s_hat")
-        # admit when s_hat + cushion >= tau0 ⇔ admit_score >= tau0
-        admit = F.col("s_hat") + cushion_expr(mode, delta)
+    cached = _SCORED_CACHE.get(key) if key is not None else None
+    if cached is not None:
+        scored, fetched = cached
     else:
-        pairs = pairs.withColumn(
-            "d2_hat",
-            _fold_sum(
-                F.transform(F.zip_with("q", "redv", lambda q, r: q - r), lambda v: v * v)
-            ),
-        )
-        red_score = F.col("d2_hat")
-        # admit when lower bound <= tau0
-        admit = l2_lower_bound_expr(mode, delta)
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        red_score.alias("red_score"),
-        _exact_score_expr(cos).alias("exact_score"),
-        admit.alias("admit_score"),
-    ).persist()
+        if prepared_corpus is not None:
+            corp = prepared_corpus
+        elif cache_key is not None:
+            corp = prepare_corpus_cached(corpus, keep_m, mode, cache_key)
+        else:
+            # uncached callers consume the prepared corpus exactly once
+            # (the fused pairs scan below), so no persist
+            corp = prepare_corpus(corpus, keep_m, mode)
+        qs = prepare_queries(queries, mode)
 
-    def _ids(df: DataFrame) -> DataFrame:
-        return df.select("query_id", "neighbor_id")
-
-    # seed (W5) and ground truth (W1/W2): salted two-phase ranks over
-    # the same cached scalar frame
-    seed = _ids(
-        topk_per_query(
-            scored.select("query_id", "neighbor_id", F.col("red_score").alias("score")),
-            k,
-            ascending=not cos,
+        # ---- one fused scan: reduced score, exact score, admission bound ----
+        # The metrics operator must rank *every* candidate by exact score
+        # anyway (ground truth), so unlike ``refine_topk`` there is nothing
+        # to gain from keeping the full-precision column unread: compute
+        # both representations' scores and the cushion in a single pass and
+        # reduce each pair to four scalars. The cached frame is
+        # O(|Q|·N) scalars (no vectors); at production scale this is the
+        # sweep's intermediate you would write to Parquet once per
+        # (mode, m) grid point rather than cache.
+        pair_cols = (
+            ["vec_id", "redv", "delta", "full"]
+            + (["embedding"] if mode == "l2-tz" else [])
+            + (["bconst"] if mode == "cos-l2" else [])
         )
-    )
+        pairs = corp.select(*pair_cols).crossJoin(F.broadcast(qs))
+        if cos:
+            pairs = pairs.withColumn("s_hat", dot("redv", "q"))
+            red_score = F.col("s_hat")
+            # admit when s_hat + cushion >= tau0 ⇔ admit_score >= tau0
+            admit = F.col("s_hat") + cushion_expr(mode, delta)
+        else:
+            pairs = pairs.withColumn(
+                "d2_hat",
+                _fold_sum(
+                    F.transform(F.zip_with("q", "redv", lambda q, r: q - r), lambda v: v * v)
+                ),
+            )
+            red_score = F.col("d2_hat")
+            # admit when lower bound <= tau0
+            admit = l2_lower_bound_expr(mode, delta)
+        scored = pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            red_score.alias("red_score"),
+            _exact_score_expr(cos).alias("exact_score"),
+            admit.alias("admit_score"),
+        ).persist()
+
+        # seed (W5): salted two-phase rank over the cached scalar frame
+        seed = _ids(
+            topk_per_query(
+                scored.select("query_id", "neighbor_id", F.col("red_score").alias("score")),
+                k,
+                ascending=not cos,
+            )
+        )
+
+        # τ₀ = K-th best exact score within the seed set
+        tau0 = (
+            scored.join(F.broadcast(seed), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg((F.min if cos else F.max)("exact_score").alias("tau0"))
+        )
+
+        # fetched = seed ∪ admitted survivors (P8 over the cached scalars)
+        flagged = (
+            scored.join(
+                F.broadcast(seed.withColumn("__seed", F.lit(True))),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .join(F.broadcast(tau0), "query_id")
+            .withColumn(
+                "fetched",
+                F.coalesce(F.col("__seed"), F.lit(False))
+                | (
+                    (F.col("admit_score") >= F.col("tau0"))
+                    if cos
+                    else (F.col("admit_score") <= F.col("tau0"))
+                ),
+            )
+        )
+        fetched = flagged.where("fetched").persist()
+        if key is not None:
+            _SCORED_CACHE[key] = (scored, fetched)
+
+    # ground truth (W1/W2): exact-score rank over the cached scalars
     gt = _ids(
         topk_per_query(
             scored.select("query_id", "neighbor_id", F.col("exact_score").alias("score")),
@@ -484,33 +540,6 @@ def _refine_metrics_with_frames(
             ascending=not cos,
         )
     )
-
-    # τ₀ = K-th best exact score within the seed set
-    tau0 = (
-        scored.join(F.broadcast(seed), ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg((F.min if cos else F.max)("exact_score").alias("tau0"))
-    )
-
-    # fetched = seed ∪ admitted survivors (P8 over the cached scalars)
-    flagged = (
-        scored.join(
-            F.broadcast(seed.withColumn("__seed", F.lit(True))),
-            ["query_id", "neighbor_id"],
-            "left",
-        )
-        .join(F.broadcast(tau0), "query_id")
-        .withColumn(
-            "fetched",
-            F.coalesce(F.col("__seed"), F.lit(False))
-            | (
-                (F.col("admit_score") >= F.col("tau0"))
-                if cos
-                else (F.col("admit_score") <= F.col("tau0"))
-            ),
-        )
-    )
-    fetched = flagged.where("fetched").persist()
 
     # final top-K among fetched candidates (W6)
     final = _ids(
@@ -558,4 +587,4 @@ def _refine_metrics_with_frames(
         (F.lit(1.0) - total_bytes / baseline).alias("save"),
         (F.col("n_unnecessary") / F.col("n_pairs")).alias("fpr"),
     )
-    return row, [scored, fetched]
+    return row, ([] if key is not None else [scored, fetched])
