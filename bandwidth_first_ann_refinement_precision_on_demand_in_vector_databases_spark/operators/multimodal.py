@@ -4,21 +4,22 @@ plumbing a 100 TB multimodal pipeline needs: opaque ``binary`` payload
 columns with typed metadata, and Arrow-batched ``mapInPandas``
 decode / feature-extract / resize / frame-sample stages.
 
-The container has no image/audio codecs, so the *decode kernels* are
-deliberately split from the *plumbing*:
+Two payload families coexist:
 
-* plumbing (REAL, tested): schemas, media-type routing, Arrow batch
-  iteration, deterministic feature extraction from raw bytes,
-  partition-preserving output shapes;
-* codecs (STUBBED): ``decode_image``/``decode_audio`` raise
-  ``NotImplementedError`` with the library that would back them —
-  swap-in points for PIL/ffmpeg — while ``fake_decode`` provides the
-  deterministic stand-in the tests pin.
+* ``media_table`` — payload is the document text as UTF-8 bytes with
+  typed metadata; drives the metadata-only scan query and the
+  ``fake_decode`` byte-fold feature stage (``media_features``);
+* ``media_binary_table`` — payload is a *real container format*
+  synthesized per row (24-bit BMP for images, PCM16 WAV for audio, an
+  FSEQ frame sequence for video; see ``functions/codecs.py``), and
+  ``decode_media`` routes on the payload magic bytes and runs the
+  real parsers. Payload content is a closed-form function of
+  ``doc_id``, so the decoded invariants (dimensions, sample counts,
+  integer pixel sums, peak amplitude) have an exact DuckDB oracle.
 
-The media fixture is derived from ``documents`` (payload = UTF-8
-bytes of the text; type/width/height/duration seeded from doc_id), so
-every engine at every scale factor sees identical media rows without
-a binary fixture file.
+Both fixture families derive from ``documents`` — every engine at
+every scale factor sees identical media rows without a binary fixture
+file.
 """
 
 from __future__ import annotations
@@ -29,6 +30,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.codecs import (
+    BMP_MAGIC,
+    FSEQ_MAGIC,
+    RIFF_MAGIC,
+    WAV_SAMPLE_RATE,
+    decode_bmp,
+    decode_fseq,
+    decode_wav,
+    encode_bmp,
+    encode_fseq,
+    encode_wav,
+)
 
 MEDIA_TYPES = ("image", "audio", "video")
 FEATURE_DIM = 16
@@ -68,14 +82,18 @@ def media_table(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode — requires an imaging library not present in
-    this container. Swap-in point for ``PIL.Image.open``."""
-    raise NotImplementedError("image decode requires PIL/opencv; use fake_decode")
+    """Real image decode: 24-bit uncompressed BMP → (H, W, 3) uint8
+    RGB. Pure numpy/struct parser (``functions/codecs.py``); swap in
+    ``PIL.Image.open`` here for broader format coverage."""
+    return decode_bmp(payload)
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """Real audio decode — swap-in point for ``soundfile``/ffmpeg."""
-    raise NotImplementedError("audio decode requires soundfile/ffmpeg; use fake_decode")
+    """Real audio decode: PCM16 mono WAV → int16 sample array via the
+    stdlib ``wave`` parser. Swap in ``soundfile``/ffmpeg here for
+    compressed formats."""
+    samples, _rate = decode_wav(payload)
+    return samples
 
 
 def fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -127,6 +145,127 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+BINARY_MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "width int, height int, n_frames int, n_samples bigint"
+)
+DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, dec_width int, dec_height int, "
+    "n_samples bigint, sample_rate int, frames_decoded int, "
+    "px_sum bigint, amp int"
+)
+
+#: video fixtures use fixed 16x16 frames
+_FRAME_SIDE = 16
+
+
+def _synth_payload(doc_id: int) -> tuple[str, bytes, int, int, int, int]:
+    """Synthesize one real-format payload, a closed-form function of
+    doc_id. Returns (media_type, payload, width, height, n_frames,
+    n_samples). Content formulas are mirrored by the ``media_decode``
+    DuckDB oracle — keep the two in sync."""
+    kind = doc_id % 3
+    if kind == 0:  # image: constant-channel BMP
+        w, h = (doc_id % 8 + 1) * 8, (doc_id % 4 + 1) * 8
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = doc_id % 256
+        px[:, :, 1] = (doc_id * 7) % 256
+        px[:, :, 2] = (doc_id * 13) % 256
+        return "image", encode_bmp(px), w, h, 1, 0
+    if kind == 1:  # audio: constant-amplitude PCM16 WAV
+        n = (doc_id % 10 + 1) * 800
+        amp = (doc_id % 1000) * 16
+        samples = np.full(n, amp, dtype=np.int16)
+        return "audio", encode_wav(samples), 0, 0, 0, n
+    # video: FSEQ of constant-value frames (value = base + frame idx)
+    nf = (doc_id % 8) + 2
+    base = doc_id % 200
+    frames = [
+        np.full((_FRAME_SIDE, _FRAME_SIDE, 3), base + j, dtype=np.uint8)
+        for j in range(nf)
+    ]
+    return "video", encode_fseq(frames), _FRAME_SIDE, _FRAME_SIDE, nf, 0
+
+
+def media_binary_table(docs: DataFrame) -> DataFrame:
+    """Derive the real-format media table: each row's payload is a
+    genuine BMP / WAV / FSEQ container synthesized from doc_id alone.
+    Arrow-batched and partition-preserving — at scale the encode (like
+    the decode) runs where the rows live, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_synth_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": [r[0] for r in rows],
+                    "payload": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                    "n_frames": [r[4] for r in rows],
+                    "n_samples": [r[5] for r in rows],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BINARY_MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame, frame_every: int = 2) -> DataFrame:
+    """Real decode stage: route each payload on its magic bytes to the
+    matching parser (BMP / WAV / FSEQ), then emit exact integer
+    invariants of the decoded content — dimensions, sample count and
+    rate, frames decoded (video samples every ``frame_every``-th frame
+    without decoding the skipped ones), total pixel sum, and peak
+    amplitude. Integer outputs make the stage oracle-checkable with no
+    float-rounding hazards. Partition-preserving mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k: [] for k in (
+                "doc_id", "media_type", "dec_width", "dec_height",
+                "n_samples", "sample_rate", "frames_decoded", "px_sum", "amp",
+            )}
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                head = bytes(payload[:4])
+                if head[:2] == BMP_MAGIC:
+                    img = decode_bmp(payload)
+                    h, w = img.shape[:2]
+                    vals = (w, h, 0, 0, 1, int(img.sum(dtype=np.int64)), 0)
+                elif head == RIFF_MAGIC:
+                    samples, rate = decode_wav(payload)
+                    vals = (
+                        0, 0, len(samples), rate, 0, 0,
+                        int(np.abs(samples.astype(np.int32)).max(initial=0)),
+                    )
+                elif head == FSEQ_MAGIC:
+                    frames = decode_fseq(payload, every=frame_every)
+                    h, w = frames[0].shape[:2]
+                    vals = (
+                        w, h, 0, 0, len(frames),
+                        int(sum(f.sum(dtype=np.int64) for f in frames)), 0,
+                    )
+                else:
+                    raise ValueError(f"unknown payload magic {head!r}")
+                for k, v in zip(
+                    ("dec_width", "dec_height", "n_samples", "sample_rate",
+                     "frames_decoded", "px_sum", "amp"),
+                    vals,
+                ):
+                    out[k].append(v)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 128) -> DataFrame:

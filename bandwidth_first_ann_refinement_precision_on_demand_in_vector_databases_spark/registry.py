@@ -382,6 +382,7 @@ _FRONT = [
     "stream_session_windows",
     "media_metadata",
     "media_features",
+    "media_decode",
     "ann_ivf_topk",
     "ann_ivf_recall",
     "ann_lsh_topk",

@@ -11,7 +11,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.multimodal import extract_features, media_table, resize_plan
+from .operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_binary_table,
+    media_table,
+    resize_plan,
+)
 from .sources.fixtures import load_table
 
 
@@ -67,12 +73,57 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec pipeline: synthesize genuine BMP/WAV/FSEQ payloads,
+    decode them with the pure-stdlib parsers, and emit exact integer
+    invariants of the decoded content. The oracle reproduces the
+    invariants in closed form from doc_id — any header mis-parse,
+    row-order flip, padding slip or sample truncation in the codecs
+    breaks the hash match."""
+    media = media_binary_table(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, frame_every=2)
+
+
+# Mirrors _synth_payload + decode_media (operators/multimodal.py):
+# payload content is a closed-form function of doc_id, so the decoded
+# invariants are SQL-predictable. fd = number of frames sampled at
+# every-2nd = (nf - 1) // 2 + 1; video pixel value of frame j is
+# base + j, so the sampled-frame pixel sum telescopes to
+# 768 * (fd*base + fd*(fd-1)).
+SQL_MEDIA_DECODE = """
+SELECT doc_id,
+  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 8 + 1) * 8
+                       WHEN 1 THEN 0 ELSE 16 END AS INT) AS dec_width,
+  CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 4 + 1) * 8
+                       WHEN 1 THEN 0 ELSE 16 END AS INT) AS dec_height,
+  CAST(CASE doc_id % 3 WHEN 1 THEN (doc_id % 10 + 1) * 800
+                       ELSE 0 END AS BIGINT) AS n_samples,
+  CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 1
+                       WHEN 1 THEN 0
+                       ELSE ((doc_id % 8) + 1) // 2 + 1 END AS INT)
+    AS frames_decoded,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256))
+                * (doc_id % 8 + 1) * 8 * (doc_id % 4 + 1) * 8
+    WHEN 1 THEN 0
+    ELSE 768 * ((((doc_id % 8) + 1) // 2 + 1) * (doc_id % 200)
+                + (((doc_id % 8) + 1) // 2 + 1) * ((((doc_id % 8) + 1) // 2 + 1) - 1))
+    END AS BIGINT) AS px_sum,
+  CAST(CASE doc_id % 3 WHEN 1 THEN (doc_id % 1000) * 16 ELSE 0 END AS INT) AS amp
+FROM documents
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
 }
 
 MULTIMODAL_ORACLES: dict[str, str] = {
     "media_metadata": SQL_MEDIA_METADATA,
     # media_features: mapInPandas fake decode → rows-only
+    "media_decode": SQL_MEDIA_DECODE,
 }

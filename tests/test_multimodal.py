@@ -1,6 +1,6 @@
 """Multimodal plumbing (SURVEY §7-M5): schema, routing, Arrow batch
-shapes, and the deterministic fake decoder — with the real codecs
-asserted to be explicit stubs."""
+shapes, the deterministic fake decoder, and the real-codec pipeline
+(payload synthesis, magic-byte routing, decode invariants)."""
 
 from __future__ import annotations
 
@@ -23,11 +23,13 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
 )
 
 
-def test_codec_stubs_are_explicit():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+def test_codec_kernels_reject_unknown_formats():
+    """The real parsers fail loudly on formats they don't speak
+    instead of producing garbage features."""
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(ValueError):
+        decode_audio(b"OggS not a wav")
 
 
 def test_fake_decode_deterministic_and_shaped():
