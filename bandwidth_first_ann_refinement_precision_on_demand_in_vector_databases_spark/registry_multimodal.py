@@ -61,15 +61,24 @@ FROM m
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode → feature pipeline (rows-only check: the
-    byte-fold fake decoder has no SQL form)."""
+    byte-fold fake decoder has no SQL form). Emitted in long scalar
+    form — one row per (doc, feature position) — because the driver's
+    value canonicalizer cannot hash ARRAY cells."""
     media = media_table(load_table(spark, sf_dir, "documents"))
     out = extract_features(media)
     return out.select(
         "doc_id",
         "media_type",
         "n_bytes",
-        F.transform("feature", lambda v: F.round(v, 6)).alias("feature"),
         "frames_sampled",
+        F.posexplode("feature").alias("pos", "feature_value"),
+    ).select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "frames_sampled",
+        "pos",
+        F.round("feature_value", 6).alias("feature_value"),
     )
 
 

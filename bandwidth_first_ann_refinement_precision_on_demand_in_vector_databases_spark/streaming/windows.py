@@ -30,6 +30,14 @@ LATE_THRESHOLD = "15 minutes"
 
 def _maybe_watermark(events: DataFrame, ts_col: str, late: str) -> DataFrame:
     if events.isStreaming:
+        # Parquet fixtures carry naive timestamps (TIMESTAMP_NTZ);
+        # event-time watermarks require TIMESTAMP. The session TZ is
+        # pinned to UTC (session.get_spark), so the cast preserves
+        # values and batch/stream plans stay comparable.
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(events.schema[ts_col].dataType, TimestampNTZType):
+            events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return events.withWatermark(ts_col, late)
     return events
 

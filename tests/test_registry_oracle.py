@@ -36,3 +36,20 @@ def test_every_query_runs(spark, sf_small):
         df = fn(spark, sf_small)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_no_nonatomic_output_columns(spark, sf_small):
+    """The driver's value canonicalizer hashes cell values and crashes
+    on list cells (`TypeError: unhashable type: 'list'` — the r01/r02
+    rownorm_unit failure). Every registered query, oracled or not, must
+    therefore emit only atomic column types."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, sf_small)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, f"{name} emits non-scalar columns {bad}"
