@@ -1,0 +1,154 @@
+"""Product quantization (PQ) — the third reduced-precision corpus
+representation, alongside FP16 mantissa-keep and exponent truncation
+(``functions/fp16.py``), extending the reference's bandwidth-first
+theme (paper §3; reference reduces per-coordinate precision,
+``ANNCode.py:195-242`` — PQ reduces per-*subvector* precision to a
+single code).
+
+Representation: the D=64-dim vector splits into ``PQ_M`` = 8
+subvectors of ``PQ_SUBDIM`` = 8 dims; each subvector is replaced by
+the id of its nearest codebook centroid. A vector becomes 8 small
+codes — ~8 bytes against 256 for FP32, a 32× at-rest/scan reduction,
+which is the PQ bandwidth story at 100 TB: the cheap pass reads only
+the code columns.
+
+Spark-first realization (no Python in any data path):
+
+* **Codebook** — deterministic sampled quantizer, same policy as the
+  IVF coarse quantizer (``simsearch.ivf_centroids``): every
+  ``PQ_STRIDE``-th corpus vector contributes its M subvectors as
+  centroids. Offline k-means would swap in without changing any
+  query-side plan.
+* **Encoding** — explode each vector into M (vec, m, subvec) rows,
+  broadcast-join the codebook on ``m``, fold the sub-distance, and
+  take the argmin as a ``min(struct(d2, cid))`` aggregate: map-side
+  partial combine shrinks the shuffle to one row per (vector,
+  subspace) — no window sort over the candidate set.
+* **ADC scoring** — asymmetric distance = d²(q, reconstruction).
+  The reconstruction (centroid concatenation, m-ordered) is rebuilt
+  from codes + broadcast codebook; scoring is then the same strict
+  ``dist2`` fold the exact path uses, so the DuckDB twin is
+  bit-identical. (A production LUT — per-query table of q-subvector ×
+  centroid partial distances — computes the same value by algebra;
+  the reconstruction form is the oracle-checkable shape.)
+* **Refinement** (precision-on-demand, the reference's core loop):
+  PQ scores pick top-(R·K) candidates per query from codes alone;
+  only survivors fetch full precision for exact re-ranking — late
+  materialization, identical to the refine operators' phase-2
+  (``operators/refine.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import dist2
+from ..session import ensure_parallelism
+from .topk import topk_per_query
+
+PQ_M = 8        #: subspaces
+PQ_SUBDIM = 8   #: dims per subspace (M * SUBDIM = fixture D = 64)
+PQ_STRIDE = 25  #: codebook = subvectors of every stride-th corpus vector
+PQ_REFINE_R = 3  #: refinement fetches R*K candidates for exact re-rank
+
+
+def _subvec(vec_col: str, m_col: str) -> Column:
+    """1-based slice of subspace ``m`` from a D-dim array column."""
+    return F.slice(
+        F.col(vec_col), F.col(m_col) * PQ_SUBDIM + F.lit(1), PQ_SUBDIM
+    )
+
+
+def _explode_m(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "m", F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1)))
+    )
+
+
+def pq_codebook(corpus: DataFrame, stride: int = PQ_STRIDE) -> DataFrame:
+    """(m, cid, cvec): the sampled codebook. The sampling predicate
+    pushes to the parquet scan; the result is broadcast-sized
+    (n_centroids = N/stride per subspace) by construction."""
+    return _explode_m(
+        corpus.where(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cid"), "embedding"
+        )
+    ).select("m", "cid", _subvec("embedding", "m").alias("cvec"))
+
+
+def pq_codes(
+    corpus: DataFrame, codebook: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, m, code): the PQ sketch in long scalar form — the
+    8-codes-per-vector table a 100 TB pipeline materializes once and
+    scans instead of the raw vectors. Argmin ties break on smaller
+    centroid id (struct ordering, free)."""
+    cb = codebook if codebook is not None else pq_codebook(corpus)
+    sub = _explode_m(ensure_parallelism(corpus).select("vec_id", "embedding")).select(
+        "vec_id", "m", _subvec("embedding", "m").alias("subv")
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "cid", dist2("subv", "cvec").alias("__d2")
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("__d2", "cid")).alias("__a"))
+        .select("vec_id", "m", F.col("__a.cid").alias("code"))
+    )
+
+
+def pq_reconstruct(
+    corpus: DataFrame, codebook: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, recon): m-ordered centroid concatenation — the
+    decoded form of the 8-byte sketch. Built once per corpus, shared
+    by every query (query-independent)."""
+    cb = codebook if codebook is not None else pq_codebook(corpus)
+    codes = pq_codes(corpus, cb)
+    return (
+        codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
+        .select("vec_id", codes.m.alias("mm"), "cvec")
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("mm"), F.col("cvec")))).alias("__s"))
+        .select(
+            "vec_id",
+            F.flatten(F.transform("__s", lambda s: s.cvec)).alias("recon"),
+        )
+    )
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """ADC top-K from the PQ representation alone (squared L2 on the
+    reconstruction, ascending; ties on neighbor_id). At scale the
+    scan side is the codes table — 32× fewer bytes than raw."""
+    recon = pq_reconstruct(corpus)
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    scored = recon.crossJoin(q).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2("qv", "recon").alias("score"),
+    )
+    return topk_per_query(scored, k, ascending=True)
+
+
+def pq_refined_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
+) -> DataFrame:
+    """Precision-on-demand over PQ: the cheap ADC pass ranks all
+    corpus vectors from codes; the top r·K candidates per query —
+    and only they — fetch full precision for the exact re-rank
+    (late materialization; reference phase-2, ``ANNCode.py:560-575``).
+    Bytes touched: N codes + r·K full vectors per query, vs N full
+    vectors for brute force."""
+    cand_ids = pq_topk(queries, corpus, r * k).select(
+        "query_id", "neighbor_id"
+    )
+    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    exact = (
+        cand_ids.join(full, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
+    )
+    return topk_per_query(exact, k, ascending=True, salted=False)

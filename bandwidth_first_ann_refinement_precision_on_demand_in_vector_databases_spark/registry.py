@@ -387,6 +387,10 @@ _FRONT = [
     "ann_ivf_recall",
     "ann_lsh_topk",
     "ann_lsh_recall",
+    "pq_codes",
+    "ann_pq_topk",
+    "ann_pq_refined_topk",
+    "ann_pq_recall",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "reduce_precision_ekeep",

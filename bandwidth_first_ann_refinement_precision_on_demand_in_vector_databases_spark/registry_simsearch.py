@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import pq as P
 from .operators import simsearch as S
 from .operators.topk import exact_topk_fixture_cached
 from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
@@ -206,11 +207,147 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_LSH_RECALL = _sql_recall(SQL_LSH_CTES, "lsh_cand")
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ sketch in long scalar form (vec_id, m, code)."""
+    return P.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = P.pq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+def q_ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = P.pq_refined_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = P.pq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+#: codebook/codes/reconstruction — the SQL replay of operators/pq.py
+#: (same sampled centroids, same argmin tie-break, same m-ordered
+#: concatenation, same strict DOUBLE folds).
+SQL_PQ_CTES = f"""
+q AS ({SQL_Q_CTE}),
+ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
+pq_cb AS (
+  SELECT m, vec_id AS cid,
+         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS cvec
+  FROM embeddings CROSS JOIN ms WHERE vec_id % {P.PQ_STRIDE} = 0
+),
+pq_sub AS (
+  SELECT vec_id, m,
+         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS subv
+  FROM embeddings CROSS JOIN ms
+),
+pq_code AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id, s.m
+        ORDER BY {_sql_dist2("s.subv", "c.cvec")} ASC, c.cid ASC) AS r
+    FROM pq_sub s JOIN pq_cb c USING (m)
+  ) WHERE r = 1
+),
+pq_recon AS (
+  SELECT pq_code.vec_id, flatten(list(c.cvec ORDER BY pq_code.m)) AS recon
+  FROM pq_code JOIN pq_cb c ON c.m = pq_code.m AND c.cid = pq_code.code
+  GROUP BY pq_code.vec_id
+),
+pq_cand AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         {_sql_dist2("q.qe", "r.recon")} AS score
+  FROM pq_recon r CROSS JOIN q
+)
+"""
+
+SQL_PQ_CODES = f"""
+WITH {SQL_PQ_CTES}
+SELECT vec_id, CAST(m AS INT) AS m, code FROM pq_code
+"""
+
+SQL_ANN_PQ_TOPK = f"""
+WITH {SQL_PQ_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM pq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_PQ_REFINED_TOPK = f"""
+WITH {SQL_PQ_CTES},
+refine_cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM pq_cand
+  ) WHERE rank <= {P.PQ_REFINE_R * ANN_K}
+),
+refine_exact AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_dist2("q.qe", "e.embedding")} AS score
+  FROM refine_cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM refine_exact
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_PQ_RECALL = f"""
+WITH {SQL_PQ_CTES},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM pq_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
 SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "pq_codes": q_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_refined_topk": q_ann_pq_refined_topk,
+    "ann_pq_recall": q_ann_pq_recall,
 }
 
 SIMSEARCH_ORACLES: dict[str, str] = {
@@ -218,4 +355,8 @@ SIMSEARCH_ORACLES: dict[str, str] = {
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "pq_codes": SQL_PQ_CODES,
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
+    "ann_pq_refined_topk": SQL_ANN_PQ_REFINED_TOPK,
+    "ann_pq_recall": SQL_ANN_PQ_RECALL,
 }

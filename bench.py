@@ -51,6 +51,7 @@ def _suite():
         "dedup_simhash",
         "ann_ivf_topk",
         "ann_lsh_topk",
+        "ann_pq_refined_topk",
         "stream_session_windows",
         "media_features",
     ]

@@ -1,0 +1,66 @@
+"""Product-quantization invariants (operators/pq.py) beyond the
+oracle hash-match (tests/test_registry_oracle.py covers that):
+structural properties that must hold for ANY codebook/corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    pq as P,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    simsearch as S,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+    exact_topk,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+
+
+def test_codes_shape_and_domain(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    n = corpus.count()
+    codes = P.pq_codes(corpus)
+    rows = codes.collect()
+    # exactly M codes per vector
+    assert len(rows) == n * P.PQ_M
+    # every code is a sampled-centroid id
+    assert all(r.code % P.PQ_STRIDE == 0 for r in rows)
+    assert {r.m for r in rows} == set(range(P.PQ_M))
+
+
+def test_centroid_vectors_reconstruct_exactly(spark, sf_small):
+    """A vector that seeded the codebook is its own nearest centroid
+    in every subspace (d²=0), so its reconstruction must be exact —
+    any slicing/ordering/flatten bug breaks this."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    recon = P.pq_reconstruct(corpus).where(F.col("vec_id") % P.PQ_STRIDE == 0)
+    orig = corpus.where(F.col("vec_id") % P.PQ_STRIDE == 0).select(
+        "vec_id", "embedding"
+    )
+    joined = recon.join(orig, "vec_id").collect()
+    assert joined
+    for r in joined:
+        assert [float(x) for x in r.recon] == [float(x) for x in r.embedding], r.vec_id
+
+
+def test_refined_recall_dominates_plain_pq(spark, sf_small):
+    """Exact re-ranking of the top-R·K ADC candidates can only add
+    true neighbors, never lose one: every true top-K hit of the plain
+    ADC ranking survives the exact re-rank (its exact distance is
+    globally among the K smallest). So Recall@K(refined) ≥
+    Recall@K(ADC) must hold identically, not just on average."""
+    k = 10
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    exact = exact_topk(queries, corpus, k, metric="l2")
+    plain = S.ann_recall(P.pq_topk(queries, corpus, k), exact, k).collect()[0]
+    refined = S.ann_recall(
+        P.pq_refined_topk(queries, corpus, k), exact, k
+    ).collect()[0]
+    assert refined.recall_at_k >= plain.recall_at_k
+    assert refined.n_queries == plain.n_queries
