@@ -354,6 +354,7 @@ def q_refine_l2_tz_compressed_metrics(spark: SparkSession, sf_dir: str) -> DataF
 QUERIES["refine_l2_tz_compressed_metrics"] = q_refine_l2_tz_compressed_metrics
 
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
+from .registry_curation import CURATION_ORACLES, CURATION_QUERIES  # noqa: E402
 from .registry_multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES  # noqa: E402
 from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 from .registry_simsearch import SIMSEARCH_ORACLES, SIMSEARCH_QUERIES  # noqa: E402
@@ -366,6 +367,7 @@ QUERIES.update(DEDUP_QUERIES)
 QUERIES.update(SIMSEARCH_QUERIES)
 QUERIES.update(STREAMING_QUERIES)
 QUERIES.update(MULTIMODAL_QUERIES)
+QUERIES.update(CURATION_QUERIES)
 
 #: The correctness harness executes queries in registration order under
 #: a global budget — the r01/r02 runs stopped after 50 of 61, leaving
@@ -391,6 +393,7 @@ _FRONT = [
     "ann_pq_topk",
     "ann_pq_refined_topk",
     "ann_pq_recall",
+    "corpus_curation",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "reduce_precision_ekeep",
@@ -473,3 +476,4 @@ ORACLES.update(DEDUP_ORACLES)
 ORACLES.update(SIMSEARCH_ORACLES)
 ORACLES.update(STREAMING_ORACLES)
 ORACLES.update(MULTIMODAL_ORACLES)
+ORACLES.update(CURATION_ORACLES)

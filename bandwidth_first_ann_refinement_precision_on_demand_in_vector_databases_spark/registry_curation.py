@@ -1,0 +1,85 @@
+"""The composed corpus-curation pipeline as one oracle-checked query
+(SURVEY §7-M5 capstone): quality gate → language ID → exact dedup →
+MinHash-LSH near-dup removal → per-document stats, in a single
+declarative plan (``operators/curation.py``). The DuckDB twin replays
+the identical chain by reusing the same SQL fragments the per-stage
+oracles already interpolate (quality formula, marker-language scores,
+shingle/signature/banding CTEs) — the two sides cannot drift apart
+stage by stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.curation import QUALITY_MIN, curate_corpus
+from .registry_dedup import (
+    _SQL_JAC,
+    MINHASH_TAU,
+    SHINGLE_N,
+    _sql_band_rows,
+    sql_minhash_ctes,
+)
+from .registry_text import (
+    _SQL_QUALITY,
+    SQL_RE_TOKS,
+    SQL_TOKS,
+    _case,
+    _mx,
+    _score_cols,
+)
+from .sources.fixtures import load_table
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        q_min=QUALITY_MIN,
+        jaccard_tau=MINHASH_TAU,
+        shingle_n=SHINGLE_N,
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH tq AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, text, toks,
+    {_SQL_QUALITY} AS q,
+    {_score_cols},
+    CAST(len({SQL_RE_TOKS}) AS INT) AS n_tokens
+  FROM tq
+),
+good AS (
+  SELECT *, CASE WHEN {_mx} > 0 THEN (CASE {_case} END) ELSE 'und' END AS pred_lang
+  FROM scored WHERE q >= {QUALITY_MIN}
+),
+grp AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM good GROUP BY lower(text)
+),
+canon AS (SELECT g.*, grp.n_copies FROM good g JOIN grp USING (doc_id)),
+{sql_minhash_ctes("canon")},
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, round({_SQL_JAC}, 6) AS jaccard
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+),
+dropped AS (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= {MINHASH_TAU})
+SELECT doc_id, n_tokens, round(q, 6) AS quality, pred_lang, n_copies
+FROM canon WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_curation": q_corpus_curation,
+}
+
+CURATION_ORACLES: dict[str, str] = {
+    "corpus_curation": SQL_CORPUS_CURATION,
+}

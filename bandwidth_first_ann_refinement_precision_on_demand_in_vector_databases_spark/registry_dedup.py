@@ -24,8 +24,11 @@ NEARDUP_COS_TAU = 0.35  # fixture max pairwise cosine ≈ 0.513
 SHINGLE_N = 3
 
 #: shared CTEs: tokens → distinct word-3-gram shingles per doc.
-SQL_SHINGLE_CTES = f"""
-t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM documents),
+#: ``src`` must expose (doc_id, text) — the curation pipeline points
+#: this at its filtered canonical set instead of raw ``documents``.
+def sql_shingle_ctes(src: str = "documents") -> str:
+    return f"""
+t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM {src}),
 sh AS (SELECT id,
   CASE WHEN len(toks) >= {SHINGLE_N}
     THEN list_distinct(list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
@@ -33,6 +36,9 @@ sh AS (SELECT id,
     ELSE CAST([] AS VARCHAR[]) END AS shs
   FROM t)
 """
+
+
+SQL_SHINGLE_CTES = sql_shingle_ctes()
 
 _SQL_JAC = (
     "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / "
@@ -81,11 +87,15 @@ def _sql_minhash_cols() -> str:
     return ",\n  ".join(cols)
 
 
-SQL_MINHASH_CTES = f"""
-{SQL_SHINGLE_CTES},
+def sql_minhash_ctes(src: str = "documents") -> str:
+    return f"""
+{sql_shingle_ctes(src)},
 hv AS (SELECT id, list_transform(shs, s -> {_sql_poly_hash('s')}) AS hv FROM sh),
 sigs AS (SELECT id, {_sql_minhash_cols()} FROM hv)
 """
+
+
+SQL_MINHASH_CTES = sql_minhash_ctes()
 
 SQL_MINHASH_SIGNATURES = f"WITH {SQL_MINHASH_CTES} SELECT * FROM sigs"
 

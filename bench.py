@@ -49,6 +49,7 @@ def _suite():
         "text_stats",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "corpus_curation",
         "ann_ivf_topk",
         "ann_lsh_topk",
         "ann_pq_refined_topk",
