@@ -132,6 +132,54 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     return topk_per_query(scored, k, ascending=True)
 
 
+def ivfpq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
+) -> DataFrame:
+    """The production composition (FAISS-style IVF-PQ layout, squared
+    L2 end-to-end): coarse cells prune the scan, PQ codes price the
+    candidates, full precision refines the survivors.
+
+    1. probe the ``IVF_NPROBE`` nearest cells per query (coarse
+       quantizer — broadcast-sized);
+    2. ADC-score only vectors in probed cells from the PQ
+       reconstruction (at scale: a partition-pruned scan of the
+       8-byte code columns — `sources/layout.write_cell_partitioned`
+       is the storage shape);
+    3. exact re-rank of the top r·K ADC candidates per query (late
+       materialization of the full-precision column).
+
+    Bytes touched per query: nprobe/n_cells of the codes table plus
+    r·K full vectors — against N full vectors for brute force.
+    """
+    from .simsearch import IVF_NPROBE, ivf_assign, ivf_centroids, ivf_probes
+
+    cents = ivf_centroids(corpus).persist()
+    assigned = ivf_assign(corpus, cents).select("vec_id", "cell")
+    probed = ivf_probes(queries, cents, IVF_NPROBE)
+    recon = pq_reconstruct(corpus)
+    cand = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .join(recon, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2("qvec", "recon").alias("score"),
+        )
+    )
+    adc_ids = topk_per_query(cand, r * k, ascending=True).select(
+        "query_id", "neighbor_id"
+    )
+    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    exact = (
+        adc_ids.join(full, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
+    )
+    return topk_per_query(exact, k, ascending=True, salted=False)
+
+
 def pq_refined_topk(
     queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
 ) -> DataFrame:

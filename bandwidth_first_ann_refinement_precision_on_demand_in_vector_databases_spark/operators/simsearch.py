@@ -87,6 +87,26 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def ivf_probes(
+    queries: DataFrame, centroids: DataFrame, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """(query_id, qvec, cell): the ``nprobe`` nearest cells per query
+    (squared L2 to the centroid, ties → smaller centroid_id). The
+    probe set is broadcast-sized — q·nprobe rows."""
+    probes = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        F.col("embedding").alias("qvec"),
+        "centroid_id",
+        dist2("embedding", "cvec").alias("__d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("centroid_id").asc())
+    return (
+        probes.withColumn("__r", F.row_number().over(wp))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -103,18 +123,7 @@ def ivf_topk(
     # always-materialized coarse quantizer of a production IVF index
     cents = ivf_centroids(corpus, stride).persist()
     assigned = ivf_assign(corpus, cents)
-    probes = queries.crossJoin(F.broadcast(cents)).select(
-        "query_id",
-        F.col("embedding").alias("qvec"),
-        "centroid_id",
-        dist2("embedding", "cvec").alias("__d2"),
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("centroid_id").asc())
-    probed = (
-        probes.withColumn("__r", F.row_number().over(wp))
-        .where(F.col("__r") <= nprobe)
-        .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
-    )
+    probed = ivf_probes(queries, cents, nprobe)
     cand = F.broadcast(probed).join(assigned, "cell").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -393,6 +393,8 @@ _FRONT = [
     "ann_pq_topk",
     "ann_pq_refined_topk",
     "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
     "corpus_curation",
     "dedup_embedding",
     "dedup_embedding_lsh",

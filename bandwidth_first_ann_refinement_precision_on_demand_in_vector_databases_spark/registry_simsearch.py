@@ -62,8 +62,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
-SQL_IVF_CTES = f"""
-q AS ({SQL_Q_CTE}),
+SQL_IVF_BODY = f"""
 cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
           WHERE vec_id % {S.IVF_STRIDE} = 0),
 assigned AS (
@@ -86,6 +85,11 @@ ivf_cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id, {_sql_cos("p.qe", "a.embedding")} AS score
   FROM probes p JOIN assigned a ON a.cell = p.cell
 )
+"""
+
+SQL_IVF_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{SQL_IVF_BODY}
 """
 
 SQL_ANN_IVF_TOPK = f"""
@@ -241,8 +245,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: codebook/codes/reconstruction — the SQL replay of operators/pq.py
 #: (same sampled centroids, same argmin tie-break, same m-ordered
 #: concatenation, same strict DOUBLE folds).
-SQL_PQ_CTES = f"""
-q AS ({SQL_Q_CTE}),
+SQL_PQ_BODY = f"""
 ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
 pq_cb AS (
   SELECT m, vec_id AS cid,
@@ -272,6 +275,11 @@ pq_cand AS (
          {_sql_dist2("q.qe", "r.recon")} AS score
   FROM pq_recon r CROSS JOIN q
 )
+"""
+
+SQL_PQ_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{SQL_PQ_BODY}
 """
 
 SQL_PQ_CODES = f"""
@@ -339,6 +347,90 @@ SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF + PQ (the production composition: cell pruning × code pricing ×
+# exact refinement — operators/pq.ivfpq_topk)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = P.ivfpq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
+
+
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = P.ivfpq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+SQL_IVFPQ_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{SQL_IVF_BODY},
+{SQL_PQ_BODY},
+ivfpq_adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_dist2("p.qe", "r.recon")} AS score
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN pq_recon r ON r.vec_id = a.vec_id
+),
+ivfpq_ids AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM ivfpq_adc
+  ) WHERE rank <= {P.PQ_REFINE_R * ANN_K}
+),
+ivfpq_cand AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_dist2("q.qe", "e.embedding")} AS score
+  FROM ivfpq_ids c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)
+"""
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH {SQL_IVFPQ_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM ivfpq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_IVFPQ_RECALL = f"""
+WITH {SQL_IVFPQ_CTES},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM ivfpq_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
 SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -348,6 +440,8 @@ SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_refined_topk": q_ann_pq_refined_topk,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
 }
 
 SIMSEARCH_ORACLES: dict[str, str] = {
@@ -359,4 +453,6 @@ SIMSEARCH_ORACLES: dict[str, str] = {
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "ann_pq_refined_topk": SQL_ANN_PQ_REFINED_TOPK,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
+    "ann_ivfpq_recall": SQL_ANN_IVFPQ_RECALL,
 }
