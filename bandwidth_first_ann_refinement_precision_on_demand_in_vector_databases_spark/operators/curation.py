@@ -58,9 +58,13 @@ def curate_corpus(
     # identical quality — filtering before grouping keeps/drops whole
     # groups, so the group set equals dedup-then-filter
     groups = exact_dedup(good, text_col="text", id_col="doc_id")
+    # the canonical set feeds four consumers (signature build, shingle
+    # index, pair verification, final anti-join); without a persist the
+    # quality/lang scoring and the dedup join rerun per consumer
+    # (measured 2x the whole query at bench scale)
     canon = good.join(
         groups.withColumnRenamed("canonical_id", "doc_id"), "doc_id"
-    )
+    ).persist()
 
     # near-dup removal among canonicals only (exact copies are gone,
     # so banding never wastes candidates on identical texts)

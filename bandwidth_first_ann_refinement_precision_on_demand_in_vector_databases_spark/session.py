@@ -47,6 +47,12 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: analyzed-plan node names that imply a shuffle (or explicit
+#: repartition) below this frame — its parallelism is then governed by
+#: spark.sql.shuffle.partitions, not by the input file count.
+_WIDE_NODES = ("Join", "Aggregate", "Repartition", "Window", "Deduplicate")
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Guard against under-partitioned inputs feeding compute-heavy
     operators (cross-join scoring, shingle hashing).
@@ -56,7 +62,16 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     production scale inputs arrive in many splits and this is a no-op;
     locally it spreads the corpus across the cluster once, *before*
     the operator multiplies the work (×queries, ×shingles, ×hashes).
+
+    The narrow/wide test reads the *analyzed* logical plan only:
+    probing ``df.rdd.getNumPartitions()`` would force full physical
+    planning plus RDD conversion (~3s of driver time on a wide plan,
+    measured in the curation pipeline) just to learn a partition count
+    that a downstream-of-shuffle frame makes irrelevant anyway.
     """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(node in plan for node in _WIDE_NODES):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
