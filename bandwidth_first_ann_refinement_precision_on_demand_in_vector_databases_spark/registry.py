@@ -396,6 +396,8 @@ _FRONT = [
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
     "corpus_curation",
+    "vocab_topn",
+    "corpus_sample",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "reduce_precision_ekeep",

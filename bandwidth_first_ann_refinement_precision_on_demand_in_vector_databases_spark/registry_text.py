@@ -169,11 +169,108 @@ FROM t
 """
 
 
+VOCAB_TOP_N = 100
+#: per-bucket sampling rates (percent) for the stratified sampler
+SAMPLE_RATES = {"keep": 100, "borderline": 50, "drop": 0}
+SAMPLE_SALT = "bfann-sample:"
+
+
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-building pass: the ``VOCAB_TOP_N`` most frequent
+    regex tokens with term and document frequencies. The global
+    order-by + limit plans as TakeOrdered (per-partition top-N, then a
+    driver merge of N rows) — no full-vocabulary sort materializes at
+    scale. Ties break on the token string."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.explode(T.regex_tokens(F.col("text"))).alias("token"))
+    return (
+        toked.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_N)
+    )
+
+
+SQL_VOCAB_TOPN = f"""
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest({SQL_RE_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampler — the data-mixing stage of a
+    training pipeline. Each document hashes (engine-portable rolling
+    hash of a salted id string) into [0, 100); it is kept iff the
+    draw falls under its quality bucket's rate. ``weight`` is the
+    inverse sampling rate for unbiased reweighting downstream. No
+    RNG: the sample is a pure function of (doc_id, salt), so reruns
+    and the DuckDB twin agree row-for-row."""
+    d = load_table(spark, sf_dir, "documents")
+    score = T.quality_score(F.col("text"))
+    bucket = (
+        F.when(score >= 0.8, "keep").when(score >= 0.5, "borderline").otherwise("drop")
+    )
+    draw = T.poly_hash(
+        F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))
+    ) % 100
+    rate = (
+        F.when(bucket == "keep", F.lit(SAMPLE_RATES["keep"]))
+        .when(bucket == "borderline", F.lit(SAMPLE_RATES["borderline"]))
+        .otherwise(F.lit(SAMPLE_RATES["drop"]))
+    )
+    return (
+        d.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            draw.alias("draw"),
+            rate.alias("rate"),
+        )
+        .where(F.col("draw") < F.col("rate"))
+        .select(
+            "doc_id",
+            "bucket",
+            F.round(F.lit(100.0) / F.col("rate"), 6).alias("weight"),
+        )
+    )
+
+
+_SQL_DRAW = _sql_poly_hash(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+SQL_CORPUS_SAMPLE = f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_QUALITY} >= 0.8 THEN 'keep'
+         WHEN {_SQL_QUALITY} >= 0.5 THEN 'borderline'
+         ELSE 'drop' END AS bucket,
+    {_SQL_DRAW} AS draw
+  FROM t
+),
+r AS (
+  SELECT doc_id, bucket, draw,
+    CASE bucket WHEN 'keep' THEN {SAMPLE_RATES["keep"]}
+                WHEN 'borderline' THEN {SAMPLE_RATES["borderline"]}
+                ELSE {SAMPLE_RATES["drop"]} END AS rate
+  FROM s
+)
+SELECT doc_id, bucket, round(100.0 / rate, 6) AS weight
+FROM r WHERE draw < rate
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "vocab_topn": q_vocab_topn,
+    "corpus_sample": q_corpus_sample,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -181,4 +278,6 @@ TEXT_ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "vocab_topn": SQL_VOCAB_TOPN,
+    "corpus_sample": SQL_CORPUS_SAMPLE,
 }
