@@ -42,13 +42,25 @@ NANO_TS_COLUMNS = {
 }
 
 
+#: scan memo: spark.read.parquet pays file listing + footer/schema
+#: resolution on every call (~0.1-1s of driver/JVM time); a registry
+#: run touches each table dozens of times. DataFrames are immutable,
+#: so handing back the same object is safe.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Filters/projections push into the scan."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
