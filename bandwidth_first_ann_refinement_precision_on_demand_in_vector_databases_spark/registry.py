@@ -141,6 +141,52 @@ def q_rownorm_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics — the embedding-drift guardrail
+    a 100 TB pipeline runs per ingest batch. Explode → 64-group
+    aggregate: map-side combine shrinks the shuffle to one row per
+    dimension regardless of N.
+
+    Determinism: float sums are order-dependent, so the mean
+    aggregates ``floor(x·10⁶)`` as BIGINT (exact, order-independent,
+    both engines floor toward −∞) and rescales once at the end;
+    min/max are order-independent already."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        "pos", F.col("x").cast("double").alias("x")
+    )
+    return (
+        ex.groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("x") * F.lit(1e6)).cast("bigint")).alias("__s"),
+            F.min("x").alias("__mn"),
+            F.max("x").alias("__mx"),
+        )
+        .select(
+            "pos",
+            "n",
+            F.round(F.col("__s").cast("double") / F.col("n") / F.lit(1e6), 6).alias("mean_x"),
+            (F.round("__mn", 6) + F.lit(0.0)).alias("min_x"),
+            (F.round("__mx", 6) + F.lit(0.0)).alias("max_x"),
+        )
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH ex AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT pos, count(*) AS n,
+  round((CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1000000, 6) AS mean_x,
+  round(min(x), 6) + 0.0 AS min_x,
+  round(max(x), 6) + 0.0 AS max_x
+FROM ex GROUP BY pos
+"""
+
+
 def q_recall_l2_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/J3: Recall@K of the L2 top-K against the cosine top-K
     (``recall_at_k``, ``ANNCode.py:651-660``)."""
@@ -249,6 +295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_cosine_exact": q_topk_cosine_exact,
     "topk_l2_exact": q_topk_l2_exact,
     "rownorm_unit": q_rownorm_unit,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "recall_l2_vs_cosine": q_recall_l2_vs_cosine,
     "reduce_precision": q_reduce_precision,
     "compression_model": q_compression_model,
@@ -398,6 +445,7 @@ _FRONT = [
     "corpus_curation",
     "vocab_topn",
     "corpus_sample",
+    "embedding_dim_stats",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "reduce_precision_ekeep",
@@ -419,6 +467,7 @@ SELECT vec_id,
        round({_sql_norm('embedding')}, 6) AS norm
 FROM embeddings
 """,
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "reduce_precision": duck_oracle.reduce_precision_sql(KEEP_M_DEFAULT),
     "recall_l2_vs_cosine": f"""
 WITH q AS ({SQL_QUERIES_CTE}),
