@@ -446,6 +446,8 @@ _FRONT = [
     "vocab_topn",
     "corpus_sample",
     "embedding_dim_stats",
+    "grouping_sets_orders",
+    "window_range_frame",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "reduce_precision_ekeep",

@@ -486,6 +486,79 @@ FROM events GROUP BY event_type
 """
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — ((status), (priority)) is
+    expressible as neither ROLLUP nor CUBE, completing the A6 grouping
+    family. Planned as a single-scan Expand (each input row fans out
+    once per set), not a union of re-scans."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-count-based): per-user
+    sum of event values over the trailing 10 minutes of *event time* —
+    the W8 frame variant ``window_running``'s ROWS frame cannot
+    express. Event time is converted to epoch seconds via timezone-free
+    field extraction (identical arithmetic on both engines — no
+    session-timezone dependence, unlike ``unix_timestamp``)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch_s = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+        * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__es")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", "value", epoch_s.alias("__es"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 6
+            ).alias("trailing_10m_value"),
+        )
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+WITH e AS (
+  SELECT event_id, user_id, value,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) * 86400
+      + hour(ts) * 3600 + minute(ts) * 60 + CAST(floor(second(ts)) AS BIGINT) AS es
+  FROM events
+)
+SELECT event_id, user_id,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY es
+    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS trailing_10m_value
+FROM e
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "rollup_lineitem": q_rollup_lineitem,
@@ -506,6 +579,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_json": q_scalar_json,
     "salted_agg": q_salted_agg,
     "value_quantiles": q_value_quantiles,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "window_range_frame": q_window_range_frame,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -528,4 +603,6 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "scalar_json": SQL_SCALAR_JSON,
     "salted_agg": SQL_SALTED_AGG,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
+    "window_range_frame": SQL_WINDOW_RANGE_FRAME,
 }
