@@ -448,6 +448,7 @@ _FRONT = [
     "embedding_dim_stats",
     "grouping_sets_orders",
     "window_range_frame",
+    "pivot_events",
     "dedup_embedding",
     "dedup_embedding_lsh",
     "reduce_precision_ekeep",

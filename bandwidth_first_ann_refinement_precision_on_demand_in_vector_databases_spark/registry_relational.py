@@ -559,6 +559,35 @@ FROM e
 """
 
 
+#: event types are a closed fixture set — the pivot's column universe
+#: is declared, not inferred, so the plan is one scan + one aggregate
+#: (no extra distinct-values pass) and the SQL twin lists the same
+#: columns.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event
+    type, plus an exact DECIMAL value total. Conditional aggregation —
+    one scan, map-side combine, one shuffle row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_PIVOT_EVENTS = f"""
+SELECT user_id,
+  {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in EVENT_TYPES)},
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "rollup_lineitem": q_rollup_lineitem,
@@ -581,6 +610,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles": q_value_quantiles,
     "grouping_sets_orders": q_grouping_sets_orders,
     "window_range_frame": q_window_range_frame,
+    "pivot_events": q_pivot_events,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -605,4 +635,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
+    "pivot_events": SQL_PIVOT_EVENTS,
 }
