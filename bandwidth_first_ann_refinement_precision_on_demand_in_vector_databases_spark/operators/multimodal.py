@@ -7,15 +7,16 @@ decode / feature-extract / resize / frame-sample stages.
 Two payload families coexist:
 
 * ``media_table`` — payload is the document text as UTF-8 bytes with
-  typed metadata; drives the metadata-only scan query and the
-  ``fake_decode`` byte-fold feature stage (``media_features``);
+  typed metadata; drives the metadata-only scan query
+  (``media_metadata``);
 * ``media_binary_table`` — payload is a *real container format*
   synthesized per row (24-bit BMP for images, PCM16 WAV for audio, an
   FSEQ frame sequence for video; see ``functions/codecs.py``), and
-  ``decode_media`` routes on the payload magic bytes and runs the
-  real parsers. Payload content is a closed-form function of
-  ``doc_id``, so the decoded invariants (dimensions, sample counts,
-  integer pixel sums, peak amplitude) have an exact DuckDB oracle.
+  ``decode_media`` / ``extract_features`` route on the payload magic
+  bytes and run the real parsers. Payload content is a closed-form
+  function of ``doc_id``, so both the decoded invariants (dimensions,
+  sample counts, integer pixel sums, peak amplitude) and the decoded
+  feature statistics have an exact DuckDB oracle.
 
 Both fixture families derive from ``documents`` — every engine at
 every scale factor sees identical media rows without a binary fixture
@@ -96,18 +97,6 @@ def decode_audio(payload: bytes) -> np.ndarray:
     return samples
 
 
-def fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in decoder: folds the payload bytes into a
-    ``dim``-length float32 vector (mean of each byte stripe, scaled to
-    [0, 1]). Pure function of the bytes — reproducible everywhere."""
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size == 0:
-        return np.zeros(dim, dtype=np.float32)
-    pad = (-arr.size) % dim
-    arr = np.pad(arr, (0, pad)).reshape(-1, dim)
-    return (arr.mean(axis=0) / 255.0).astype(np.float32)
-
-
 def sample_frames(duration_s: float, fps: float = 0.5) -> int:
     """Frame-sampling plan for video: how many frames a decode at
     ``fps`` would pull. Deterministic metadata-only arithmetic."""
@@ -115,36 +104,106 @@ def sample_frames(duration_s: float, fps: float = 0.5) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Feature kernels over DECODED content
+# ---------------------------------------------------------------------------
+
+def pixel_features(px: np.ndarray) -> np.ndarray:
+    """16-dim feature vector of an ``(..., 3)`` uint8 pixel array, all
+    components scaled to [0, 1]:
+
+    ``[mean_R, mean_G, mean_B, std_R, std_G, std_B, min, max,
+    hist_0..hist_7]`` where the histogram buckets the per-pixel
+    integer gray level ``(R+G+B)//3`` into 8 bins of width 32.
+
+    Moments use the ``sqrt(E[x^2] - E[x]^2)`` population form with
+    exact integer sums so the DuckDB oracle (same formula shape over
+    the closed-form fixture content) is bit-identical."""
+    ch = px.reshape(-1, 3).astype(np.int64)
+    n = ch.shape[0]
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    mean = ch.sum(axis=0) / n
+    e2 = (ch * ch).sum(axis=0) / n
+    std = np.sqrt(np.maximum(e2 - mean * mean, 0.0))
+    gray = ch.sum(axis=1) // 3
+    hist = np.bincount(gray >> 5, minlength=8).astype(np.float64) / n
+    out = np.concatenate(
+        [mean / 255.0, std / 255.0,
+         [ch.min() / 255.0, ch.max() / 255.0], hist]
+    )
+    return out.astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, bands: int = 8) -> np.ndarray:
+    """16-dim feature vector of an int16 sample array: per-band mean
+    absolute amplitude (``bands`` equal time slices) followed by
+    per-band RMS, all scaled by 1/32768 into [0, 1]."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    mean_abs, rms = [], []
+    for band in np.array_split(x, bands):
+        if band.size == 0:
+            mean_abs.append(0.0)
+            rms.append(0.0)
+            continue
+        a = np.abs(band)
+        mean_abs.append(a.sum() / band.size / 32768.0)
+        rms.append(np.sqrt((band * band).sum() / band.size) / 32768.0)
+    return np.asarray(mean_abs + rms, dtype=np.float32)
+
+
+def feature_vector(payload: bytes, frame_every: int = 2) -> tuple[np.ndarray, int]:
+    """Decode a payload with the real parser its magic bytes select
+    and featurize the decoded content. Returns ``(features,
+    frames_sampled)`` where frames_sampled is 1 for images, 0 for
+    audio, and the number of actually-decoded frames for video
+    (every ``frame_every``-th frame; skipped frames are never
+    decoded)."""
+    head = bytes(payload[:4])
+    if head[:2] == BMP_MAGIC:
+        return pixel_features(decode_bmp(payload)), 1
+    if head == RIFF_MAGIC:
+        samples, _rate = decode_wav(payload)
+        return audio_features(samples), 0
+    if head == FSEQ_MAGIC:
+        frames = decode_fseq(payload, every=frame_every)
+        return pixel_features(np.stack(frames)), len(frames)
+    raise ValueError(f"unknown payload magic {head!r}")
+
+
+# ---------------------------------------------------------------------------
 # Pipeline stages (mapInPandas)
 # ---------------------------------------------------------------------------
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column.
-    Partition-preserving (no shuffle): each executor decodes its own
-    partitions; at 100 TB this is the dominant compute stage and
-    scales linearly with partitions. Videos also record the frame
-    sample count their decode would use."""
+def extract_features(media: DataFrame, frame_every: int = 2) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column: route
+    each payload on its magic bytes to the real BMP / WAV / FSEQ
+    parser and featurize the DECODED pixels / samples (per-channel
+    moments + gray histogram for images and sampled video frames,
+    per-band amplitude stats for audio — see ``pixel_features`` /
+    ``audio_features``). Partition-preserving (no shuffle): each
+    executor decodes its own partitions; at 100 TB this is the
+    dominant compute stage and scales linearly with partitions."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [fake_decode(p, dim) for p in pdf["payload"]]
-            frames = [
-                sample_frames(d) if t == "video" else 1
-                for t, d in zip(pdf["media_type"], pdf["duration_s"])
-            ]
+            decoded = [feature_vector(p, frame_every) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "feature": feats,
-                    "frames_sampled": frames,
+                    "feature": [d[0] for d in decoded],
+                    "frames_sampled": [d[1] for d in decoded],
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.select(
+        "doc_id", "media_type", "payload"
+    ).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 BINARY_MEDIA_SCHEMA = (
