@@ -1,0 +1,179 @@
+"""Deterministic DataFrame-native Lloyd's k-means — the trained
+quantizer behind the IVF coarse cells (``simsearch.ivf_centroids``)
+and the PQ codebook (``pq.pq_codebook``). The reference is
+refinement-only (README.md:11 "orthogonal to index choice"); this
+supplies the index-training side a production ANN deployment needs
+without leaving Spark.
+
+Design constraints, in order:
+
+* **Bit-exact replay in DuckDB.** The driver's correctness gate
+  hash-compares against a SQL twin, so training must be exactly
+  reproducible across engines. Each piece uses an idiom already
+  proven bit-exact elsewhere in the repo:
+
+  - init = the same deterministic stride sample the untrained
+    quantizer used (``pid % stride = 0``) — a seeded k-means++ would
+    need cross-engine RNG, a stride seed does not;
+  - assign = argmin over a broadcast centroid set via
+    ``min(struct(d2, cid))`` (ties → smaller cid), the struct-min /
+    row_number pair already used by ``ivf_assign`` and ``pq_codes``;
+  - update = per-dimension mean aggregated as ``sum(floor(x·10⁶))``
+    BIGINT — exact and order-independent (float sums are not), the
+    ``embedding_dim_stats`` trick — rescaled once per iteration;
+  - distances = the strict left-fold ``dist2`` both engines share.
+
+* **Scale.** Assignment broadcasts the centroids and streams the
+  corpus (one scan per iteration — Lloyd's floor); the update
+  shuffles one row per (group, centroid, dimension) after map-side
+  combine, independent of N. Centroid frames are tiny and persisted
+  per iteration because each is consumed twice (next assign + the
+  empty-cluster carryover join).
+
+* **Empty clusters** keep their previous centroid (left join +
+  per-row coalesce), so the centroid id set is stable across
+  iterations on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import dist2
+
+#: fixed-iteration budget: enough for the sampled init to settle on
+#: the fixture corpora (assignment churn is <1% after 3 rounds),
+#: cheap enough that the SQL twin replays it unrolled.
+KMEANS_ITERS = 3
+
+#: persisted per-iteration centroid frames, for clear_caches()
+_PERSISTED: list[DataFrame] = []
+
+
+def kmeans_centroids(
+    points: DataFrame, stride: int, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Train centroids over ``points`` with columns ``(grp, pid,
+    pvec)`` — one independent k-means per ``grp`` value (PQ trains 8
+    subspaces at once; IVF passes a single group). Returns ``(grp,
+    cid, cvec)`` where ``cid`` is the seeding point's id.
+
+    ``iters=0`` degrades to the stride-sampled quantizer."""
+    cents = points.where(F.col("pid") % stride == 0).select(
+        "grp", F.col("pid").alias("cid"), F.col("pvec").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = (
+            points.join(F.broadcast(cents), "grp")
+            .select(
+                "grp", "pid", "cid", "pvec", dist2("pvec", "cvec").alias("__d2")
+            )
+            .groupBy("grp", "pid")
+            .agg(
+                F.min(F.struct("__d2", "cid")).alias("__a"),
+                F.first("pvec").alias("pvec"),
+            )
+            .select("grp", F.col("__a.cid").alias("cid"), "pvec")
+        )
+        means = (
+            assigned.select("grp", "cid", F.posexplode("pvec").alias("pos", "x"))
+            .groupBy("grp", "cid", "pos")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("bigint")
+                ).alias("__s"),
+            )
+            .select(
+                "grp",
+                "cid",
+                "pos",
+                (F.col("__s").cast("double") / F.col("n") / F.lit(1e6)).alias("c"),
+            )
+        )
+        refit = (
+            means.groupBy("grp", "cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__s")
+            )
+            .select(
+                "grp", "cid", F.transform("__s", lambda s: s.c).alias("new_cvec")
+            )
+        )
+        nxt = (
+            cents.join(refit, ["grp", "cid"], "left")
+            .select(
+                "grp", "cid", F.coalesce("new_cvec", "cvec").alias("cvec")
+            )
+            .persist()
+        )
+        _PERSISTED.append(nxt)
+        cents = nxt
+    return cents
+
+
+def clear_kmeans_cache() -> None:
+    """Unpersist every per-iteration centroid frame (cache lifecycle —
+    see ``session.clear_caches``)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay: the same training, unrolled
+# ---------------------------------------------------------------------------
+
+def kmeans_sql_ctes(
+    points_cte: str,
+    prefix: str,
+    stride: int,
+    iters: int = KMEANS_ITERS,
+    dist2_sql=None,
+) -> tuple[str, str]:
+    """Emit DuckDB CTEs replaying ``kmeans_centroids`` over a points
+    CTE named ``points_cte`` with columns ``(grp, pid, pvec)``.
+    Returns ``(ctes_sql, final_cte_name)``; the final CTE has columns
+    ``(grp, cid, cvec)``. Same stride init, same struct-min argmin
+    (row_number ties → smaller cid), same floor-scaled BIGINT means,
+    same empty-cluster carryover — the Spark and SQL quantizers are
+    the same function."""
+    if dist2_sql is None:
+        def dist2_sql(a: str, b: str) -> str:
+            return (
+                f"list_sum(list_transform(list_zip({a}, {b}), "
+                f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+                f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+            )
+
+    parts = [
+        f"{prefix}_c0 AS (SELECT grp, pid AS cid, pvec AS cvec "
+        f"FROM {points_cte} WHERE pid % {stride} = 0)"
+    ]
+    for i in range(1, iters + 1):
+        prev, cur = f"{prefix}_c{i - 1}", f"{prefix}_c{i}"
+        parts.append(f"""{prefix}_a{i} AS (
+  SELECT grp, pid, cid, pvec FROM (
+    SELECT p.grp, p.pid, c.cid, p.pvec,
+      row_number() OVER (PARTITION BY p.grp, p.pid
+        ORDER BY {dist2_sql("p.pvec", "c.cvec")} ASC, c.cid ASC) AS r
+    FROM {points_cte} p JOIN {prev} c ON c.grp = p.grp
+  ) WHERE r = 1
+)""")
+        parts.append(f"""{prefix}_m{i} AS (
+  SELECT grp, cid, pos,
+    (CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE) / count(*)) / 1000000 AS c
+  FROM (
+    SELECT grp, cid, CAST(generate_subscripts(pvec, 1) - 1 AS INT) AS pos,
+           CAST(unnest(pvec) AS DOUBLE) AS x
+    FROM {prefix}_a{i}
+  ) GROUP BY grp, cid, pos
+)""")
+        parts.append(f"""{cur} AS (
+  SELECT prev.grp, prev.cid, coalesce(n.cvec, prev.cvec) AS cvec
+  FROM {prev} prev
+  LEFT JOIN (SELECT grp, cid, list(c ORDER BY pos) AS cvec
+             FROM {prefix}_m{i} GROUP BY grp, cid) n
+    ON n.grp = prev.grp AND n.cid = prev.cid
+)""")
+    return ",\n".join(parts), f"{prefix}_c{iters}"

@@ -14,11 +14,13 @@ the code columns.
 
 Spark-first realization (no Python in any data path):
 
-* **Codebook** — deterministic sampled quantizer, same policy as the
-  IVF coarse quantizer (``simsearch.ivf_centroids``): every
-  ``PQ_STRIDE``-th corpus vector contributes its M subvectors as
-  centroids. Offline k-means would swap in without changing any
-  query-side plan.
+* **Codebook** — deterministic k-means per subspace
+  (``operators/kmeans.py``, same trainer as the IVF coarse
+  quantizer): seeded by every ``PQ_STRIDE``-th corpus vector's
+  subvectors, refined by fixed Lloyd iterations with exact
+  fixed-point means so the DuckDB twin replays the identical trained
+  codebook. All 8 subspaces train in one plan (subspace = k-means
+  group).
 * **Encoding** — explode each vector into M (vec, m, subvec) rows,
   broadcast-join the codebook on ``m``, fold the sub-distance, and
   take the argmin as a ``min(struct(d2, cid))`` aggregate: map-side
@@ -45,18 +47,30 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import dist2
 from ..session import ensure_parallelism
+from .kmeans import KMEANS_ITERS, kmeans_centroids
 from .topk import topk_per_query
 
 PQ_M = 8        #: subspaces
 PQ_SUBDIM = 8   #: dims per subspace (M * SUBDIM = fixture D = 64)
-PQ_STRIDE = 25  #: codebook = subvectors of every stride-th corpus vector
+PQ_STRIDE = 25  #: codebook seeds = subvectors of every stride-th vector
 PQ_REFINE_R = 3  #: refinement fetches R*K candidates for exact re-rank
 
 
 def _subvec(vec_col: str, m_col: str) -> Column:
-    """1-based slice of subspace ``m`` from a D-dim array column."""
-    return F.slice(
-        F.col(vec_col), F.col(m_col) * PQ_SUBDIM + F.lit(1), PQ_SUBDIM
+    """1-based slice of subspace ``m`` from a D-dim array column.
+    Guarded: a vector whose dimension is not exactly M·SUBDIM raises
+    at runtime instead of silently producing short subvectors and
+    corrupt codes."""
+    return F.when(
+        F.size(F.col(vec_col)) == PQ_M * PQ_SUBDIM,
+        F.slice(F.col(vec_col), F.col(m_col) * PQ_SUBDIM + F.lit(1), PQ_SUBDIM),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"PQ expects dimension {PQ_M * PQ_SUBDIM}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
     )
 
 
@@ -66,15 +80,33 @@ def _explode_m(df: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebook(corpus: DataFrame, stride: int = PQ_STRIDE) -> DataFrame:
-    """(m, cid, cvec): the sampled codebook. The sampling predicate
-    pushes to the parquet scan; the result is broadcast-sized
-    (n_centroids = N/stride per subspace) by construction."""
-    return _explode_m(
-        corpus.where(F.col("vec_id") % stride == 0).select(
-            F.col("vec_id").alias("cid"), "embedding"
+#: trained codebooks / reconstructions, memoized per (session, corpus,
+#: params): the offline index artifacts every query-side consumer
+#: shares. Cleared by ``session.clear_caches``.
+_CODEBOOK_CACHE: dict[tuple[int, int, int, int], DataFrame] = {}
+_RECON_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
+def pq_codebook(
+    corpus: DataFrame, stride: int = PQ_STRIDE, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """(m, cid, cvec): the trained codebook — one k-means per
+    subspace, all 8 trained in a single grouped plan
+    (``operators/kmeans.py``; subspace = group, seeds = the
+    stride-sampled subvectors). Broadcast-sized (n_centroids =
+    N/stride per subspace) and memoized+persisted per session;
+    ``iters=0`` recovers the pure sampled codebook."""
+    key = (id(corpus.sparkSession), id(corpus), stride, iters)
+    if key not in _CODEBOOK_CACHE:
+        pts = _explode_m(corpus.select("vec_id", "embedding")).select(
+            F.col("m").alias("grp"),
+            F.col("vec_id").alias("pid"),
+            _subvec("embedding", "m").alias("pvec"),
         )
-    ).select("m", "cid", _subvec("embedding", "m").alias("cvec"))
+        _CODEBOOK_CACHE[key] = kmeans_centroids(pts, stride, iters).select(
+            F.col("grp").alias("m"), "cid", "cvec"
+        )
+    return _CODEBOOK_CACHE[key]
 
 
 def pq_codes(
@@ -103,8 +135,20 @@ def pq_reconstruct(
 ) -> DataFrame:
     """(vec_id, recon): m-ordered centroid concatenation — the
     decoded form of the 8-byte sketch. Built once per corpus, shared
-    by every query (query-independent)."""
-    cb = codebook if codebook is not None else pq_codebook(corpus)
+    by every query (query-independent); memoized + persisted per
+    session when built from the default codebook, because the ADC
+    scan is consumed by every PQ query family."""
+    if codebook is None:
+        key = (id(corpus.sparkSession), id(corpus))
+        if key not in _RECON_CACHE:
+            _RECON_CACHE[key] = _pq_reconstruct(
+                corpus, pq_codebook(corpus)
+            ).persist()
+        return _RECON_CACHE[key]
+    return _pq_reconstruct(corpus, codebook)
+
+
+def _pq_reconstruct(corpus: DataFrame, cb: DataFrame) -> DataFrame:
     codes = pq_codes(corpus, cb)
     return (
         codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
@@ -153,7 +197,7 @@ def ivfpq_topk(
     """
     from .simsearch import IVF_NPROBE, ivf_assign, ivf_centroids, ivf_probes
 
-    cents = ivf_centroids(corpus).persist()
+    cents = ivf_centroids(corpus)
     assigned = ivf_assign(corpus, cents).select("vec_id", "cell")
     probed = ivf_probes(queries, cents, IVF_NPROBE)
     recon = pq_reconstruct(corpus)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from .operators import pq as P
 from .operators import simsearch as S
+from .operators.kmeans import kmeans_sql_ctes
 from .operators.topk import exact_topk_fixture_cached
 from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
 
@@ -62,9 +63,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
+#: coarse-quantizer replay: same stride seeds, same unrolled Lloyd
+#: iterations as operators/kmeans.py (kmeans_sql_ctes); at the
+#: default IVF_KMEANS_ITERS = 0 this degenerates to the seed CTE,
+#: keeping oracle and engine in sync through one constant.
+_IVF_KM_CTES, _IVF_KM_FINAL = kmeans_sql_ctes(
+    "ivfkm_pts", "ivfkm", S.IVF_STRIDE, iters=S.IVF_KMEANS_ITERS,
+    dist2_sql=_sql_dist2,
+)
+
 SQL_IVF_BODY = f"""
-cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-          WHERE vec_id % {S.IVF_STRIDE} = 0),
+ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+{_IVF_KM_CTES},
+cents AS (SELECT cid AS centroid_id, cvec FROM {_IVF_KM_FINAL}),
 assigned AS (
   SELECT vec_id, embedding, centroid_id AS cell FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -243,15 +254,21 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: codebook/codes/reconstruction — the SQL replay of operators/pq.py
-#: (same sampled centroids, same argmin tie-break, same m-ordered
-#: concatenation, same strict DOUBLE folds).
+#: (same trained per-subspace k-means, same argmin tie-break, same
+#: m-ordered concatenation, same strict DOUBLE folds).
+_PQ_KM_CTES, _PQ_KM_FINAL = kmeans_sql_ctes(
+    "pqkm_pts", "pqkm", P.PQ_STRIDE, dist2_sql=_sql_dist2
+)
+
 SQL_PQ_BODY = f"""
 ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
-pq_cb AS (
-  SELECT m, vec_id AS cid,
-         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS cvec
-  FROM embeddings CROSS JOIN ms WHERE vec_id % {P.PQ_STRIDE} = 0
+pqkm_pts AS (
+  SELECT m AS grp, vec_id AS pid,
+         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS pvec
+  FROM embeddings CROSS JOIN ms
 ),
+{_PQ_KM_CTES},
+pq_cb AS (SELECT grp AS m, cid, cvec FROM {_PQ_KM_FINAL}),
 pq_sub AS (
   SELECT vec_id, m,
          list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS subv

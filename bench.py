@@ -53,6 +53,9 @@ def _suite():
         "ann_ivf_topk",
         "ann_lsh_topk",
         "ann_pq_refined_topk",
+        "ann_pq_recall",
+        "ann_ivf_recall",
+        "ann_ivfpq_recall",
         "stream_session_windows",
         "media_features",
     ]
@@ -98,7 +101,11 @@ def main() -> None:
         # single-row quality-metric queries: collect the row so the
         # BASELINE.md targets (saving / recall / FPR, compression
         # ratio) land in the bench record next to the timings
-        if name.endswith("_metrics") or name.startswith("compression_model"):
+        if (
+            name.endswith("_metrics")
+            or name.endswith("_recall")
+            or name.startswith("compression_model")
+        ):
             rows = df.collect()
             if rows:
                 headline[name] = {
