@@ -143,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
             _plot_sweep(rows, args.plot_out)
         for r in rows:
             print(r)
+    # cache lifecycle: a CLI invocation may have memoized prepared
+    # corpora / scored frames / quantizers — release them so repeated
+    # invocations against one long-lived session don't accumulate
+    # cached partitions
+    from .session import clear_caches
+
+    clear_caches(spark)
     return 0
 
 

@@ -47,10 +47,6 @@ from ..functions.vector import dist2
 #: cheap enough that the SQL twin replays it unrolled.
 KMEANS_ITERS = 3
 
-#: persisted per-iteration centroid frames, for clear_caches()
-_PERSISTED: list[DataFrame] = []
-
-
 def kmeans_centroids(
     points: DataFrame, stride: int, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -60,6 +56,9 @@ def kmeans_centroids(
     cid, cvec)`` where ``cid`` is the seeding point's id.
 
     ``iters=0`` degrades to the stride-sampled quantizer."""
+    from ..session import session_cache
+
+    persisted = session_cache(points.sparkSession, "kmeans_persisted")
     cents = points.where(F.col("pid") % stride == 0).select(
         "grp", F.col("pid").alias("cid"), F.col("pvec").alias("cvec")
     )
@@ -108,16 +107,11 @@ def kmeans_centroids(
             )
             .persist()
         )
-        _PERSISTED.append(nxt)
+        # registered so session.clear_caches releases the iteration
+        # frames (each is consumed twice: next assign + carryover join)
+        persisted[len(persisted)] = nxt
         cents = nxt
     return cents
-
-
-def clear_kmeans_cache() -> None:
-    """Unpersist every per-iteration centroid frame (cache lifecycle —
-    see ``session.clear_caches``)."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
 
 
 # ---------------------------------------------------------------------------

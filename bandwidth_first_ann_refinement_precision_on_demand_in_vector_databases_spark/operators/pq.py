@@ -80,13 +80,6 @@ def _explode_m(df: DataFrame) -> DataFrame:
     )
 
 
-#: trained codebooks / reconstructions, memoized per (session, corpus,
-#: params): the offline index artifacts every query-side consumer
-#: shares. Cleared by ``session.clear_caches``.
-_CODEBOOK_CACHE: dict[tuple[int, int, int, int], DataFrame] = {}
-_RECON_CACHE: dict[tuple[int, int], DataFrame] = {}
-
-
 def pq_codebook(
     corpus: DataFrame, stride: int = PQ_STRIDE, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -94,19 +87,24 @@ def pq_codebook(
     subspace, all 8 trained in a single grouped plan
     (``operators/kmeans.py``; subspace = group, seeds = the
     stride-sampled subvectors). Broadcast-sized (n_centroids =
-    N/stride per subspace) and memoized+persisted per session;
-    ``iters=0`` recovers the pure sampled codebook."""
-    key = (id(corpus.sparkSession), id(corpus), stride, iters)
-    if key not in _CODEBOOK_CACHE:
+    N/stride per subspace), memoized+persisted per session — the
+    offline index artifact every query-side consumer shares; released
+    by ``session.clear_caches``. ``iters=0`` recovers the pure
+    sampled codebook."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "pq_codebook")
+    key = (id(corpus), stride, iters)
+    if key not in cache:
         pts = _explode_m(corpus.select("vec_id", "embedding")).select(
             F.col("m").alias("grp"),
             F.col("vec_id").alias("pid"),
             _subvec("embedding", "m").alias("pvec"),
         )
-        _CODEBOOK_CACHE[key] = kmeans_centroids(pts, stride, iters).select(
+        cache[key] = kmeans_centroids(pts, stride, iters).select(
             F.col("grp").alias("m"), "cid", "cvec"
         )
-    return _CODEBOOK_CACHE[key]
+    return cache[key]
 
 
 def pq_codes(
@@ -139,12 +137,13 @@ def pq_reconstruct(
     session when built from the default codebook, because the ADC
     scan is consumed by every PQ query family."""
     if codebook is None:
-        key = (id(corpus.sparkSession), id(corpus))
-        if key not in _RECON_CACHE:
-            _RECON_CACHE[key] = _pq_reconstruct(
-                corpus, pq_codebook(corpus)
-            ).persist()
-        return _RECON_CACHE[key]
+        from ..session import session_cache
+
+        cache = session_cache(corpus.sparkSession, "pq_recon")
+        key = id(corpus)
+        if key not in cache:
+            cache[key] = _pq_reconstruct(corpus, pq_codebook(corpus)).persist()
+        return cache[key]
     return _pq_reconstruct(corpus, codebook)
 
 

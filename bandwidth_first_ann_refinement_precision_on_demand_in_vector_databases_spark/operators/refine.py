@@ -139,39 +139,46 @@ def prepare_corpus(
     return df
 
 
-#: metrics phase-1 frames keyed by (session id, source key, mode, k,
-#: keep_m, delta): the (scored, fetched) scalar frames that every
-#: byte-model variant of one operating point shares (keep_e /
-#: compression overrides change only the per-vector byte constants).
-_SCORED_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+#: metrics phase-1 frames keyed per session by (source key, mode, k,
+#: keep_m, delta) via ``session.session_cache``: the (scored, fetched)
+#: scalar frames that every byte-model variant of one operating point
+#: shares (keep_e / compression overrides change only the per-vector
+#: byte constants). Released by ``session.clear_caches``.
+def _scored_cache(spark) -> dict:
+    from ..session import session_cache
+
+    return session_cache(spark, "refine_scored")
 
 
 def _ids(df: DataFrame) -> DataFrame:
     return df.select("query_id", "neighbor_id")
 
 
-#: prepared corpora keyed by (session id, source key, keep_m, space):
-#: the local analog of the production layout, where the reduced/full/Δ
-#: columns are written once per keep_m as separate parquet columns
-#: (paper §3.3) and every refinement query reads the same files instead
-#: of re-running the FP16 reduction. One frame per metric space —
-#: cosine frames carry bconst so all three cos modes share one entry.
-_PREP_CACHE: dict[tuple, DataFrame] = {}
-
-
 def prepare_corpus_cached(
     corpus: DataFrame, keep_m: int, mode: str, cache_key: str | None = None
 ) -> DataFrame:
-    """Persisted, memoized ``prepare_corpus``. ``cache_key`` identifies
-    the corpus source (e.g. the fixture dir); ``None`` just persists."""
+    """Persisted, memoized ``prepare_corpus``, keyed per session by
+    (source key, keep_m, space): the local analog of the production
+    layout, where the reduced/full/Δ columns are written once per
+    keep_m as separate parquet columns (paper §3.3) and every
+    refinement query reads the same files instead of re-running the
+    FP16 reduction. One frame per metric space — cosine frames carry
+    bconst so all three cos modes share one entry. Released by
+    ``session.clear_caches``.
+
+    ``cache_key`` identifies the corpus source (e.g. the fixture
+    dir); ``None`` just persists (caller owns the unpersist)."""
+    from ..session import session_cache
+
     space = "cos" if is_cosine(mode) else "l2"
     if cache_key is None:
         return prepare_corpus(corpus, keep_m, mode).persist()
-    key = (id(corpus.sparkSession), cache_key, keep_m, space)
-    df = _PREP_CACHE.get(key)
+    cache = session_cache(corpus.sparkSession, "refine_prepared")
+    key = (cache_key, keep_m, space)
+    df = cache.get(key)
     if df is None:
         df = prepare_corpus(corpus, keep_m, mode).persist()
-        _PREP_CACHE[key] = df
+        cache[key] = df
     return df
 
 
@@ -432,17 +439,14 @@ def _refine_metrics_with_frames(
     only on ``(mode, k, keep_m, delta)`` — ``keep_e`` and
     ``red_bytes_override`` enter the byte constants *after* the scan —
     so for keyed callers the ``(scored, fetched)`` pair is memoized in
-    ``_SCORED_CACHE`` and shared across byte-model variants of the same
+    the scored-frame session cache and shared across byte-model variants of the same
     operating point (base vs ``--ekeep`` vs compression-override rows,
     ``ANNCode.py:827-833``). Keyed cache hits return no intermediates:
     the cached frames stay persisted for later variants."""
     cos = is_cosine(mode)
-    key = (
-        (id(queries.sparkSession), cache_key, mode, k, keep_m, delta)
-        if cache_key is not None
-        else None
-    )
-    cached = _SCORED_CACHE.get(key) if key is not None else None
+    key = (cache_key, mode, k, keep_m, delta) if cache_key is not None else None
+    scache = _scored_cache(queries.sparkSession)
+    cached = scache.get(key) if key is not None else None
     if cached is not None:
         scored, fetched = cached
     else:
@@ -530,7 +534,7 @@ def _refine_metrics_with_frames(
         )
         fetched = flagged.where("fetched").persist()
         if key is not None:
-            _SCORED_CACHE[key] = (scored, fetched)
+            scache[key] = (scored, fetched)
 
     # ground truth (W1/W2): exact-score rank over the cached scalars
     gt = _ids(

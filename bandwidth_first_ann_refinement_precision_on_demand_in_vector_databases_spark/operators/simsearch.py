@@ -67,13 +67,6 @@ LSH_PLANES: tuple[tuple[float, ...], ...] = tuple(
 )
 
 
-#: trained coarse quantizers, memoized per (session, corpus, stride,
-#: iters) — every consumer (assignment, probes, IVF-PQ) shares one
-#: persisted build, exactly as a production IVF index is trained once
-#: and served many times. Cleared by ``session.clear_caches``.
-_CENTROID_CACHE: dict[tuple[int, int, int, int], DataFrame] = {}
-
-
 def ivf_centroids(
     corpus: DataFrame, stride: int = IVF_STRIDE, iters: int = IVF_KMEANS_ITERS
 ) -> DataFrame:
@@ -82,18 +75,26 @@ def ivf_centroids(
     Lloyd iterations, exact fixed-point means; the DuckDB oracle
     replays the identical training). The default ``iters`` follows
     the measured fixture Pareto point (see ``IVF_KMEANS_ITERS``);
-    ``iters=0`` is exactly the sampled quantizer."""
-    key = (id(corpus.sparkSession), id(corpus), stride, iters)
-    if key not in _CENTROID_CACHE:
+    ``iters=0`` is exactly the sampled quantizer.
+
+    Memoized per (session, corpus, stride, iters) — every consumer
+    (assignment, probes, IVF-PQ) shares one build, exactly as a
+    production IVF index is trained once and served many times;
+    released by ``session.clear_caches``."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "ivf_centroids")
+    key = (id(corpus), stride, iters)
+    if key not in cache:
         pts = corpus.select(
             F.lit(0).alias("grp"),
             F.col("vec_id").alias("pid"),
             F.col("embedding").alias("pvec"),
         )
-        _CENTROID_CACHE[key] = kmeans_centroids(pts, stride, iters).select(
+        cache[key] = kmeans_centroids(pts, stride, iters).select(
             F.col("cid").alias("centroid_id"), F.col("cvec")
         )
-    return _CENTROID_CACHE[key]
+    return cache[key]
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:

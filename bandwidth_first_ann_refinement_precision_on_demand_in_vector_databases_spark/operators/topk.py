@@ -195,27 +195,26 @@ def exact_topk_pruned(
     return topk_per_query(scored, k, ascending=ascending, salted=False)
 
 
-#: exact top-K frames keyed by (session id, fixture dir, metric, k).
-#: Four registry queries (both topk_*_exact, the recall join, and every
-#: ann_*_recall ground truth) consume the identical frame; computing the
-#: scan once per session is the obvious reuse — at production scale this
-#: is the ground-truth table a pipeline materializes once.
-_EXACT_TOPK_CACHE: dict[tuple, DataFrame] = {}
-
-
 def exact_topk_fixture_cached(
     spark, sf_dir: str, k: int, metric: str = "cosine"
 ) -> DataFrame:
-    """Memoized+persisted exact top-K over the fixture query view.
+    """Memoized+persisted exact top-K over the fixture query view,
+    keyed per session by (fixture dir, metric, k): four registry
+    queries (both topk_*_exact, the recall join, and every
+    ann_*_recall ground truth) consume the identical frame — at
+    production scale this is the ground-truth table a pipeline
+    materializes once. Released by ``session.clear_caches``.
 
     Runs the pruned plan (``exact_topk_pruned``): identical output to
     ``exact_topk`` — same Column-fold score arithmetic on the survivors
     — behind the same oracle-checked interface, with the q×N fold
     evaluation replaced by a BLAS pruner."""
+    from ..session import session_cache
     from ..sources.fixtures import load_table, queries_view
 
-    key = (id(spark), sf_dir, metric, k)
-    df = _EXACT_TOPK_CACHE.get(key)
+    cache = session_cache(spark, "exact_topk")
+    key = (sf_dir, metric, k)
+    df = cache.get(key)
     if df is None:
         df = exact_topk_pruned(
             queries_view(spark, sf_dir),
@@ -223,7 +222,7 @@ def exact_topk_fixture_cached(
             k,
             metric=metric,
         ).persist()
-        _EXACT_TOPK_CACHE[key] = df
+        cache[key] = df
     return df
 
 

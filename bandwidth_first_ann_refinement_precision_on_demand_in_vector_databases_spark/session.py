@@ -11,10 +11,53 @@ to the test fixtures (32) — production deployments override
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+#: per-session memo dicts (prepared corpora, exact top-K frames,
+#: trained quantizers, fixture scans, ...). Keyed WEAKLY by the
+#: SparkSession object: entries die with the session instead of
+#: pinning DataFrames of a stopped context forever, and no module
+#: needs an ``id(spark)`` tuple element that a recycled id could
+#: alias. Values are ``{cache_name: {key: frame(s)}}``.
+_SESSION_CACHES: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def session_cache(spark: SparkSession, name: str) -> dict:
+    """The named memo dict for this session (created on first use).
+    Modules keep their cache keys; the session scoping lives here."""
+    per = _SESSION_CACHES.get(spark)
+    if per is None:
+        per = {}
+        _SESSION_CACHES[spark] = per
+    return per.setdefault(name, {})
+
+
+def clear_caches(spark: SparkSession | None = None) -> None:
+    """Release every memoized/persisted frame (cache lifecycle for
+    long-lived sessions: sweep loops, CLI exit, benchmarks).
+
+    Drops all per-session memo dicts and clears the session's SQL
+    cache (``catalog.clearCache()`` unpersists every cached relation —
+    including per-query internal persists like the curation canonical
+    set or dedup band indexes whose frames the memo dicts never saw).
+    With no argument, clears every live session."""
+    sessions = [spark] if spark is not None else list(_SESSION_CACHES)
+    for s in sessions:
+        per = _SESSION_CACHES.get(s)
+        if per is not None:
+            for cache in per.values():
+                cache.clear()
+            per.clear()
+        try:
+            s.catalog.clearCache()
+        except Exception:
+            pass  # session already stopped — nothing left to release
 
 
 def get_spark(

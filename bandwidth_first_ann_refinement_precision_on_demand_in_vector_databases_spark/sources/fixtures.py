@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import session_cache
+
 FIXTURE_TABLES = (
     "region",
     "nation",
@@ -42,17 +44,18 @@ NANO_TS_COLUMNS = {
 }
 
 
-#: scan memo: spark.read.parquet pays file listing + footer/schema
-#: resolution on every call (~0.1-1s of driver/JVM time); a registry
-#: run touches each table dozens of times. DataFrames are immutable,
-#: so handing back the same object is safe.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Filters/projections push into the scan."""
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    """Scan one fixture table. Filters/projections push into the scan.
+
+    Memoized per session (``session.session_cache``): spark.read.parquet
+    pays file listing + footer/schema resolution on every call
+    (~0.1-1s of driver/JVM time) and a registry run touches each table
+    dozens of times. DataFrames are immutable, so handing back the
+    same object is safe; weak session keying means entries die with
+    the session instead of pinning a stopped context."""
+    cache = session_cache(spark, "fixture_tables")
+    key = (sf_dir, name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,7 +63,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    _TABLE_CACHE[key] = df
+    cache[key] = df
     return df
 
 

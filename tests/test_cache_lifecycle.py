@@ -1,0 +1,56 @@
+"""Cache lifecycle (session.clear_caches): every memoized/persisted
+frame — prepared corpora, scored scalar frames, exact top-K, trained
+quantizers, per-query internal persists — is released on clear, so
+long-lived sessions (sweep loops, CLI, benchmarks) don't accumulate
+cached partitions without bound."""
+
+from __future__ import annotations
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.pq import (
+    pq_codebook,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+    prepare_corpus_cached,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+    exact_topk_fixture_cached,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.session import (
+    clear_caches,
+    session_cache,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_clear_caches_releases_all_persisted_frames(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    # build and materialize three different cached artifact families
+    prepare_corpus_cached(corpus, 6, "l2-tz", cache_key=sf_small).count()
+    exact_topk_fixture_cached(spark, sf_small, 5, "cosine").count()
+    pq_codebook(corpus).count()
+    assert _n_persistent(spark) > 0
+
+    clear_caches(spark)
+    assert _n_persistent(spark) == 0
+    # memo dicts are empty too: next call rebuilds instead of handing
+    # back a frame whose storage was just dropped
+    assert session_cache(spark, "refine_prepared") == {}
+    assert session_cache(spark, "exact_topk") == {}
+    assert session_cache(spark, "pq_codebook") == {}
+
+
+def test_cached_artifacts_are_memoized_per_session(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    a = prepare_corpus_cached(corpus, 6, "l2-tz", cache_key=sf_small)
+    b = prepare_corpus_cached(corpus, 6, "l2-tz", cache_key=sf_small)
+    assert a is b
+    assert load_table(spark, sf_small, "embeddings") is corpus
+    clear_caches(spark)
+    assert prepare_corpus_cached(corpus, 6, "l2-tz", cache_key=sf_small) is not a
+    clear_caches(spark)
