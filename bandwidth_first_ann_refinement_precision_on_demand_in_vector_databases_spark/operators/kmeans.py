@@ -48,12 +48,22 @@ from ..functions.vector import dist2
 KMEANS_ITERS = 3
 
 def kmeans_centroids(
-    points: DataFrame, stride: int, iters: int = KMEANS_ITERS
+    points: DataFrame, stride: int, iters: int = KMEANS_ITERS, dim: int = None
 ) -> DataFrame:
     """Train centroids over ``points`` with columns ``(grp, pid,
     pvec)`` — one independent k-means per ``grp`` value (PQ trains 8
-    subspaces at once; IVF passes a single group). Returns ``(grp,
-    cid, cvec)`` where ``cid`` is the seeding point's id.
+    subspaces at once; IVF passes a single group). ``dim`` is the
+    point dimensionality. Returns ``(grp, cid, cvec)`` where ``cid``
+    is the seeding point's id.
+
+    The mean update aggregates ``dim`` per-coordinate fixed-point
+    sums in ONE groupBy (``sum(floor(element_at(pvec, j)·10⁶))`` —
+    bit-identical to summing the exploded coordinates, so the SQL
+    replay below is unchanged) instead of posexplode + two groupBys:
+    one shuffle of one row per (group, centroid) rather than two
+    shuffles of dim× that, and — measured on the PQ codebook build —
+    one third of the per-iteration stage count, which is what the
+    wall clock pays for at fixture scale.
 
     ``iters=0`` degrades to the stride-sampled quantizer."""
     from ..session import session_cache
@@ -62,6 +72,8 @@ def kmeans_centroids(
     cents = points.where(F.col("pid") % stride == 0).select(
         "grp", F.col("pid").alias("cid"), F.col("pvec").alias("cvec")
     )
+    if iters > 0 and dim is None:
+        raise ValueError("dim is required when training (iters > 0)")
     for _ in range(iters):
         assigned = (
             points.join(F.broadcast(cents), "grp")
@@ -75,33 +87,32 @@ def kmeans_centroids(
             )
             .select("grp", F.col("__a.cid").alias("cid"), "pvec")
         )
-        means = (
-            assigned.select("grp", "cid", F.posexplode("pvec").alias("pos", "x"))
-            .groupBy("grp", "cid", "pos")
+        refit = (
+            assigned.groupBy("grp", "cid")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(
-                    F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("bigint")
-                ).alias("__s"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("pvec", j + 1).cast("double") * F.lit(1e6)
+                        ).cast("bigint")
+                    ).alias(f"__s{j}")
+                    for j in range(dim)
+                ],
             )
             .select(
                 "grp",
                 "cid",
-                "pos",
-                (F.col("__s").cast("double") / F.col("n") / F.lit(1e6)).alias("c"),
-            )
-        )
-        refit = (
-            means.groupBy("grp", "cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__s")
-            )
-            .select(
-                "grp", "cid", F.transform("__s", lambda s: s.c).alias("new_cvec")
+                F.array(
+                    *[
+                        F.col(f"__s{j}").cast("double") / F.col("n") / F.lit(1e6)
+                        for j in range(dim)
+                    ]
+                ).alias("new_cvec"),
             )
         )
         nxt = (
-            cents.join(refit, ["grp", "cid"], "left")
+            cents.join(F.broadcast(refit), ["grp", "cid"], "left")
             .select(
                 "grp", "cid", F.coalesce("new_cvec", "cvec").alias("cvec")
             )

@@ -101,7 +101,7 @@ def pq_codebook(
             F.col("vec_id").alias("pid"),
             _subvec("embedding", "m").alias("pvec"),
         )
-        cache[key] = kmeans_centroids(pts, stride, iters).select(
+        cache[key] = kmeans_centroids(pts, stride, iters, dim=PQ_SUBDIM).select(
             F.col("grp").alias("m"), "cid", "cvec"
         )
     return cache[key]

@@ -91,7 +91,7 @@ def ivf_centroids(
             F.col("vec_id").alias("pid"),
             F.col("embedding").alias("pvec"),
         )
-        cache[key] = kmeans_centroids(pts, stride, iters).select(
+        cache[key] = kmeans_centroids(pts, stride, iters, dim=LSH_DIM).select(
             F.col("cid").alias("centroid_id"), F.col("cvec")
         )
     return cache[key]

@@ -32,8 +32,8 @@ def test_centroid_ids_stable_and_deterministic(spark):
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((60, 4))
     pts = _points(spark, vecs)
-    a = {r.cid: r.cvec for r in kmeans_centroids(pts, stride=10, iters=3).collect()}
-    b = {r.cid: r.cvec for r in kmeans_centroids(pts, stride=10, iters=3).collect()}
+    a = {r.cid: r.cvec for r in kmeans_centroids(pts, stride=10, iters=3, dim=len(vecs[0])).collect()}
+    b = {r.cid: r.cvec for r in kmeans_centroids(pts, stride=10, iters=3, dim=len(vecs[0])).collect()}
     assert set(a) == {0, 10, 20, 30, 40, 50}  # id set survives training
     assert a == b  # bit-identical across runs
 
@@ -45,7 +45,7 @@ def test_two_cluster_data_converges_to_cluster_means(spark):
     hi = [[100.0 + i * 0.01, 100.0] for i in range(10)]
     vecs = lo + hi  # stride-10 seeds: pid 0 (lo blob), pid 10 (hi blob)
     pts = _points(spark, vecs)
-    out = {r.cid: r.cvec for r in kmeans_centroids(pts, stride=10, iters=3).collect()}
+    out = {r.cid: r.cvec for r in kmeans_centroids(pts, stride=10, iters=3, dim=len(vecs[0])).collect()}
     assert set(out) == {0, 10}
     assert np.allclose(out[0], np.mean(lo, axis=0), atol=1e-5)
     assert np.allclose(out[10], np.mean(hi, axis=0), atol=1e-5)
@@ -60,11 +60,11 @@ def test_groups_train_independently(spark):
     both = _points(spark, a_vecs, grp=0).union(_points(spark, b_vecs, grp=1))
     joint = {
         (r.grp, r.cid): r.cvec
-        for r in kmeans_centroids(both, stride=10, iters=2).collect()
+        for r in kmeans_centroids(both, stride=10, iters=2, dim=3).collect()
     }
     solo = {
         (0, r.cid): r.cvec
-        for r in kmeans_centroids(_points(spark, a_vecs, grp=0), stride=10, iters=2).collect()
+        for r in kmeans_centroids(_points(spark, a_vecs, grp=0), stride=10, iters=2, dim=3).collect()
     }
     for key, cvec in solo.items():
         assert joint[key] == cvec
