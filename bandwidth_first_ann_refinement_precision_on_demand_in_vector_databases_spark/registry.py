@@ -357,14 +357,18 @@ QUERIES["refine_l2_tz_ekeep_metrics"] = q_refine_l2_tz_ekeep_metrics
 
 
 #: Operating point selected by ``tools/sweep_operating_point.py`` at
-#: sf0.1 (``reports/sweep_operating_point.csv``): l2-tz, keep_m=2,
-#: stored layout keep_e=3, zlib level 9 maximizes the correctly-composed
-#: combined saving at recall 1.0 (0.670 vs 0.544 for the keep_e=5
-#: layout). Matches the reference CLI's own composition semantics
-#: (``ANNCode.py:827-833``): refinement values always come from the
-#: keep-exponent reduction; ``--ekeep`` shapes only the stored
-#: bit-plane layout and the byte accounting.
-KEEP_E_COMPRESSED = 3
+#: sf0.1 (``reports/sweep_operating_point.csv``, keep_e × keep_m ×
+#: zlib grid): l2-tz, keep_m=2, stored layout keep_e=2, zlib level 9
+#: maximizes the correctly-composed combined saving at recall 1.0
+#: (0.730 vs 0.670 for keep_e=3 and 0.544 for the keep_e=5 layout —
+#: the exponent LSB planes carry most of the residual entropy, so
+#: dropping them from the stored layout is where the compression
+#: headroom lives). Matches the reference CLI's own composition
+#: semantics (``ANNCode.py:827-833``): refinement values always come
+#: from the keep-exponent reduction; ``--ekeep`` shapes only the
+#: stored bit-plane layout and the byte accounting
+#: (``values_consistent`` flags the strict rows in the sweep CSV).
+KEEP_E_COMPRESSED = 2
 ZLIB_LEVEL_TUNED = 9
 
 

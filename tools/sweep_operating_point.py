@@ -46,7 +46,7 @@ B_FULL = 16.0 * DIM / 8.0
 MODES = ("l2-tz", "cos-l1")
 M_GRID = (6, 4, 3, 2, 1, 0)
 LEVELS = (6, 9)
-E_GRID = (5, 4, 3)
+E_GRID = (5, 4, 3, 2)
 
 
 def main() -> None:
