@@ -9,18 +9,31 @@ and FPR — and, for the Hoeffding cushions, the result set itself —
 depend on that order (W4), so the scalable fixed-τ₀ plan in
 ``refine.py`` cannot reproduce them exactly. This module can.
 
-Realization: ``groupBy(query_id).applyInPandas`` — one pandas group =
-one query — with the *corpus broadcast as NumPy matrices* so only the
-q query rows shuffle, never the corpus. Inside the group the per-
-candidate bounds are vectorized; only the threshold-update loop is
-sequential (it is sequential in the math, not just the code).
-Arithmetic is float32 end to end, matching the reference's dtypes.
+Two realizations share the float32 kernels:
 
-Scale ceiling: the corpus must fit in one executor's memory
-(broadcast). That is the same ceiling as the reference's own design
-(whole-corpus ndarray); beyond it, use the fixed-τ₀ path, which is
-shuffle-partitioned and has no such ceiling — this pairing is the
-engine's documented two-path strategy.
+* ``refine_replica`` (default) — **corpus-partitioned, order-exact**
+  (SURVEY §2.6's 100 TB variant). The evolving threshold only ever
+  *tightens* from the seed's τ₀, so the fixed-τ₀ survivor set is a
+  provable superset of everything the sequential scan can fetch or
+  use: (1) each corpus partition emits its local top-K candidates by
+  reduced and by exact score (partial top-K per partition), merged
+  globally into the seed (→ τ₀) and the ground-truth set; (2) each
+  partition filters itself to the τ₀ survivors with the same float32
+  bounds; (3) only the survivors — O(K + FPR·N) per query, never the
+  corpus — shuffle to a per-query task that replays the sequential
+  evolving-threshold loop in the exact global reduced order. Fetch
+  decisions, heap evolution, byte accounting and the final top-K are
+  bit-identical to the single-stream scan (equality-tested). The
+  corpus never leaves its partitions; no driver collect, no row
+  ceiling.
+* ``refine_replica_collected`` — the literal single-stream form
+  (corpus broadcast as one NumPy matrix), kept as the equality oracle
+  for the partitioned plan; guarded by ``max_corpus_rows``.
+
+Inside both, per-candidate bounds are vectorized; only the
+threshold-update loop is sequential (it is sequential in the math,
+not just the code). Arithmetic is float32 end to end, matching the
+reference's dtypes.
 
 Determinism deviation: the reference orders equal reduced scores by
 NumPy quicksort internals; here ties order by ``vec_id`` — affects
@@ -74,20 +87,29 @@ def _corpus_pack(corpus_pdf: pd.DataFrame, mode: str, keep_m: int):
     return pack
 
 
+def _row_dot(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
+    """Per-row dot product as an explicit axis-1 pairwise reduction.
+    BLAS gemv/dot pick height-dependent kernels whose float32 sums can
+    differ by an ulp between a full matrix and a small slice of it;
+    ``np.add.reduce`` over axis 1 depends only on the row length, so
+    the partitioned and single-stream replicas see identical values."""
+    return np.add.reduce(mat * vec[None, :], axis=1)
+
+
 def _bounds_for(mode: str, q: np.ndarray, pack: dict, delta_p: float | None):
     """Vectorized per-candidate (phase1_score, admission_bound)."""
     delta = pack["delta"]
     if is_cosine(mode):
-        s_hat = pack["red"] @ q
+        s_hat = _row_dot(pack["red"], q)
         if mode == "cos-hoeff":
             cushion = hoeff_const(delta_p) * np.linalg.norm(q[None, :] * delta, axis=1)
         elif mode == "cos-l1":
-            cushion = delta @ np.abs(q)
+            cushion = _row_dot(delta, np.abs(q))
         else:  # cos-l2
             cushion = pack["bconst"]
         return s_hat.astype(np.float32), cushion.astype(np.float32)
     a = q[None, :] - pack["red"]
-    d2_hat = np.einsum("ij,ij->i", a, a)
+    d2_hat = np.add.reduce(a * a, axis=1)
     if mode == "l2-sym":
         t = np.maximum(np.abs(a) - delta, 0.0)
         lower = (t * t).sum(axis=1)
@@ -103,29 +125,37 @@ def _bounds_for(mode: str, q: np.ndarray, pack: dict, delta_p: float | None):
     return d2_hat.astype(np.float32), lower.astype(np.float32)
 
 
-def _scan_one_query(mode: str, k: int, q: np.ndarray, pack: dict, delta_p):
-    """The evolving-threshold scan for one query. Returns
-    (topk_ids desc-quality, topk_scores, n_fetched, n_unnecessary, n_hits).
-    """
-    cos = is_cosine(mode)
-    ids = pack["ids"]
-    n = len(ids)
-    kk = min(k, n)
-    phase1, bound = _bounds_for(mode, q, pack, delta_p)
-    full = pack["full"]
+def _exact_scores(full: np.ndarray, q: np.ndarray, cos: bool) -> np.ndarray:
+    """Per-row exact score via the height-independent reduction
+    (``_row_dot``) — identical values whether computed over the whole
+    corpus or any slice of it, which is what makes the partitioned
+    replica bit-exact."""
+    if cos:
+        return _row_dot(full, q)
+    d = full - q[None, :]
+    return np.add.reduce(d * d, axis=1)
 
-    # exact scores are only computed on fetch; gt needs them all (A1)
-    exact_all = (full @ q) if cos else np.einsum(
-        "ij,ij->i", full - q[None, :], full - q[None, :]
-    )
-    gt_order = np.lexsort((ids, -exact_all if cos else exact_all))
-    gt_ids = set(ids[gt_order[:kk]].tolist())
 
-    # seed: best kk by reduced score (W5), then scan the rest best-first
+def _replay(
+    cos: bool,
+    k: int,
+    ids: np.ndarray,
+    phase1: np.ndarray,
+    bound: np.ndarray,
+    exact: np.ndarray,
+    gt_ids: set,
+):
+    """The sequential evolving-threshold loop over a candidate set in
+    global best-first reduced order. Candidates outside the fixed-τ₀
+    survivor superset can be omitted without changing anything: the
+    threshold only tightens from τ₀, so they are never fetched and
+    never touch the heap. Returns (final_ids, final_scores, n_fetched,
+    n_unnecessary, n_hits)."""
+    kk = min(k, len(ids))
     order = np.lexsort((ids, -phase1 if cos else phase1))
     seed, rest = order[:kk], order[kk:]
 
-    top_scores = exact_all[seed].astype(np.float32)
+    top_scores = exact[seed].astype(np.float32)
     top_ids = ids[seed].copy()
     worst_pos = int(np.argmin(top_scores)) if cos else int(np.argmax(top_scores))
     worst = float(top_scores[worst_pos])
@@ -139,7 +169,7 @@ def _scan_one_query(mode: str, k: int, q: np.ndarray, pack: dict, delta_p):
         else:
             if float(bound[idx]) > worst:
                 continue
-        sx = float(exact_all[idx])
+        sx = float(exact[idx])
         n_fetched += 1
         fetched.append(ids[idx])
         better = sx > worst if cos else sx < worst
@@ -163,7 +193,24 @@ def _scan_one_query(mode: str, k: int, q: np.ndarray, pack: dict, delta_p):
     )
 
 
-def refine_replica(
+def _scan_one_query(mode: str, k: int, q: np.ndarray, pack: dict, delta_p):
+    """The evolving-threshold scan for one query over a whole-corpus
+    pack. Returns (topk_ids desc-quality, topk_scores, n_fetched,
+    n_unnecessary, n_hits)."""
+    cos = is_cosine(mode)
+    ids = pack["ids"]
+    kk = min(k, len(ids))
+    phase1, bound = _bounds_for(mode, q, pack, delta_p)
+
+    # exact scores are only computed on fetch; gt needs them all (A1)
+    exact_all = _exact_scores(pack["full"], q, cos)
+    gt_order = np.lexsort((ids, -exact_all if cos else exact_all))
+    gt_ids = set(ids[gt_order[:kk]].tolist())
+
+    return _replay(cos, k, ids, phase1, bound, exact_all, gt_ids)
+
+
+def refine_replica_collected(
     queries: DataFrame,
     corpus: DataFrame,
     mode: str,
@@ -172,14 +219,12 @@ def refine_replica(
     delta: float | None = None,
     max_corpus_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Per-query replica summary frame (one row per query).
-
-    The replica intentionally collects the corpus to the driver and
-    broadcasts it (the reference's sequential evolving-threshold scan
-    is order-dependent and does not parallelize over the corpus) — a
-    parity tool, not a production path. ``max_corpus_rows`` is a hard
-    ceiling so a mistaken call on a large corpus fails fast instead of
-    OOMing the driver."""
+    """Per-query replica summary frame (one row per query) — the
+    literal single-stream form: collects the corpus to the driver and
+    broadcasts it as one NumPy pack. Kept as the equality oracle for
+    the partitioned default (``refine_replica``); ``max_corpus_rows``
+    is a hard ceiling so a mistaken call on a large corpus fails fast
+    instead of OOMing the driver."""
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}")
     spark = queries.sparkSession
@@ -220,6 +265,212 @@ def refine_replica(
         queries.select("query_id", "embedding")
         .groupBy("query_id")
         .applyInPandas(per_query, schema=REPLICA_SCHEMA)
+    )
+
+
+def _collect_queries(queries: DataFrame, cos: bool):
+    """(query_ids int64, Q float32 [q, D]) with cosine normalization
+    applied — the small side by contract; collecting q rows is the
+    same footprint every refine operator's broadcast already has.
+
+    Normalization is per-vector with the same expression the
+    single-stream scan uses (BLAS vector norm, not the matrix-axis
+    reduction — the two can differ by one float32 ulp, which the
+    bit-equality contract cannot tolerate)."""
+    q_pdf = queries.select("query_id", "embedding").toPandas()
+    qids = q_pdf["query_id"].to_numpy(dtype=np.int64)
+    rows = [np.asarray(v, dtype=np.float32) for v in q_pdf["embedding"]]
+    if cos:
+        rows = [
+            (v / max(np.linalg.norm(v), 1e-12)).astype(np.float32) for v in rows
+        ]
+    return qids, np.stack(rows)
+
+
+def refine_replica(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+) -> DataFrame:
+    """Corpus-partitioned, order-exact replica (SURVEY §2.6's 100 TB
+    variant; same output frame as ``refine_replica_collected``,
+    bit-identical — see the module docstring for the superset
+    argument).
+
+    Plan shape: two partition-local corpus passes + one survivor-only
+    shuffle. Pass 1 emits each partition's top-K candidates by reduced
+    and by exact score (2·K·q rows per partition); a window merge
+    picks the global seed → τ₀ and the ground-truth set. Pass 2 emits
+    the τ₀ survivors — seed ∪ admitted, the fixed-τ₀ fetch superset —
+    with their float32 (phase1, bound, exact) scalars. The sequential
+    replay then runs per query over survivors only. The corpus never
+    moves: both passes are ``mapInPandas`` where the rows already
+    live, and what shuffles is O(q·(K + FPR·N)) scalar rows."""
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = queries.sparkSession
+    cos = is_cosine(mode)
+    qids, Q = _collect_queries(queries, cos)
+    bc_q = spark.sparkContext.broadcast((qids, Q))
+    kk = k
+
+    cand_schema = (
+        "query_id bigint, vec_id bigint, phase1 double, bound double, "
+        "exact double, kind string"
+    )
+
+    def pass1(batches) -> "pd.DataFrame":
+        """Partition-local partial top-K: seed candidates (best kk by
+        reduced order) and gt candidates (best kk by exact)."""
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pack = _corpus_pack(pdf, mode, keep_m)
+        ids = pack["ids"]
+        q_ids, q_mat = bc_q.value
+        out = []
+        for qi, q in zip(q_ids, q_mat):
+            phase1, bound = _bounds_for(mode, q, pack, delta)
+            exact = _exact_scores(pack["full"], q, cos)
+            seed_loc = np.lexsort((ids, -phase1 if cos else phase1))[:kk]
+            gt_loc = np.lexsort((ids, -exact if cos else exact))[:kk]
+            for loc, kind in ((seed_loc, "seed"), (gt_loc, "gt")):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi,
+                            "vec_id": ids[loc],
+                            "phase1": phase1[loc].astype(np.float64),
+                            "bound": bound[loc].astype(np.float64),
+                            "exact": exact[loc].astype(np.float64),
+                            "kind": kind,
+                        }
+                    )
+                )
+        yield pd.concat(out, ignore_index=True)
+
+    cand = corpus.select("vec_id", "embedding").mapInPandas(pass1, schema=cand_schema)
+
+    # global merge of the per-partition partial top-Ks (classic
+    # partial-rank-then-merge: P·K·q rows, window over tiny input)
+    from pyspark.sql.window import Window
+
+    sgn = -1 if cos else 1
+    w_seed = Window.partitionBy("query_id").orderBy(
+        (F.col("phase1") * sgn).asc(), F.col("vec_id").asc()
+    )
+    seed = (
+        cand.where(F.col("kind") == "seed")
+        .withColumn("__r", F.row_number().over(w_seed))
+        .where(F.col("__r") <= kk)
+    )
+    # τ₀ = worst exact among the seed (the scan's initial threshold)
+    tau0 = seed.groupBy("query_id").agg(
+        (F.min("exact") if cos else F.max("exact")).alias("tau0")
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(
+        (F.col("exact") * sgn).asc(), F.col("vec_id").asc()
+    )
+    gt_pairs = (
+        cand.where(F.col("kind") == "gt")
+        .withColumn("__r", F.row_number().over(w_gt))
+        .where(F.col("__r") <= kk)
+        .select("query_id", "vec_id", F.lit(True).alias("is_gt"))
+    )
+
+    # τ₀ per query to the executors (q scalars — loader-header scale)
+    tau_map = {r["query_id"]: float(r["tau0"]) for r in tau0.collect()}
+    bc_tau = spark.sparkContext.broadcast(tau_map)
+
+    surv_schema = (
+        "query_id bigint, vec_id bigint, phase1 double, bound double, exact double"
+    )
+
+    def pass2(batches) -> "pd.DataFrame":
+        """Partition-local survivor extraction: the fixed-τ₀ admission
+        (float64 comparisons over float32 values — exactly the scan's
+        own arithmetic), which the evolving threshold can only
+        tighten."""
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pack = _corpus_pack(pdf, mode, keep_m)
+        ids = pack["ids"]
+        q_ids, q_mat = bc_q.value
+        taus = bc_tau.value
+        out = []
+        for qi, q in zip(q_ids, q_mat):
+            t0 = taus[int(qi)]
+            phase1, bound = _bounds_for(mode, q, pack, delta)
+            p64 = phase1.astype(np.float64)
+            b64 = bound.astype(np.float64)
+            keep = (p64 + b64 >= t0) if cos else (b64 <= t0)
+            if not keep.any():
+                continue
+            exact = _exact_scores(pack["full"][keep], q, cos)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi,
+                        "vec_id": ids[keep],
+                        "phase1": p64[keep],
+                        "bound": b64[keep],
+                        "exact": exact.astype(np.float64),
+                    }
+                )
+            )
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    admitted = corpus.select("vec_id", "embedding").mapInPandas(
+        pass2, schema=surv_schema
+    )
+    # survivors = admitted ∪ seed (a seed member can fail its own τ₀
+    # test — e.g. a Hoeffding cushion smaller than its score gap — but
+    # the scan fetches the whole seed unconditionally)
+    survivors = (
+        admitted.unionByName(
+            seed.select("query_id", "vec_id", "phase1", "bound", "exact")
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.first("phase1").alias("phase1"),
+            F.first("bound").alias("bound"),
+            F.first("exact").alias("exact"),
+        )
+        .join(gt_pairs, ["query_id", "vec_id"], "left")
+    )
+
+    def replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qi = int(pdf["query_id"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        phase1 = pdf["phase1"].to_numpy(dtype=np.float64).astype(np.float32)
+        bound = pdf["bound"].to_numpy(dtype=np.float64).astype(np.float32)
+        exact = pdf["exact"].to_numpy(dtype=np.float64).astype(np.float32)
+        gt_ids = set(ids[pdf["is_gt"].eq(True).to_numpy(dtype=bool)].tolist())
+        fin_ids, fin_scores, n_f, n_u, n_h = _replay(
+            cos, k, ids, phase1, bound, exact, gt_ids
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "query_id": qi,
+                    "neighbor_ids": list(fin_ids),
+                    "scores": list(fin_scores),
+                    "n_hits": n_h,
+                    "n_fetched": n_f,
+                    "n_unnecessary": n_u,
+                }
+            ]
+        )
+
+    return survivors.groupBy("query_id").applyInPandas(
+        replay_group, schema=REPLICA_SCHEMA
     )
 
 

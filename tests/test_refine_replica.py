@@ -11,6 +11,7 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
 )
 from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine_replica import (
     refine_replica,
+    refine_replica_collected,
     replica_metrics,
     replica_topk,
 )
@@ -27,6 +28,39 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
 
 K = 10
 ZERO_MISS = ("cos-l1", "cos-l2", "l2-sym", "l2-tz")
+ALL_MODES = ZERO_MISS + ("cos-hoeff", "l2-hoeff")
+
+
+@pytest.mark.parametrize("mode", ALL_MODES)
+def test_partitioned_replica_equals_collected(spark, sf_small, mode):
+    """The corpus-partitioned replica is bit-identical to the
+    single-stream scan — result sets, scores AND the order-sensitive
+    byte accounting (n_fetched / n_unnecessary / n_hits) — for every
+    mode, including the Hoeffding cushions whose *results* depend on
+    scan order. Runs with a repartitioned corpus so the partial
+    top-K / survivor merge is actually exercised across partitions."""
+    delta = 0.7 if "hoeff" in mode else None
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings").repartition(7)
+    part = (
+        refine_replica(queries, corpus, mode, K, keep_m=4, delta=delta)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    coll = (
+        refine_replica_collected(queries, corpus, mode, K, keep_m=4, delta=delta)
+        .toPandas()
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+    assert len(part) == len(coll) and len(part) > 0
+    for col in ("query_id", "n_hits", "n_fetched", "n_unnecessary"):
+        assert part[col].tolist() == coll[col].tolist(), col
+    for a, b in zip(part["neighbor_ids"], coll["neighbor_ids"]):
+        assert list(a) == list(b)
+    for a, b in zip(part["scores"], coll["scores"]):
+        assert list(a) == list(b)
 
 
 @pytest.mark.parametrize("mode", ZERO_MISS)

@@ -65,11 +65,13 @@ def test_range_join_boundary_exclusive_inclusive(spark):
     assert out.collect()[0]["n_followers"] == 1
 
 
-def test_refine_replica_guards_oversized_corpus(spark):
-    """The order-exact replica collects the corpus to the driver; an
-    oversized corpus must raise instead of attempting the collect."""
+def test_refine_replica_collected_guards_oversized_corpus(spark):
+    """The single-stream replica oracle collects the corpus to the
+    driver; an oversized corpus must raise instead of attempting the
+    collect. (The default ``refine_replica`` is corpus-partitioned and
+    has no such ceiling.)"""
     from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine_replica import (
-        refine_replica,
+        refine_replica_collected,
     )
 
     corpus = spark.range(50).select(
@@ -81,4 +83,6 @@ def test_refine_replica_guards_oversized_corpus(spark):
         F.array(*[F.rand(seed=9) for _ in range(4)]).alias("embedding"),
     )
     with pytest.raises(ValueError, match="collects the corpus"):
-        refine_replica(queries, corpus, "cos-l1", 5, keep_m=6, max_corpus_rows=10)
+        refine_replica_collected(
+            queries, corpus, "cos-l1", 5, keep_m=6, max_corpus_rows=10
+        )
