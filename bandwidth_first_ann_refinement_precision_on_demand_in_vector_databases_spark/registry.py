@@ -421,43 +421,52 @@ QUERIES.update(MULTIMODAL_QUERIES)
 QUERIES.update(CURATION_QUERIES)
 
 #: The correctness harness executes queries in registration order under
-#: a global budget — the r01/r02 runs stopped after 50 of 61, leaving
-#: the ann/dedup-embedding/media/stream families without a single
-#:  driver row. Front-load exactly those (plus the two previously
-#: red rows and this round's new queries) so a truncated run still
-#: covers the whole surface; the long-green remainder follows in its
-#: original order.
+#: a global budget (a ~50-query window per round). Rotation policy: put
+#: (1) queries whose semantics CHANGED this round — they need a fresh
+#: driver row before anything else — then (2) the queries whose latest
+#: green row is oldest (r04: the 28 join/agg/text/dedup queries last
+#: checked in r02), so no query's driver check goes more than two
+#: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    "rownorm_unit",
-    "reduce_precision",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "media_metadata",
+    # changed in r04: real-decoder features (new oracle) + trained PQ
+    # codebooks (new training replayed in every PQ oracle)
     "media_features",
-    "media_decode",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_lsh_topk",
-    "ann_lsh_recall",
     "pq_codes",
     "ann_pq_topk",
     "ann_pq_refined_topk",
     "ann_pq_recall",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
-    "corpus_curation",
-    "vocab_topn",
-    "corpus_sample",
-    "embedding_dim_stats",
-    "grouping_sets_orders",
-    "window_range_frame",
-    "pivot_events",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "reduce_precision_ekeep",
-    "refine_l2_tz_ekeep_metrics",
     "refine_l2_tz_compressed_metrics",
+    # stale since r02 (not in the r03 window)
+    "rollup_lineitem",
+    "cube_orders",
+    "count_distinct",
+    "approx_count_distinct",
+    "region_revenue",
+    "top_orders",
+    "semi_join",
+    "anti_join",
+    "asof_join",
+    "range_join",
+    "window_running",
+    "window_rank",
+    "set_ops",
+    "scalar_text",
+    "scalar_datetime",
+    "scalar_json",
+    "salted_agg",
+    "value_quantiles",
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_sketch",
+    "dedup_simhash",
 ]
 assert all(name in QUERIES for name in _FRONT)
 QUERIES = {name: QUERIES[name] for name in _FRONT} | {

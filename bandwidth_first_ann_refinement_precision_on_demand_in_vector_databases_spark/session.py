@@ -93,7 +93,26 @@ def get_spark(
 #: analyzed-plan node names that imply a shuffle (or explicit
 #: repartition) below this frame — its parallelism is then governed by
 #: spark.sql.shuffle.partitions, not by the input file count.
-_WIDE_NODES = ("Join", "Aggregate", "Repartition", "Window", "Deduplicate")
+_WIDE_NODES = frozenset(
+    {"Join", "Aggregate", "Window", "Deduplicate",
+     "Repartition", "RepartitionByExpression"}
+)
+
+
+def _has_wide_node(jplan) -> bool:
+    """Walk the analyzed plan tree comparing node CLASS names — a
+    substring search over the rendered plan string would false-match a
+    column name or string literal containing e.g. 'Window' and
+    silently skip the repartition guard."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _WIDE_NODES:
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):
@@ -106,14 +125,13 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     locally it spreads the corpus across the cluster once, *before*
     the operator multiplies the work (×queries, ×shingles, ×hashes).
 
-    The narrow/wide test reads the *analyzed* logical plan only:
+    The narrow/wide test walks the *analyzed* logical plan only:
     probing ``df.rdd.getNumPartitions()`` would force full physical
     planning plus RDD conversion (~3s of driver time on a wide plan,
     measured in the curation pipeline) just to learn a partition count
     that a downstream-of-shuffle frame makes irrelevant anyway.
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if any(node in plan for node in _WIDE_NODES):
+    if _has_wide_node(df._jdf.queryExecution().analyzed()):
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):

@@ -33,12 +33,15 @@ def test_codes_shape_and_domain(spark, sf_small):
     assert {r.m for r in rows} == set(range(P.PQ_M))
 
 
-def test_centroid_vectors_reconstruct_exactly(spark, sf_small):
-    """A vector that seeded the codebook is its own nearest centroid
-    in every subspace (d²=0), so its reconstruction must be exact —
-    any slicing/ordering/flatten bug breaks this."""
+def test_centroid_vectors_reconstruct_exactly_untrained(spark, sf_small):
+    """With the untrained (stride-sampled) codebook, a vector that
+    seeded it is its own nearest centroid in every subspace (d²=0),
+    so its reconstruction must be exact — any slicing/ordering/
+    flatten bug breaks this. (The trained codebook moves centroids to
+    cluster means, so the sharp identity holds only at iters=0.)"""
     corpus = load_table(spark, sf_small, "embeddings")
-    recon = P.pq_reconstruct(corpus).where(F.col("vec_id") % P.PQ_STRIDE == 0)
+    cb0 = P.pq_codebook(corpus, iters=0)
+    recon = P.pq_reconstruct(corpus, cb0).where(F.col("vec_id") % P.PQ_STRIDE == 0)
     orig = corpus.where(F.col("vec_id") % P.PQ_STRIDE == 0).select(
         "vec_id", "embedding"
     )
@@ -46,6 +49,30 @@ def test_centroid_vectors_reconstruct_exactly(spark, sf_small):
     assert joined
     for r in joined:
         assert [float(x) for x in r.recon] == [float(x) for x in r.embedding], r.vec_id
+
+
+def test_trained_codebook_lowers_distortion(spark, sf_small):
+    """The point of training: total reconstruction error (ADC
+    distortion) with the trained codebook is strictly below the
+    stride-sampled codebook's."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+        dist2,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+
+    def distortion(cb):
+        rec = P.pq_reconstruct(corpus, cb)
+        return (
+            rec.join(corpus.select("vec_id", "embedding"), "vec_id")
+            .select(dist2("embedding", "recon").alias("d2"))
+            .agg(F.sum("d2"))
+            .first()[0]
+        )
+
+    untrained = distortion(P.pq_codebook(corpus, iters=0))
+    trained = distortion(P.pq_codebook(corpus))  # default iters
+    assert trained < untrained
 
 
 def test_refined_recall_dominates_plain_pq(spark, sf_small):

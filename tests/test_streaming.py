@@ -91,6 +91,87 @@ def test_session_watermark_drops_late(spark, sf_small, stream_dir):
     assert stream_total < batch_total
 
 
+def test_tumbling_watermark_incremental_progression(spark, tmp_path):
+    """True incremental execution: hand-built micro-batches with a
+    controlled out-of-order row, run in APPEND mode so results are
+    emitted exactly when the watermark passes a window's end.
+
+    Batch timeline (10-minute tumble, 15-minute watermark; the
+    watermark in effect during batch N is derived from data through
+    batch N-1):
+      b1: 10:00, 10:02, 10:40      → watermark 10:25 from b2 on
+      b2: 11:00                    → closes [10:00,10:10) with n=2;
+                                     watermark 10:45 from b3 on
+      b3: 10:01 (LATE — behind the 10:45 watermark: must be dropped,
+          NOT resurrect the already-closed 10:00 window), 11:30
+      b4: 12:00                    → watermark 11:15, closes the
+                                     [10:40) and [11:00) windows
+    The same rows as one batch query count 3 events in [10:00,10:10) —
+    the difference is precisely the dropped late row, and a
+    non-dropped late row would also show up as a duplicate emission
+    for the closed window."""
+    import os
+    import shutil
+
+    rows = {
+        1: [("2024-01-01 10:00:00", "A", 1.0), ("2024-01-01 10:02:00", "A", 1.0),
+            ("2024-01-01 10:40:00", "A", 1.0)],
+        2: [("2024-01-01 11:00:00", "A", 1.0)],
+        3: [("2024-01-01 10:01:00", "A", 1.0), ("2024-01-01 11:30:00", "A", 1.0)],
+        4: [("2024-01-01 12:00:00", "A", 1.0)],
+    }
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for i, batch in rows.items():
+        tmp = str(tmp_path / f"w{i}")
+        df = spark.createDataFrame(
+            batch, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        # file-source batches are ordered by modification time — pin it
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    file_schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        tumbling_counts(stream)  # default 15-minute watermark
+        .writeStream.format("memory")
+        .queryName("mem_tumble_incr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r["win_start"]), r["n_events"])
+        for r in spark.table("mem_tumble_incr").collect()
+    )
+    # only watermark-closed windows are emitted, exactly once each
+    # (availableNow ends with an empty batch whose 11:45 watermark
+    # also closes the 11:30 window; the 12:00 window stays open and
+    # unemitted). The late 10:01 row is neither in the 10:00 window's
+    # count nor a duplicate resurrection of that closed window.
+    assert got == [
+        ("2024-01-01 10:00:00", 2),
+        ("2024-01-01 10:40:00", 1),
+        ("2024-01-01 11:00:00", 1),
+        ("2024-01-01 11:30:00", 1),
+    ]
+    # the identical rows as one batch: the 10:00 window counts 3
+    batch_counts = {
+        str(r["win_start"]): r["n_events"]
+        for r in tumbling_counts(spark.read.parquet(stream_dir)).collect()
+    }
+    assert batch_counts["2024-01-01 10:00:00"] == 3
+
+
 def test_streaming_topk_converges(spark, sf_small, stream_dir):
     """After all micro-batches, the per-user state equals the batch
     top-K by (value desc, event_id asc)."""
