@@ -429,8 +429,11 @@ QUERIES.update(CURATION_QUERIES)
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
     # changed in r04: real-decoder features (new oracle) + trained PQ
-    # codebooks (new training replayed in every PQ oracle)
+    # codebooks (new training replayed in every PQ oracle) + the two
+    # new index-artifact queries
     "media_features",
+    "pq_codebook",
+    "ivf_cell_sizes",
     "pq_codes",
     "ann_pq_topk",
     "ann_pq_refined_topk",

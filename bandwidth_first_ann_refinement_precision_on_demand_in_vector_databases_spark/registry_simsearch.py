@@ -448,6 +448,65 @@ SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 """
 
 
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebook itself as a first-class checked
+    artifact — (m, cid, pos, c) long scalar form. Hash-matching this
+    against the unrolled-Lloyd SQL replay pins every moving part of
+    the trainer (stride seeding, struct-min assignment, fixed-point
+    means, empty-cluster carryover) independently of any downstream
+    consumer."""
+    cb = P.pq_codebook(load_table(spark, sf_dir, "embeddings"))
+    # fixed-point projection (floor, like embedding_dim_stats) rather
+    # than round(…, 6): raw float32 seed coordinates can land exactly
+    # on a decimal rounding tie, where the engines' round() disagree
+    return cb.select(
+        F.col("m").cast("int").alias("m"),
+        "cid",
+        F.posexplode("cvec").alias("pos", "__c"),
+    ).select(
+        "m",
+        "cid",
+        "pos",
+        F.floor(F.col("__c").cast("double") * F.lit(1e6))
+        .cast("bigint")
+        .alias("c_micro"),
+    )
+
+
+SQL_PQ_CODEBOOK = f"""
+WITH ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
+pqkm_pts AS (
+  SELECT m AS grp, vec_id AS pid,
+         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS pvec
+  FROM embeddings CROSS JOIN ms
+),
+{_PQ_KM_CTES}
+SELECT CAST(grp AS INT) AS m, cid,
+       CAST(generate_subscripts(cvec, 1) - 1 AS INT) AS pos,
+       CAST(floor(CAST(unnest(cvec) AS DOUBLE) * 1000000) AS BIGINT) AS c_micro
+FROM {_PQ_KM_FINAL}
+"""
+
+
+def q_ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size histogram of the IVF coarse partition — the skew
+    diagnostic an operator runs before choosing ``cell`` as the
+    storage partition key (a hot cell = a hot partition at 100 TB)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(corpus, S.ivf_centroids(corpus))
+    return (
+        assigned.groupBy(F.col("cell").alias("cell"))
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+SQL_IVF_CELL_SIZES = f"""
+WITH q AS ({SQL_Q_CTE}),
+{SQL_IVF_BODY}
+SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell
+"""
+
+
 SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -459,6 +518,8 @@ SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_recall": q_ann_pq_recall,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "pq_codebook": q_pq_codebook,
+    "ivf_cell_sizes": q_ivf_cell_sizes,
 }
 
 SIMSEARCH_ORACLES: dict[str, str] = {
@@ -472,4 +533,6 @@ SIMSEARCH_ORACLES: dict[str, str] = {
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
     "ann_ivfpq_recall": SQL_ANN_IVFPQ_RECALL,
+    "pq_codebook": SQL_PQ_CODEBOOK,
+    "ivf_cell_sizes": SQL_IVF_CELL_SIZES,
 }
