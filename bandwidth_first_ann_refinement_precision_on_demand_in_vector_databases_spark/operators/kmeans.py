@@ -69,11 +69,25 @@ def kmeans_centroids(
     from ..session import session_cache
 
     persisted = session_cache(points.sparkSession, "kmeans_persisted")
+    if iters > 0 and dim is None:
+        raise ValueError("dim is required when training (iters > 0)")
+    if iters > 0:
+        # a point of the wrong dimension would otherwise train silently
+        # wrong (zip_with truncates, element_at returns null) — fail loud
+        points = points.withColumn(
+            "pvec",
+            F.when(F.size("pvec") == dim, F.col("pvec")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"kmeans expects dimension {dim}, got "),
+                        F.size("pvec").cast("string"),
+                    )
+                )
+            ),
+        )
     cents = points.where(F.col("pid") % stride == 0).select(
         "grp", F.col("pid").alias("cid"), F.col("pvec").alias("cvec")
     )
-    if iters > 0 and dim is None:
-        raise ValueError("dim is required when training (iters > 0)")
     for _ in range(iters):
         assigned = (
             points.join(F.broadcast(cents), "grp")

@@ -68,3 +68,17 @@ def test_groups_train_independently(spark):
     }
     for key, cvec in solo.items():
         assert joint[key] == cvec
+
+
+def test_dimension_mismatch_fails_loud(spark):
+    """A point whose dimension disagrees with ``dim`` must raise at
+    training time, not silently truncate (zip_with) or null out
+    (element_at) the sums."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(0, 0, [1.0, 2.0]), (0, 1, [1.0, 2.0, 3.0])]
+    pts = spark.createDataFrame(rows, "grp int, pid bigint, pvec array<double>")
+    with pytest.raises(Exception) as exc:
+        kmeans_centroids(pts, stride=1, iters=1, dim=2).collect()
+    assert "kmeans expects dimension 2" in str(exc.value)
