@@ -24,4 +24,4 @@ FP16 semantics or per-query sequential state genuinely require it.
 
 __version__ = "0.1.0"
 
-from .session import get_spark  # noqa: F401
+from .session import clear_caches, get_spark, session_cache  # noqa: F401

@@ -404,6 +404,35 @@ def q_refine_l2_tz_compressed_metrics(spark: SparkSession, sf_dir: str) -> DataF
 
 QUERIES["refine_l2_tz_compressed_metrics"] = q_refine_l2_tz_compressed_metrics
 
+
+def q_refine_l2_tz_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-exact (order-sensitive) metrics at the tuned
+    operating point via the corpus-partitioned evolving-threshold
+    replica (``operators/refine_replica.py``) — the byte accounting
+    the reference itself would report, distributed with no collect
+    ceiling. rows-only check: the sequential float32 scan has no SQL
+    form; ``reports/replica_vs_fixed_tau.csv`` records it against the
+    fixed-τ₀ lower bound at bench scale."""
+    from .operators.refine_replica import refine_replica, replica_metrics
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    n_corpus = corpus.count()
+    rep = refine_replica(
+        queries_view(spark, sf_dir), corpus, "l2-tz", K_DEFAULT, KEEP_M_TUNED
+    )
+    out = replica_metrics(rep, "l2-tz", K_DEFAULT, KEEP_M_TUNED, n_corpus, dim=64)
+    return out.select(
+        "mode",
+        "m_keep",
+        "delta",
+        F.round("recall", 6).alias("recall"),
+        F.round("save", 6).alias("save"),
+        F.round("fpr", 6).alias("fpr"),
+    )
+
+
+QUERIES["refine_l2_tz_exact_metrics"] = q_refine_l2_tz_exact_metrics
+
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_curation import CURATION_ORACLES, CURATION_QUERIES  # noqa: E402
 from .registry_multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES  # noqa: E402
@@ -434,6 +463,7 @@ _FRONT = [
     "media_features",
     "pq_codebook",
     "ivf_cell_sizes",
+    "refine_l2_tz_exact_metrics",
     "pq_codes",
     "ann_pq_topk",
     "ann_pq_refined_topk",
