@@ -464,6 +464,8 @@ _FRONT = [
     "pq_codebook",
     "ivf_cell_sizes",
     "refine_l2_tz_exact_metrics",
+    "stream_dedup_events",
+    "stream_interval_join",
     "pq_codes",
     "ann_pq_topk",
     "ann_pq_refined_topk",

@@ -13,7 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources.fixtures import load_table
-from .streaming.windows import session_windows, sliding_counts, tumbling_counts
+from .streaming.windows import (
+    click_purchase_join,
+    dedup_events,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
 
 
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,14 +83,43 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_events(load_table(spark, sf_dir, "events"))
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type,
+       time_bucket(INTERVAL '1 minute', ts) AS minute_start
+FROM events
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return click_purchase_join(load_table(spark, sf_dir, "events"))
+
+
+SQL_INTERVAL_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": q_tumbling,
     "stream_sliding_counts": q_sliding,
     "stream_session_windows": q_session,
+    "stream_dedup_events": q_dedup,
+    "stream_interval_join": q_interval_join,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
     "stream_tumbling_counts": SQL_TUMBLING,
     "stream_sliding_counts": SQL_SLIDING,
     "stream_session_windows": SQL_SESSION,
+    "stream_dedup_events": SQL_STREAM_DEDUP,
+    "stream_interval_join": SQL_INTERVAL_JOIN,
 }

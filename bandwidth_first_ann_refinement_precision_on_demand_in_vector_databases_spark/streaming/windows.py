@@ -26,6 +26,8 @@ SLIDE_LEN = "10 minutes"
 SLIDE_STEP = "5 minutes"
 SESSION_GAP = "5 minutes"
 LATE_THRESHOLD = "15 minutes"
+DEDUP_BUCKET = "1 minute"
+JOIN_WINDOW = "30 minutes"
 
 
 def _maybe_watermark(events: DataFrame, ts_col: str, late: str) -> DataFrame:
@@ -77,6 +79,64 @@ def sliding_counts(events: DataFrame, ts_col: str = "ts", late: str = LATE_THRES
             "event_type",
             "n_events",
         )
+    )
+
+
+def dedup_events(
+    events: DataFrame, ts_col: str = "ts", late: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Streaming-capable deduplication: at most one row per (user,
+    event_type, 1-minute bucket). Batch input runs a plain distinct;
+    streaming input runs ``dropDuplicatesWithinWatermark`` so dedup
+    state is bounded by the watermark instead of growing forever —
+    the semantics a 100 TB ingest pipeline needs (duplicates arrive
+    close together in event time; state for old buckets is dropped).
+    Output carries only the (deterministic) key columns."""
+    ev = _maybe_watermark(events, ts_col, late)
+    # the watermarked event-time column must survive until the dedup
+    # operator sees it; it is dropped from the (deterministic) output
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        F.window(F.col(ts_col), DEDUP_BUCKET).start.alias("minute_start"),
+        F.col(ts_col).alias("__ts"),
+    )
+    keys = ["user_id", "event_type", "minute_start"]
+    if events.isStreaming:
+        return keyed.dropDuplicatesWithinWatermark(keys).drop("__ts")
+    return keyed.dropDuplicates(keys).drop("__ts")
+
+
+def click_purchase_join(
+    events: DataFrame, ts_col: str = "ts", late: str = LATE_THRESHOLD
+) -> DataFrame:
+    """Stream-stream (self) interval join: every purchase within
+    ``JOIN_WINDOW`` after a click by the same user. Batch input is a
+    plain range-condition join; streaming input is Spark's
+    watermarked stream-stream join, where the interval bound is what
+    lets the state store expire old clicks. One builder, both modes."""
+    ev = _maybe_watermark(events, ts_col, late)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col(ts_col).alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {JOIN_WINDOW}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
     )
 
 

@@ -19,6 +19,8 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
     streaming_topk,
 )
 from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.windows import (
+    click_purchase_join,
+    dedup_events,
     session_windows,
     sliding_counts,
     tumbling_counts,
@@ -46,6 +48,27 @@ def _run_stream(spark, stream_dir, build, name):
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _run_stream_append(spark, stream_dir, build, name):
+    """Append-mode runner (dedup and stream-stream joins reject
+    complete mode)."""
+    schema = spark.read.parquet(stream_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
@@ -89,6 +112,67 @@ def test_session_watermark_drops_late(spark, sf_small, stream_dir):
     batch_total = load_table(spark, sf_small, "events").count()
     stream_total = streamed.agg(F.sum("n_events")).first()[0]
     assert stream_total < batch_total
+
+
+def test_stream_dedup_equals_batch(spark, sf_small, stream_dir):
+    """dropDuplicatesWithinWatermark over multi-batch replay produces
+    the batch distinct (wide watermark: every duplicate arrives within
+    it)."""
+    cols = ["user_id", "event_type", "minute_start"]
+    batch = dedup_events(load_table(spark, sf_small, "events"))
+    streamed = _run_stream_append(
+        spark, stream_dir, lambda ev: dedup_events(ev, late=WIDE), "mem_dedup"
+    )
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_interval_join_equals_batch(spark, sf_small, stream_dir):
+    """The watermarked stream-stream self interval join converges to
+    the batch range join on the same events."""
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"]
+    batch = click_purchase_join(load_table(spark, sf_small, "events"))
+    streamed = _run_stream_append(
+        spark, stream_dir, lambda ev: click_purchase_join(ev, late=WIDE), "mem_ssjoin"
+    )
+    assert _rows(batch, cols) == _rows(streamed, cols)
+    assert streamed.count() > 0
+
+
+def test_stream_dedup_drops_duplicate_across_batches(spark, tmp_path):
+    """Multi-batch progression: an exact duplicate key arriving in a
+    later micro-batch (within the watermark) is dropped; a new key is
+    kept."""
+    import os
+    import shutil
+
+    batches = {
+        1: [(1, "click", "2024-01-01 10:00:10", 100, 1.0)],
+        2: [(1, "click", "2024-01-01 10:00:40", 101, 1.0),   # same minute: dup
+            (2, "view", "2024-01-01 10:01:00", 102, 1.0)],   # new key
+    }
+    stream_dir = str(tmp_path / "dedup_stream")
+    os.makedirs(stream_dir)
+    for i, rows in batches.items():
+        tmp = str(tmp_path / f"d{i}")
+        spark.createDataFrame(
+            rows, "user_id bigint, event_type string, ts string, event_id bigint, value double"
+        ).select(
+            "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"), "event_id", "value",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"d{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    streamed = _run_stream_append(spark, stream_dir, dedup_events, "mem_dedup_prog")
+    got = sorted(
+        (r["user_id"], r["event_type"], str(r["minute_start"]))
+        for r in streamed.collect()
+    )
+    assert got == [
+        (1, "click", "2024-01-01 10:00:00"),
+        (2, "view", "2024-01-01 10:01:00"),
+    ]
 
 
 def test_tumbling_watermark_incremental_progression(spark, tmp_path):
