@@ -129,11 +129,16 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     probing ``df.rdd.getNumPartitions()`` would force full physical
     planning plus RDD conversion (~3s of driver time on a wide plan,
     measured in the curation pipeline) just to learn a partition count
-    that a downstream-of-shuffle frame makes irrelevant anyway.
+    that a downstream-of-shuffle frame makes irrelevant anyway. For
+    the surviving narrow case the scan's parallelism is estimated from
+    ``inputFiles()`` (file listing, no physical planning, no RDD
+    conversion): an under-split source has few files; a source with
+    many files (or one huge splittable file, where this undercounts
+    and repartitions harmlessly) is already parallel enough.
     """
     if _has_wide_node(df._jdf.queryExecution().analyzed()):
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target)
     return df
