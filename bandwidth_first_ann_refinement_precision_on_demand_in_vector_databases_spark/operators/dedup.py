@@ -382,3 +382,74 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+#: fixed min-label-propagation rounds for duplicate clustering: labels
+#: reach the component minimum within (diameter) hops, and near-dup
+#: components are shallow (pairs chain through shared shingles);
+#: stability at the fixture scale is test-asserted (labels identical
+#: at CC_ITERS and CC_ITERS+1). The DuckDB oracle replays the same
+#: unrolled rounds, so both engines agree bit-for-bit even if some
+#: pathological component were still converging.
+CC_ITERS = 5
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    iters: int = CC_ITERS,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster duplicate PAIRS into connected components — what a
+    production dedup actually needs (pick one canonical doc per
+    component, not per pair). Iterative min-label propagation as
+    declarative plans: ``label(v) ← min(label(v), min over neighbors
+    of label(n))``, ``iters`` rounds, labels initialized to the node
+    id, restricted to nodes that appear in at least one pair.
+
+    Returns ``(doc_id, component_id, component_size)`` with
+    ``component_id`` = the component's smallest doc id.
+
+    Scale: each round is one equi-join of the (small) edge set with
+    the label frame plus a min-aggregate — the textbook BSP connected
+    components. The edge set is CHECKPOINTED once before iterating:
+    every round references it, so without truncation the logical plan
+    re-embeds the whole upstream pair pipeline 2^iters times (the
+    explain string alone OOMs the driver — measured). Iterative
+    operators must cut lineage, exactly as the k-means trainer
+    persists its per-round centroids. The large-star/small-star
+    contraction is the drop-in accelerant if duplicate components
+    ever get deep, without changing this operator's contract."""
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(iters):
+        nb = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(nb, labels.id == nb.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            "component_size",
+        )
+    )

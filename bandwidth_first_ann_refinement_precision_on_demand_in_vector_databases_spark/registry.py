@@ -466,6 +466,7 @@ _FRONT = [
     "refine_l2_tz_exact_metrics",
     "stream_dedup_events",
     "stream_interval_join",
+    "dedup_components",
     "pq_codes",
     "ann_pq_topk",
     "ann_pq_refined_topk",

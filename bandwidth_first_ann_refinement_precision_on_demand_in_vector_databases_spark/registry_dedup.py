@@ -130,6 +130,59 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {MINHASH_TAU}
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH duplicate pairs
+    (min-label propagation, ``CC_ITERS`` fixed rounds — the oracle
+    unrolls the identical rounds). Production dedup keeps one
+    canonical doc per component; this emits the component membership
+    that decision needs."""
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=SHINGLE_N, threshold=MINHASH_TAU
+    )
+    return D.duplicate_components(pairs)
+
+
+def _sql_cc_rounds(iters: int) -> str:
+    parts = [
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"
+    ]
+    for i in range(1, iters + 1):
+        prev, cur = f"l{i - 1}", f"l{i}"
+        parts.append(f"""nb{i} AS (
+  SELECT e.src, min(l.label) AS nb_label
+  FROM edges e JOIN {prev} l ON l.id = e.dst GROUP BY e.src
+)""")
+        parts.append(f"""{cur} AS (
+  SELECT v.id, least(v.label, coalesce(n.nb_label, v.label)) AS label
+  FROM {prev} v LEFT JOIN nb{i} n ON n.src = v.id
+)""")
+    return ",\n".join(parts)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH {SQL_MINHASH_CTES},
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, {_SQL_JAC} AS jaccard
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+),
+dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= {MINHASH_TAU}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+{_sql_cc_rounds(D.CC_ITERS)},
+sizes AS (SELECT label, count(*) AS component_size FROM l{D.CC_ITERS} GROUP BY label)
+SELECT l.id AS doc_id, l.label AS component_id, s.component_size
+FROM l{D.CC_ITERS} l JOIN sizes s ON s.label = l.label
+"""
+
+
 def q_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.simhash_sketch(load_table(spark, sf_dir, "documents"))
@@ -232,6 +285,7 @@ DEDUP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "simhash_sketch": q_simhash_sketch,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -243,6 +297,7 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "simhash_sketch": SQL_SIMHASH_SKETCH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding": _sql_dedup_lsh(NEARDUP_COS_TAU),

@@ -108,3 +108,30 @@ def test_exact_dedup_collision_resolution_branch(spark):
         dd.F.xxhash64 = orig
     # "alpha"×2 → (1, 2); "beta"/"Beta" lowercase-equal → (3, 2)
     assert out == [(1, 2), (3, 2)]
+
+
+def test_duplicate_components_on_synthetic_graph(spark):
+    """A chain a-b-c plus an isolated pair (d,e): two components with
+    min-id labels and correct sizes; fixed-round propagation is
+    already stable (one extra round changes nothing)."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.dedup import (
+        CC_ITERS,
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "id_a bigint, id_b bigint"
+    )
+    rows = {
+        r.doc_id: (r.component_id, r.component_size)
+        for r in duplicate_components(pairs).collect()
+    }
+    assert rows == {
+        10: (10, 3), 20: (10, 3), 30: (10, 3),
+        40: (40, 2), 50: (40, 2),
+    }
+    more = {
+        r.doc_id: (r.component_id, r.component_size)
+        for r in duplicate_components(pairs, iters=CC_ITERS + 1).collect()
+    }
+    assert more == rows
