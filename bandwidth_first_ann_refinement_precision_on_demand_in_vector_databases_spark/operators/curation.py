@@ -13,12 +13,14 @@ text-derived signal is computed, and the only shuffles are the ones
 the dedup stages already pay (8-byte hash keys, shingle index, band
 keys — never document bodies).
 
-Near-dup policy: a canonical document is dropped iff it near-matches
-(Jaccard ≥ τ via MinHash banding) some *smaller-id* canonical
-document. Pair emission already guarantees ``id_a < id_b``, so the
-policy is one distinct + left-anti join — deterministic,
-SQL-replayable, no transitive-closure iteration (greedy chain
-collapse is a separate offline pass at production scale).
+Near-dup policy: near-dup pairs (Jaccard ≥ τ via MinHash banding) are
+clustered into connected components (``dedup.duplicate_components`` —
+BSP min-label propagation, fixed rounds) and exactly ONE canonical
+survives per component: the smallest doc id. A pair-greedy "drop
+every id_b" policy keeps every *local* minimum — a chain A~B~C with
+A < C < B would keep both A and C even though they sit in one
+near-dup cluster; the component policy keeps only A. Deterministic
+and SQL-replayable (the oracle unrolls the same propagation rounds).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import predicted_lang, quality_score, token_count
-from .dedup import exact_dedup, minhash_lsh_pairs
+from .dedup import duplicate_components, exact_dedup, minhash_lsh_pairs
 
 QUALITY_MIN = 0.5  #: keep + borderline buckets (registry_text thresholds)
 
@@ -67,11 +69,13 @@ def curate_corpus(
     ).persist()
 
     # near-dup removal among canonicals only (exact copies are gone,
-    # so banding never wastes candidates on identical texts)
+    # so banding never wastes candidates on identical texts): cluster
+    # the pairs into components and drop every non-minimum member
     pairs = minhash_lsh_pairs(
         canon, n=shingle_n, threshold=jaccard_tau, text_col="text", id_col="doc_id"
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    comps = duplicate_components(pairs)
+    drop = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
     kept = canon.join(drop, "doc_id", "left_anti")
     return kept.select(
         "doc_id",

@@ -467,6 +467,7 @@ _FRONT = [
     "stream_dedup_events",
     "stream_interval_join",
     "dedup_components",
+    "corpus_curation",
     "pq_codes",
     "ann_pq_topk",
     "ann_pq_refined_topk",

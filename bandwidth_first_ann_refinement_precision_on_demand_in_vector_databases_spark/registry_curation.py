@@ -14,12 +14,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import dedup as D
 from .operators.curation import QUALITY_MIN, curate_corpus
 from .registry_dedup import (
     _SQL_JAC,
     MINHASH_TAU,
     SHINGLE_N,
     _sql_band_rows,
+    _sql_cc_rounds,
     sql_minhash_ctes,
 )
 from .registry_text import (
@@ -67,12 +69,19 @@ cand AS (
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
 ),
 pairs AS (
-  SELECT c.id_a, c.id_b, round({_SQL_JAC}, 6) AS jaccard
+  SELECT c.id_a, c.id_b, {_SQL_JAC} AS jaccard
   FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
 ),
-dropped AS (SELECT DISTINCT id_b FROM pairs WHERE jaccard >= {MINHASH_TAU})
+dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= {MINHASH_TAU}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+{_sql_cc_rounds(D.CC_ITERS)},
+dropped AS (SELECT id FROM l{D.CC_ITERS} WHERE id != label)
 SELECT doc_id, n_tokens, round(q, 6) AS quality, pred_lang, n_copies
-FROM canon WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+FROM canon WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
 
 
