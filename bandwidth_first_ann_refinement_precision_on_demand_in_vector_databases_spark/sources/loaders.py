@@ -7,6 +7,7 @@ The reference reads three matrix formats into NumPy
 * S1 ``.vec``   — FastText text: header ``N D``, lines ``token v1..vD``
 * S2 ascii-bin  — two ASCII int lines ``L`` ``D``, then ``L*D`` float32
 * S3 ``.fvecs`` — FAISS/SIFT records ``[int32 D][D×float32]``
+* S3b ``.ivecs`` — int32 sibling (benchmark ground-truth lists)
 * S4 dispatch   — route by extension
 * S5 synthetic  — seeded Gaussian demo corpus (``ANNCode.py:816-819``)
 
@@ -31,7 +32,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 VECTOR_SCHEMA = StructType(
     [
@@ -152,6 +160,57 @@ def load_fvecs(spark: SparkSession, path: str, max_rows: int | None = DEFAULT_MA
     return _binary_records_df(spark, path, _decode_fvecs, max_rows)
 
 
+GROUNDTRUTH_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType(), False),
+        StructField("neighbor_ids", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+
+def load_ivecs(
+    spark: SparkSession, path: str, max_rows: int | None = DEFAULT_MAX_ROWS
+) -> DataFrame:
+    """``.ivecs`` — the int32 sibling of ``.fvecs`` and the format ANN
+    benchmarks (SIFT/GIST/Deep1B) ship ground-truth neighbor lists in:
+    records ``[int32 K][K×int32 ids]``. Returns ``(query_id,
+    neighbor_ids)`` — the ground-truth shape ``ann_recall`` consumes
+    after a posexplode. The reference stops at ``.fvecs``
+    (``ANNCode.py:140-158``); a user evaluating against published
+    ground truth needs this sibling."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def chop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                arr = np.frombuffer(data, dtype=np.int32)
+                if arr.size == 0:
+                    continue
+                k = int(arr[0])
+                if k <= 0 or arr.size % (k + 1) != 0:
+                    raise ValueError("bad ivecs")
+                mat = arr.reshape(-1, k + 1)
+                if not (mat[:, 0] == k).all():
+                    raise ValueError("bad ivecs (ragged K)")
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.arange(mat.shape[0], dtype=np.int64),
+                        "neighbor_ids": list(
+                            np.ascontiguousarray(mat[:, 1:])
+                        ),
+                    }
+                )
+
+    out = raw.mapInPandas(chop, schema=GROUNDTRUTH_SCHEMA)
+    if max_rows is None:
+        return out
+    ranked = out.withColumn(
+        "__h", F.xxhash64(F.col("query_id"), F.lit(SAMPLE_SEED))
+    )
+    return ranked.orderBy("__h").limit(max_rows).drop("__h")
+
+
 def _decode_int_header(data: bytes) -> np.ndarray:
     """S4 fallback: ``[int32 L][int32 D]`` header binary (``ANNCode.py:150-158``)."""
     rows, dim = np.frombuffer(data, dtype=np.int32, count=2)
@@ -166,6 +225,8 @@ def load_matrix(spark: SparkSession, path: str, max_rows: int | None = DEFAULT_M
         return load_vec(spark, path, max_rows)
     if lowered.endswith(".fvecs"):
         return load_fvecs(spark, path, max_rows)
+    if lowered.endswith(".ivecs"):
+        return load_ivecs(spark, path, max_rows)
     if lowered.endswith(".parquet"):
         return _subsample(spark.read.parquet(path), max_rows)
     try:

@@ -83,3 +83,38 @@ def test_synthetic_corpus_partition_invariant(spark, partitions):
     got = _collect(df)
     ref = synthetic_corpus(spark, n_rows=20, dim=8, seed=42, partitions=2)
     np.testing.assert_array_equal(got, _collect(ref))
+
+
+def test_load_ivecs_roundtrip(spark, tmp_path):
+    """.ivecs ground-truth records [int32 K][K ids] round-trip, and
+    the extension dispatches."""
+    import numpy as np
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+        load_ivecs,
+        load_matrix,
+    )
+
+    gt = np.array([[3, 10, 20, 30], [3, 11, 21, 31], [3, 12, 22, 32]],
+                  dtype=np.int32)
+    p = str(tmp_path / "gt.ivecs")
+    gt.tofile(p)
+    rows = {r.query_id: list(r.neighbor_ids)
+            for r in load_ivecs(spark, p).collect()}
+    assert rows == {0: [10, 20, 30], 1: [11, 21, 31], 2: [12, 22, 32]}
+    via_dispatch = load_matrix(spark, p)
+    assert via_dispatch.columns == ["query_id", "neighbor_ids"]
+    assert via_dispatch.count() == 3
+
+
+def test_load_ivecs_rejects_ragged(spark, tmp_path):
+    import numpy as np
+    import pytest
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+        load_ivecs,
+    )
+
+    bad = np.array([3, 10, 20, 30, 2, 11, 21], dtype=np.int32)
+    p = str(tmp_path / "bad.ivecs")
+    bad.tofile(p)
+    with pytest.raises(Exception):
+        load_ivecs(spark, p).collect()
