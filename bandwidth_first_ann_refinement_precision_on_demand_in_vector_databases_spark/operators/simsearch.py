@@ -240,6 +240,19 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
+def ann_recall_from_groundtruth(ann: DataFrame, gt: DataFrame, k: int) -> DataFrame:
+    """Recall@K against an external ground-truth table ``(query_id,
+    neighbor_ids array)`` — the shape ``sources.loaders.load_ivecs``
+    produces from benchmark ``.ivecs`` files. Explodes the lists to
+    the pair form and reuses ``ann_recall``; neighbor ids cast to the
+    ANN side's LONG."""
+    pairs = gt.select(
+        "query_id",
+        F.explode(F.slice("neighbor_ids", 1, k)).alias("neighbor_id"),
+    ).select("query_id", F.col("neighbor_id").cast("long").alias("neighbor_id"))
+    return ann_recall(ann, pairs, k)
+
+
 def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Recall@K of an ANN result against the exact top-K (reference
     metric shape, ``ANNCode.py:651-660``): per-query overlap / K,

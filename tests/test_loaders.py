@@ -118,3 +118,28 @@ def test_load_ivecs_rejects_ragged(spark, tmp_path):
     bad.tofile(p)
     with pytest.raises(Exception):
         load_ivecs(spark, p).collect()
+
+
+def test_ann_recall_from_ivecs_groundtruth(spark, tmp_path):
+    """End-to-end ivecs story: recall of an ANN result measured
+    against a loaded ground-truth file."""
+    import numpy as np
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ann_recall_from_groundtruth,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+        load_ivecs,
+    )
+
+    gt = np.array([[2, 7, 8], [2, 9, 10]], dtype=np.int32)
+    p = str(tmp_path / "gt2.ivecs")
+    gt.tofile(p)
+    gt_df = load_ivecs(spark, p)
+    ann = spark.createDataFrame(
+        [(0, 1, 7, 0.9), (0, 2, 99, 0.8),   # q0: 1 of 2 hit
+         (1, 1, 9, 0.9), (1, 2, 10, 0.8)],  # q1: 2 of 2 hit
+        "query_id bigint, rank int, neighbor_id bigint, score double",
+    )
+    row = ann_recall_from_groundtruth(ann, gt_df, k=2).collect()[0]
+    assert row.n_queries == 2
+    assert abs(row.recall_at_k - 0.75) < 1e-9
