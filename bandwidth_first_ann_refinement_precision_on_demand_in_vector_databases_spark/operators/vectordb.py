@@ -1,0 +1,179 @@
+"""Vector-database query surface beyond plain top-K: metadata-filtered
+search, radius (range) search, and hybrid keyword+vector fusion.
+
+The reference engine answers one query shape — top-K under a distance
+metric (``ANNCode.py:264-281``). A production vector database layers
+three more shapes on the same index, and a 100 TB curation pipeline
+uses all of them; each is expressed here as a declarative composition
+of the operators that already exist, so Catalyst handles pushdown and
+the physical plans inherit the broadcast/salt/partition-prune
+decisions of the underlying building blocks.
+
+* **Filtered top-K** — an attribute predicate restricts the corpus
+  before ranking. Exact form: the filter lands in the parquet scan
+  (predicate pushdown — at 100 TB this is the difference between
+  scanning a label partition and scanning the corpus). IVF form:
+  post-filtering of the probed cells' candidates, the standard
+  filtered-ANN strategy when the filter is not the partition key.
+* **Range search** — all neighbors within a distance budget rather
+  than a count budget (the dedup-oriented query shape: "everything
+  within ε", not "the 20 nearest").
+* **Hybrid RRF** — reciprocal-rank fusion of a keyword rank (token
+  overlap on ``documents``) and a vector rank (cosine on
+  ``embeddings``), the de-facto hybrid-search scoring rule
+  (Cormack et al., SIGIR'09: score = Σ 1/(κ + rank)). Both rank
+  lists are per-query top-N (bounded), so the fusion join is q·N-row
+  sized — never corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine, dist2
+from ..session import ensure_parallelism
+from .topk import exact_topk, topk_per_query
+
+RRF_KAPPA = 60      #: the fusion constant from the RRF paper
+HYBRID_TOPN = 20    #: per-side rank-list depth
+HYBRID_K = 10       #: fused results kept per query
+
+
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    predicate: Column,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-K restricted to corpus rows satisfying ``predicate``.
+
+    The predicate is applied before scoring, so Catalyst pushes it
+    into the parquet scan (``PushedFilters``) — the ranked set never
+    materializes the excluded rows.
+    """
+    return exact_topk(queries, corpus.where(predicate), k, metric=metric)
+
+
+def filtered_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    predicate: Column,
+) -> DataFrame:
+    """IVF top-K (cosine) with attribute post-filtering: probe the
+    usual ``IVF_NPROBE`` cells, drop candidates failing the predicate,
+    rank the rest. The index is built on the FULL corpus (filter
+    choice must not change cell geometry); the filter applies to the
+    candidate stream, where at scale it rides the same stored row as
+    the cell key (here: re-joined from the corpus scan by vec_id).
+    """
+    from .simsearch import IVF_NPROBE, ivf_assign, ivf_centroids, ivf_probes
+
+    cents = ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents)
+    keep = corpus.where(predicate).select("vec_id")
+    probed = ivf_probes(queries, cents, IVF_NPROBE)
+    cand = (
+        F.broadcast(probed)
+        .join(assigned.join(keep, "vec_id", "semi"), "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qvec", "embedding").alias("score"),
+        )
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)
+
+
+def range_search(
+    queries: DataFrame, corpus: DataFrame, radius2: float
+) -> DataFrame:
+    """All (query, neighbor) pairs with ‖q − v‖² ≤ radius2 —
+    count-unbounded, distance-bounded retrieval. Queries broadcast;
+    the corpus streams once; the predicate filters the scored stream
+    before any shuffle, so output size (not q×N) is what moves."""
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    c = ensure_parallelism(corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+    return (
+        c.crossJoin(q)
+        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("d2"))
+        .where(F.col("d2") <= F.lit(radius2))
+    )
+
+
+def _doc_tokens(text: Column) -> Column:
+    """Distinct whitespace tokens — the keyword-match unit."""
+    return F.array_distinct(F.split(text, " "))
+
+
+def keyword_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
+    """(query_id, kw_rank, doc_id): per-query top-N documents by
+    distinct-token overlap with the query document (ties → smaller
+    doc_id). The fixture-scale plan is a broadcast θ-join of the tiny
+    query side against the token-ized corpus scan; at 100 TB the same
+    ranks come from the inverted shingle index already built for
+    n-gram dedup (``operators/dedup.py``) — token → posting list →
+    count-by-(query, doc) — which is the documented scale path."""
+    q = F.broadcast(
+        query_docs.select(
+            F.col("doc_id").alias("query_id"), _doc_tokens(F.col("text")).alias("qtok")
+        )
+    )
+    d = docs.select("doc_id", _doc_tokens(F.col("text")).alias("dtok"))
+    overlap = d.crossJoin(q).select(
+        "query_id",
+        "doc_id",
+        F.size(F.array_intersect("qtok", "dtok")).alias("n_common"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_common").desc(), F.col("doc_id").asc()
+    )
+    return (
+        overlap.withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= n)
+        .select("query_id", "kw_rank", "doc_id")
+    )
+
+
+def hybrid_rrf(
+    query_docs: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = HYBRID_K,
+    topn: int = HYBRID_TOPN,
+    kappa: int = RRF_KAPPA,
+) -> DataFrame:
+    """Reciprocal-rank fusion: rrf(d) = Σ_sides 1/(κ + rank_side(d)),
+    a side contributing 0 when d is outside its top-N. Output is the
+    fused per-query top-``k`` (ties → smaller doc_id).
+
+    Both inputs are bounded rank lists (q·topn rows), so the full
+    outer join and the final ranking are q·topn-sized regardless of
+    corpus size — the fusion step never touches the corpus again.
+    """
+    kw = keyword_topn(query_docs, docs, topn)
+    vec = (
+        exact_topk(queries, corpus, topn, metric="cosine")
+        .select("query_id", F.col("rank").alias("vec_rank"), F.col("neighbor_id").alias("doc_id"))
+    )
+    fused = (
+        kw.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(kappa) + F.col("kw_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(kappa) + F.col("vec_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )

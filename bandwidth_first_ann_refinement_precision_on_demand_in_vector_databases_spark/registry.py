@@ -440,6 +440,7 @@ from .registry_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa:
 from .registry_simsearch import SIMSEARCH_ORACLES, SIMSEARCH_QUERIES  # noqa: E402
 from .registry_streaming import STREAMING_ORACLES, STREAMING_QUERIES  # noqa: E402
 from .registry_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
+from .registry_vectordb import VECTORDB_ORACLES, VECTORDB_QUERIES  # noqa: E402
 
 QUERIES.update(RELATIONAL_QUERIES)
 QUERIES.update(TEXT_QUERIES)
@@ -448,6 +449,7 @@ QUERIES.update(SIMSEARCH_QUERIES)
 QUERIES.update(STREAMING_QUERIES)
 QUERIES.update(MULTIMODAL_QUERIES)
 QUERIES.update(CURATION_QUERIES)
+QUERIES.update(VECTORDB_QUERIES)
 
 #: The correctness harness executes queries in registration order under
 #: a global budget (a ~50-query window per round). Rotation policy: put
@@ -457,6 +459,16 @@ QUERIES.update(CURATION_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
+    # NEW in r04: the vector-database query shapes (filtered/range/
+    # SQ-int8/hybrid) — never driver-checked
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
+    "ann_range_search",
+    "sq_codes",
+    "ann_sq_topk",
+    "ann_sq_refined_topk",
+    "ann_sq_recall",
+    "hybrid_rrf",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two
     # new index-artifact queries
@@ -583,3 +595,4 @@ ORACLES.update(SIMSEARCH_ORACLES)
 ORACLES.update(STREAMING_ORACLES)
 ORACLES.update(MULTIMODAL_ORACLES)
 ORACLES.update(CURATION_ORACLES)
+ORACLES.update(VECTORDB_ORACLES)

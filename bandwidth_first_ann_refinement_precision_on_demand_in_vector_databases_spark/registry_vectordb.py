@@ -1,0 +1,349 @@
+"""Vector-database query-shape suite: metadata-filtered top-K (exact
+and IVF), radius range search, the int8 scalar-quantization tier, and
+hybrid keyword+vector RRF fusion. Every query has a DuckDB twin that
+replays the identical arithmetic (same DOUBLE folds, same round-half-up
+int8 rule, same tie-breaks), so the driver check is hash-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import sq as SQ
+from .operators import vectordb as V
+from .operators.simsearch import ann_recall
+from .operators.topk import exact_topk_fixture_cached
+from .registry_simsearch import (
+    ANN_K,
+    SQL_IVF_CTES,
+    SQL_Q_CTE,
+    _sql_cos,
+    _sql_dist2,
+)
+from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
+
+#: attribute predicate for the filtered-search queries (≈40% of the
+#: corpus survives — large enough that top-K stays well-defined,
+#: small enough that the pushdown matters)
+FILTER_LABELS = (1, 3, 5, 7)
+_SQL_FILTER = f"label IN {FILTER_LABELS}"
+
+#: L2² budget for range search — between the 1st and 5th percentile
+#: of query-corpus pair distances on the fixture, so the result set
+#: is non-trivial but far below q×N
+RANGE_RADIUS2 = 1.44
+
+
+def _filter_col() -> Column:
+    return F.col("label").isin(*FILTER_LABELS)
+
+
+# ---------------------------------------------------------------------------
+# Filtered top-K
+# ---------------------------------------------------------------------------
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = V.filtered_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_K,
+        _filter_col(),
+        metric="cosine",
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_FILTERED_TOPK = f"""
+WITH q AS ({SQL_Q_CTE})
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_sql_cos("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+  FROM q CROSS JOIN embeddings e WHERE e.{_SQL_FILTER}
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = V.filtered_ivf_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_K,
+        _filter_col(),
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_FILTERED_IVF_TOPK = f"""
+WITH {SQL_IVF_CTES},
+fcand AS (
+  SELECT c.query_id, c.neighbor_id, c.score
+  FROM ivf_cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+  WHERE e.{_SQL_FILTER}
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM fcand
+) WHERE rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (radius) search
+# ---------------------------------------------------------------------------
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = V.range_search(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        RANGE_RADIUS2,
+    )
+    return out.select("query_id", "neighbor_id", F.round("d2", 6).alias("d2"))
+
+
+SQL_ANN_RANGE_SEARCH = f"""
+WITH q AS ({SQL_Q_CTE})
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       round({_sql_dist2("q.qe", "e.embedding")}, 6) AS d2
+FROM q CROSS JOIN embeddings e
+WHERE {_sql_dist2("q.qe", "e.embedding")} <= {RANGE_RADIUS2}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8)
+# ---------------------------------------------------------------------------
+
+#: SQL replay of operators/sq.py — per-vector max-abs scale,
+#: round-half-up codes clamped to [-127, 127], recon = c·s/127
+_SQL_SQ_ENC = f"""
+enc AS (
+  SELECT vec_id, s,
+    list_transform(embedding, x -> greatest(-{SQ.SQ_LEVELS}, least({SQ.SQ_LEVELS},
+      CAST(floor(CAST(x AS DOUBLE) * {SQ.SQ_LEVELS} / s + 0.5) AS INT)))) AS codes
+  FROM (
+    SELECT vec_id, embedding,
+      greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+               {SQ.SQ_EPS}) AS s
+    FROM embeddings
+  )
+)
+"""
+
+_SQL_SQ_RECON = f"""
+{_SQL_SQ_ENC},
+recon AS (
+  SELECT vec_id,
+    list_transform(codes, c -> CAST(c AS DOUBLE) * s / {float(SQ.SQ_LEVELS)}) AS recon
+  FROM enc
+)
+"""
+
+_SQL_SQ_CAND = f"""
+sq_cand AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         {_sql_dist2("q.qe", "r.recon")} AS score
+  FROM q CROSS JOIN recon r
+)
+"""
+
+
+def q_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = SQ.sq_encode(load_table(spark, sf_dir, "embeddings"))
+    return enc.select(
+        "vec_id",
+        F.round("s", 6).alias("s"),
+        F.posexplode("codes").alias("pos", "code"),
+    )
+
+
+SQL_SQ_CODES = f"""
+WITH {_SQL_SQ_ENC}
+SELECT vec_id, round(s, 6) AS s,
+       CAST(generate_subscripts(codes, 1) - 1 AS INT) AS pos,
+       CAST(unnest(codes) AS INT) AS code
+FROM enc
+"""
+
+
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = SQ.sq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_SQ_TOPK = f"""
+WITH q AS ({SQL_Q_CTE}),
+{_SQL_SQ_RECON},
+{_SQL_SQ_CAND}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM sq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_sq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = SQ.sq_refined_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_SQ_REFINED_TOPK = f"""
+WITH q AS ({SQL_Q_CTE}),
+{_SQL_SQ_RECON},
+{_SQL_SQ_CAND},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS r
+    FROM sq_cand
+  ) WHERE r <= {SQ.SQ_REFINE_R * ANN_K}
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT c.query_id, c.neighbor_id,
+    {_sql_dist2("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY c.query_id
+      ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = SQ.sq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_SQ_RECALL = f"""
+WITH q AS ({SQL_Q_CTE}),
+{_SQL_SQ_RECON},
+{_SQL_SQ_CAND},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM sq_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid keyword + vector fusion (RRF)
+# ---------------------------------------------------------------------------
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    query_docs = docs.where(F.col("doc_id") % QUERY_STRIDE == 0)
+    out = V.hybrid_rrf(
+        query_docs,
+        docs,
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf"))
+
+
+SQL_HYBRID_RRF = f"""
+WITH qd AS (
+  SELECT doc_id AS query_id, list_distinct(string_split(text, ' ')) AS qtok
+  FROM documents WHERE doc_id % {QUERY_STRIDE} = 0
+),
+dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtok FROM documents),
+kw AS (
+  SELECT query_id, doc_id, kw_rank FROM (
+    SELECT qd.query_id, dt.doc_id,
+      row_number() OVER (PARTITION BY qd.query_id
+        ORDER BY len(list_intersect(qd.qtok, dt.dtok)) DESC, dt.doc_id) AS kw_rank
+    FROM qd CROSS JOIN dt
+  ) WHERE kw_rank <= {V.HYBRID_TOPN}
+),
+q AS ({SQL_Q_CTE}),
+vec AS (
+  SELECT query_id, neighbor_id AS doc_id, vec_rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS vec_rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE vec_rank <= {V.HYBRID_TOPN}
+),
+fused AS (
+  SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+         coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+         coalesce(CAST(1 AS DOUBLE) / ({V.RRF_KAPPA} + kw_rank), 0.0)
+           + coalesce(CAST(1 AS DOUBLE) / ({V.RRF_KAPPA} + vec_rank), 0.0) AS rrf
+  FROM kw FULL OUTER JOIN vec
+    ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id
+)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf FROM (
+  SELECT query_id, doc_id, rrf,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {V.HYBRID_K}
+"""
+
+
+VECTORDB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_filtered_topk": q_ann_filtered_topk,
+    "ann_filtered_ivf_topk": q_ann_filtered_ivf_topk,
+    "ann_range_search": q_ann_range_search,
+    "sq_codes": q_sq_codes,
+    "ann_sq_topk": q_ann_sq_topk,
+    "ann_sq_refined_topk": q_ann_sq_refined_topk,
+    "ann_sq_recall": q_ann_sq_recall,
+    "hybrid_rrf": q_hybrid_rrf,
+}
+
+VECTORDB_ORACLES: dict[str, str] = {
+    "ann_filtered_topk": SQL_ANN_FILTERED_TOPK,
+    "ann_filtered_ivf_topk": SQL_ANN_FILTERED_IVF_TOPK,
+    "ann_range_search": SQL_ANN_RANGE_SEARCH,
+    "sq_codes": SQL_SQ_CODES,
+    "ann_sq_topk": SQL_ANN_SQ_TOPK,
+    "ann_sq_refined_topk": SQL_ANN_SQ_REFINED_TOPK,
+    "ann_sq_recall": SQL_ANN_SQ_RECALL,
+    "hybrid_rrf": SQL_HYBRID_RRF,
+}

@@ -1,0 +1,177 @@
+"""Vector-database query shapes: filtered top-K, range search, int8
+scalar quantization, hybrid RRF fusion (operators/vectordb.py,
+operators/sq.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    sq as SQ,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    vectordb as V,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+    exact_topk,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _queries(spark):
+    return queries_view(spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization
+# ---------------------------------------------------------------------------
+
+class TestSQ:
+    def test_codes_in_range_and_recon_error_bounded(self, spark):
+        enc = SQ.sq_encode(_corpus(spark))
+        row = (
+            enc.join(_corpus(spark), "vec_id")
+            .select("vec_id", "s", "codes", "embedding")
+            .orderBy("vec_id")
+            .first()
+        )
+        codes = np.array(row.codes)
+        assert codes.min() >= -SQ.SQ_LEVELS and codes.max() <= SQ.SQ_LEVELS
+        # per-element reconstruction error ≤ half a quantization step
+        v = np.array(row.embedding, dtype=np.float64)
+        recon = codes * row.s / SQ.SQ_LEVELS
+        assert np.abs(recon - v).max() <= row.s / SQ.SQ_LEVELS / 2 + 1e-12
+        # scale is the max-abs of the row
+        assert row.s == np.abs(v).max()
+
+    def test_zero_vector_survives(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0] * 4)], "vec_id long, embedding array<float>"
+        )
+        out = SQ.sq_encode(df).first()
+        assert out.codes == [0, 0, 0, 0]
+
+    def test_refined_topk_matches_exact_on_fixture(self, spark):
+        # int8 error is far below fixture neighbor gaps at R*K
+        # candidate depth, so the refined result equals exact top-K
+        exact = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in exact_topk(_queries(spark), _corpus(spark), 5, metric="l2").collect()
+        }
+        refined = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in SQ.sq_refined_topk(_queries(spark), _corpus(spark), 5).collect()
+        }
+        assert refined == exact
+
+
+# ---------------------------------------------------------------------------
+# Filtered top-K
+# ---------------------------------------------------------------------------
+
+class TestFiltered:
+    PRED_LABELS = (1, 3, 5, 7)
+
+    def _pred(self):
+        return F.col("label").isin(*self.PRED_LABELS)
+
+    def test_every_result_satisfies_predicate(self, spark):
+        out = V.filtered_topk(_queries(spark), _corpus(spark), 5, self._pred())
+        labels = (
+            out.join(_corpus(spark).select(F.col("vec_id").alias("neighbor_id"), "label"),
+                     "neighbor_id")
+            .select("label").distinct().collect()
+        )
+        assert {r.label for r in labels} <= set(self.PRED_LABELS)
+
+    def test_filter_pushes_into_scan(self, spark):
+        plan = (
+            V.filtered_topk(_queries(spark), _corpus(spark), 5, self._pred())
+            ._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        )
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("label" in ln for ln in pushed), pushed
+
+    def test_ivf_filtered_subset_of_predicate(self, spark):
+        out = V.filtered_ivf_topk(_queries(spark), _corpus(spark), 5, self._pred())
+        joined = out.join(
+            _corpus(spark).select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        bad = joined.where(~F.col("label").isin(*self.PRED_LABELS)).count()
+        assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Range search
+# ---------------------------------------------------------------------------
+
+class TestRange:
+    def test_matches_numpy_brute_force(self, spark):
+        r2 = 1.5
+        out = {
+            (r.query_id, r.neighbor_id)
+            for r in V.range_search(_queries(spark), _corpus(spark), r2).collect()
+        }
+        q = {r.query_id: np.array(r.embedding, dtype=np.float64)
+             for r in _queries(spark).select("query_id", "embedding").collect()}
+        c = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+             for r in _corpus(spark).select("vec_id", "embedding").collect()}
+        expect = {
+            (qi, ci)
+            for qi, qv in q.items()
+            for ci, cv in c.items()
+            if float(((qv - cv) ** 2).sum()) <= r2
+        }
+        assert out == expect
+        assert out  # radius chosen to be non-trivial on the fixture
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF
+# ---------------------------------------------------------------------------
+
+class TestHybrid:
+    def test_query_doc_ranks_first_and_scores_decrease(self, spark):
+        docs = load_table(spark, SF, "documents")
+        qd = docs.where(F.col("doc_id") % 50 == 0)
+        out = V.hybrid_rrf(qd, docs, _queries(spark), _corpus(spark)).collect()
+        by_q: dict[int, list] = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        kw = {
+            (r.query_id, r.doc_id): r.kw_rank
+            for r in V.keyword_topn(qd, docs, V.HYBRID_TOPN).collect()
+        }
+        vec = {
+            (r.query_id, r.neighbor_id): r.rank
+            for r in exact_topk(
+                _queries(spark), _corpus(spark), V.HYBRID_TOPN, metric="cosine"
+            ).collect()
+        }
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            rrfs = [r.rrf for r in rows]
+            assert rrfs == sorted(rrfs, reverse=True)
+            assert len(rows) == V.HYBRID_K
+            # every fused score is exactly the RRF formula over the
+            # component rank lists
+            for r in rows:
+                expect = 0.0
+                if (qid, r.doc_id) in kw:
+                    expect += 1 / (V.RRF_KAPPA + kw[(qid, r.doc_id)])
+                if (qid, r.doc_id) in vec:
+                    expect += 1 / (V.RRF_KAPPA + vec[(qid, r.doc_id)])
+                assert abs(r.rrf - expect) < 1e-12
