@@ -412,14 +412,26 @@ def duplicate_components(
 
     Scale: each round is one equi-join of the (small) edge set with
     the label frame plus a min-aggregate — the textbook BSP connected
-    components. The edge set is CHECKPOINTED once before iterating:
-    every round references it, so without truncation the logical plan
+    components. The edge set is CHECKPOINTED once before iterating,
+    and the label frame is checkpointed EVERY round: every round (and
+    both final consumers — the size aggregate and the membership
+    join) references it, so without truncation the logical plan
     re-embeds the whole upstream pair pipeline 2^iters times (the
-    explain string alone OOMs the driver — measured). Iterative
+    explain string alone OOMs the driver — measured) and the final
+    action executes the full round chain once per consumer. Iterative
     operators must cut lineage, exactly as the k-means trainer
-    persists its per-round centroids. The large-star/small-star
-    contraction is the drop-in accelerant if duplicate components
-    ever get deep, without changing this operator's contract."""
+    persists its per-round centroids.
+
+    Early exit: per-node labels only ever decrease, so the label SUM
+    (exact DECIMAL — immune to LONG overflow at billion-node scale)
+    is unchanged between rounds iff the fixpoint is reached; rounds
+    past the fixpoint are no-ops, so stopping there is
+    result-identical to running all ``iters`` rounds (which is what
+    the unrolled DuckDB oracle replays). Duplicate components are
+    shallow (diameter ≈ 2 for dup clusters), so this typically halves
+    the round count. The large-star/small-star contraction is the
+    drop-in accelerant if components ever get deep, without changing
+    this operator's contract."""
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
@@ -429,6 +441,7 @@ def duplicate_components(
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
+    prev_sum = None
     for _ in range(iters):
         nb = (
             edges.join(labels, edges.dst == labels.id)
@@ -443,7 +456,13 @@ def duplicate_components(
                     F.col("label"), F.coalesce("nb_label", F.col("label"))
                 ).alias("label"),
             )
-        )
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return (
         labels.join(sizes, "label")

@@ -292,12 +292,18 @@ WITH qd AS (
   FROM documents WHERE doc_id % {QUERY_STRIDE} = 0
 ),
 dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtok FROM documents),
+qt AS (SELECT query_id, unnest(qtok) AS tok FROM qd),
+dtt AS (SELECT doc_id, unnest(dtok) AS tok FROM dt),
 kw AS (
   SELECT query_id, doc_id, kw_rank FROM (
-    SELECT qd.query_id, dt.doc_id,
-      row_number() OVER (PARTITION BY qd.query_id
-        ORDER BY len(list_intersect(qd.qtok, dt.dtok)) DESC, dt.doc_id) AS kw_rank
-    FROM qd CROSS JOIN dt
+    SELECT query_id, doc_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY n_common DESC, doc_id) AS kw_rank
+    FROM (
+      SELECT qt.query_id, dtt.doc_id, count(*) AS n_common
+      FROM dtt JOIN qt ON qt.tok = dtt.tok
+      GROUP BY qt.query_id, dtt.doc_id
+    )
   ) WHERE kw_rank <= {V.HYBRID_TOPN}
 ),
 q AS ({SQL_Q_CTE}),

@@ -58,6 +58,10 @@ def _suite():
         "ann_ivfpq_recall",
         "stream_session_windows",
         "media_features",
+        "ann_filtered_topk",
+        "ann_sq_refined_topk",
+        "ann_sq_recall",
+        "hybrid_rrf",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
