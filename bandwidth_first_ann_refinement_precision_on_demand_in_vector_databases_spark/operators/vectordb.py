@@ -40,6 +40,10 @@ RRF_KAPPA = 60      #: the fusion constant from the RRF paper
 HYBRID_TOPN = 20    #: per-side rank-list depth
 HYBRID_K = 10       #: fused results kept per query
 
+BM25_K1 = 1.2       #: tf saturation (Robertson defaults)
+BM25_B = 0.75       #: length normalization
+BM25_SCALE = 1_000_000  #: fixed-point micro-units for exact replay
+
 
 def filtered_topk(
     queries: DataFrame,
@@ -143,6 +147,80 @@ def keyword_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
         overlap.withColumn("kw_rank", F.row_number().over(w))
         .where(F.col("kw_rank") <= n)
         .select("query_id", "kw_rank", "doc_id")
+    )
+
+
+def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
+    """(query_id, rank, doc_id, score_micro): per-query top-N by BM25
+    (Robertson/Lucene shape: idf = ln((N−df+0.5)/(df+0.5)+1), tf
+    saturation k1 = 1.2, length normalization b = 0.75), ties →
+    smaller doc_id.
+
+    Cross-engine determinism: Spark's ``log`` and DuckDB's ``ln``
+    disagree at the last ULP on ~8% of inputs (measured), so the idf
+    is quantized to fixed-point micro-units immediately after the
+    ``ln`` — the only inexact op in the formula — and per-(q,d) term
+    scores are floored to BIGINT micro-units before summation, making
+    the aggregate order-independent and hash-exact (the same trick
+    the k-means mean update uses). ``score_micro`` = BM25 × 10⁶.
+
+    Plan shape: tf/dl/df are the classic one-scan map-reduce
+    aggregations of the posting file; idf and the corpus stats are
+    broadcast-sized; the query side is broadcast; the per-(q,d) sum
+    combines map-side. No q×N comparison anywhere."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    nstat = docs.agg(F.count("*").alias("n"))
+    avgstat = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl")
+    )
+    dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = dfs.crossJoin(F.broadcast(nstat)).select(
+        "tok",
+        (
+            F.floor(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * BM25_SCALE
+            )
+            / F.lit(float(BM25_SCALE))
+        ).alias("idf"),
+    )
+    qt = F.broadcast(
+        query_docs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_doc_tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    term6 = F.floor(
+        F.col("idf")
+        * (tfd * F.lit(BM25_K1 + 1.0))
+        / (tfd + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dld / F.col("avgdl")))
+        * BM25_SCALE
+    ).cast("bigint")
+    terms = (
+        tf.join(qt, "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(avgstat))
+        .select("query_id", "doc_id", term6.alias("t6"))
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum("t6").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("query_id", "rank", "doc_id", "score_micro")
     )
 
 

@@ -469,6 +469,8 @@ _FRONT = [
     "ann_sq_refined_topk",
     "ann_sq_recall",
     "hybrid_rrf",
+    "bm25_topn",
+    "stream_ann_topk",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two
     # new index-artifact queries

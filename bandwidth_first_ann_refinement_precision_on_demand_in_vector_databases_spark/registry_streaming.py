@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .sources.fixtures import load_table
+from .sources.fixtures import QUERY_STRIDE, load_table
 from .streaming.windows import (
     click_purchase_join,
     dedup_events,
@@ -108,12 +108,58 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming ANN lookup (stream-static scores →
+    incremental K-heap): on batch input the heap state is built in one
+    "micro-batch", so the result IS the exact cosine top-K — which the
+    oracle replays as a plain window rank. ``tests/test_streaming.py``
+    proves the same plan converges to this through readStream."""
+    from pyspark.sql import functions as F
+
+    from .sources.fixtures import queries_view
+    from .streaming.stateful import streaming_ann_topk
+
+    out = streaming_ann_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), k=10
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    def norm(x: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({x}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+    return f"({dot} / (greatest({norm(a)}, 1e-12) * greatest({norm(b)}, 1e-12)))"
+
+
+SQL_STREAM_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {QUERY_STRIDE} = 0)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_sql_cos("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+  FROM q CROSS JOIN embeddings e
+) WHERE rank <= 10
+"""
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": q_tumbling,
     "stream_sliding_counts": q_sliding,
     "stream_session_windows": q_session,
     "stream_dedup_events": q_dedup,
     "stream_interval_join": q_interval_join,
+    "stream_ann_topk": q_stream_ann_topk,
 }
 
 STREAMING_ORACLES: dict[str, str] = {
@@ -122,4 +168,5 @@ STREAMING_ORACLES: dict[str, str] = {
     "stream_session_windows": SQL_SESSION,
     "stream_dedup_events": SQL_STREAM_DEDUP,
     "stream_interval_join": SQL_INTERVAL_JOIN,
+    "stream_ann_topk": SQL_STREAM_ANN_TOPK,
 }

@@ -332,6 +332,68 @@ SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TOPN = 20
+
+
+def q_bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    query_docs = docs.where(F.col("doc_id") % QUERY_STRIDE == 0)
+    return V.bm25_topn(query_docs, docs, BM25_TOPN)
+
+
+#: exact SQL replay of operators/vectordb.bm25_topn — identical
+#: literal constants, identical expression grouping, idf quantized to
+#: micro-units right after the only ln(), BIGINT micro-unit sums
+SQL_BM25_TOPN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+nstat AS (SELECT count(*) AS n FROM documents),
+avgstat AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+    floor(ln((n - df + 0.5) / (df + 0.5) + 1.0) * {V.BM25_SCALE})
+      / {float(V.BM25_SCALE)} AS idf
+  FROM dfs CROSS JOIN nstat
+),
+qt AS (
+  SELECT query_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM (SELECT doc_id AS query_id, text FROM documents
+        WHERE doc_id % {QUERY_STRIDE} = 0)
+),
+terms AS (
+  SELECT qt.query_id, tf.doc_id,
+    CAST(floor(
+      idf.idf * (CAST(tf.tf AS DOUBLE) * {V.BM25_K1 + 1.0})
+      / (CAST(tf.tf AS DOUBLE)
+         + {V.BM25_K1} * ({1.0 - V.BM25_B} + {V.BM25_B} * CAST(dl.dl AS DOUBLE) / avgstat.avgdl))
+      * {V.BM25_SCALE}
+    ) AS BIGINT) AS t6
+  FROM tf
+  JOIN qt ON qt.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN idf ON idf.tok = tf.tok
+  CROSS JOIN avgstat
+)
+SELECT query_id, rank, doc_id, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+  FROM (
+    SELECT query_id, doc_id, sum(t6) AS score_micro
+    FROM terms GROUP BY query_id, doc_id
+  )
+) WHERE rank <= {BM25_TOPN}
+"""
+
+
 VECTORDB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered_topk": q_ann_filtered_topk,
     "ann_filtered_ivf_topk": q_ann_filtered_ivf_topk,
@@ -341,6 +403,7 @@ VECTORDB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq_refined_topk": q_ann_sq_refined_topk,
     "ann_sq_recall": q_ann_sq_recall,
     "hybrid_rrf": q_hybrid_rrf,
+    "bm25_topn": q_bm25_topn,
 }
 
 VECTORDB_ORACLES: dict[str, str] = {
@@ -352,4 +415,5 @@ VECTORDB_ORACLES: dict[str, str] = {
     "ann_sq_refined_topk": SQL_ANN_SQ_REFINED_TOPK,
     "ann_sq_recall": SQL_ANN_SQ_RECALL,
     "hybrid_rrf": SQL_HYBRID_RRF,
+    "bm25_topn": SQL_BM25_TOPN,
 }

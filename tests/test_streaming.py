@@ -306,3 +306,68 @@ def test_streaming_topk_converges(spark, sf_small, stream_dir):
     assert _rows(final, ["user_id", "rank", "event_id", "value"]) == _rows(
         expected, ["user_id", "rank", "event_id", "value"]
     )
+
+
+def test_streaming_ann_topk_converges(spark, sf_small, tmp_path):
+    """Feeding the query vectors through readStream in several
+    micro-batches, the final per-query heap equals the batch exact
+    cosine top-K (the oracle-checked form of stream_ann_topk)."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.stateful import (
+        streaming_ann_topk,
+    )
+
+    k = 10
+    qdir = str(tmp_path / "qstream")
+    queries_view(spark, sf_small).repartition(4).write.mode("overwrite").parquet(qdir)
+    corpus = load_table(spark, sf_small, "embeddings")
+    schema = spark.read.parquet(qdir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    q = (
+        streaming_ann_topk(stream, corpus, k=k)
+        .writeStream.format("memory")
+        .queryName("mem_ann_topk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits per trigger; per (query, rank) the heap only
+    # improves, so the final entry is the max under (score desc,
+    # neighbor_id asc)
+    final = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in (
+            spark.table("mem_ann_topk")
+            .groupBy("query_id", "rank")
+            .agg(
+                F.max(
+                    F.struct(F.col("score"), (-F.col("neighbor_id")).alias("nid"))
+                ).alias("s")
+            )
+            .select(
+                "query_id",
+                "rank",
+                (-F.col("s.nid")).cast("bigint").alias("neighbor_id"),
+                F.col("s.score").alias("score"),
+            )
+            .collect()
+        )
+    }
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        exact_topk,
+    )
+
+    batch = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in exact_topk(
+            queries_view(spark, sf_small), corpus, k, metric="cosine"
+        ).collect()
+    }
+    assert final == batch

@@ -140,6 +140,60 @@ class TestRange:
 
 
 # ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+class TestBM25:
+    def test_matches_pure_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        docs = load_table(spark, SF, "documents")
+        qd = docs.where(F.col("doc_id") % 50 == 0)
+        out = V.bm25_topn(qd, docs, 5).collect()
+
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        toks = {d: t.split(" ") for d, t in texts.items()}
+        n = len(texts)
+        dl = {d: len(t) for d, t in toks.items()}
+        avgdl = sum(dl.values()) / n
+        tf = {d: Counter(t) for d, t in toks.items()}
+        df = Counter(tok for t in toks.values() for tok in set(t))
+
+        def idf(tok):
+            return math.floor(
+                math.log((n - df[tok] + 0.5) / (df[tok] + 0.5) + 1.0) * V.BM25_SCALE
+            ) / V.BM25_SCALE
+
+        def score_micro(qid, did):
+            total = 0
+            for tok in set(toks[qid]):
+                t = tf[did].get(tok)
+                if not t:
+                    continue
+                term = (
+                    idf(tok)
+                    * (t * (V.BM25_K1 + 1.0))
+                    / (t + V.BM25_K1 * (1.0 - V.BM25_B + V.BM25_B * dl[did] / avgdl))
+                )
+                total += math.floor(term * V.BM25_SCALE)
+            return total
+
+        assert out
+        for r in out:
+            assert r.score_micro == score_micro(r.query_id, r.doc_id)
+        # per-query: ranked descending, k rows, ranks contiguous
+        by_q: dict[int, list] = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r.score_micro for r in rows]
+            assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
 # Hybrid RRF
 # ---------------------------------------------------------------------------
 
