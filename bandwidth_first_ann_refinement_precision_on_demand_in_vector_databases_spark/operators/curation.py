@@ -33,6 +33,56 @@ from .dedup import duplicate_components, exact_dedup, minhash_lsh_pairs
 
 QUALITY_MIN = 0.5  #: keep + borderline buckets (registry_text thresholds)
 
+CHUNK_TOKENS = 32   #: tokens per chunk (RAG-ingestion default shape)
+CHUNK_OVERLAP = 8   #: tokens shared between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text):
+    overlapping fixed-token windows over each document — the
+    embedding-ingestion shape of a RAG pipeline (chunk → embed →
+    index). Chunk starts advance by ``chunk − overlap`` tokens; the
+    last chunk may be short; every document yields at least one chunk
+    (even the empty text).
+
+    Pure Column expressions — ``sequence`` generates the starts,
+    ``posexplode`` fans them out, ``slice``/``array_join`` cut the
+    windows — so chunking is a map-side generator over the corpus
+    scan: no shuffle, no UDF, and at 100 TB it pipelines straight
+    into the downstream embed/index stages."""
+    if overlap >= chunk:
+        raise ValueError("overlap must be smaller than chunk")
+    step = chunk - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"), starts.alias("__s"))
+        .select(
+            "doc_id",
+            F.posexplode("__s").alias("chunk_id", "start_tok"),
+            F.col("__t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.least(F.lit(chunk), F.size("__t") - F.col("start_tok")).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice("__t", F.col("start_tok") + 1, chunk), " "
+            ).alias("chunk_text"),
+        )
+    )
+
 
 def curate_corpus(
     docs: DataFrame,

@@ -148,7 +148,14 @@ def pq_reconstruct(
 
 
 def _pq_reconstruct(corpus: DataFrame, cb: DataFrame) -> DataFrame:
-    codes = pq_codes(corpus, cb)
+    return reconstruct_from_codes(pq_codes(corpus, cb), cb)
+
+
+def reconstruct_from_codes(codes: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, recon) from a ``(vec_id, m, code)`` codes table and a
+    broadcast codebook — the online-serving decode path: the raw
+    vectors never enter the plan, only the 8-byte-per-vector codes
+    scan (``sources/layout.write_pq_index`` is the storage shape)."""
     return (
         codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
         .select("vec_id", codes.m.alias("mm"), "cvec")
@@ -159,6 +166,22 @@ def _pq_reconstruct(corpus: DataFrame, cb: DataFrame) -> DataFrame:
             F.flatten(F.transform("__s", lambda s: s.cvec)).alias("recon"),
         )
     )
+
+
+def pq_topk_from_index(
+    queries: DataFrame, codebook: DataFrame, codes: DataFrame, k: int
+) -> DataFrame:
+    """ADC top-K served entirely from the stored index artifacts
+    (codebook + codes) — no corpus column is read. Identical result
+    to ``pq_topk`` over the corpus the index was built from."""
+    recon = reconstruct_from_codes(codes, codebook)
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    scored = recon.crossJoin(q).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2("qv", "recon").alias("score"),
+    )
+    return topk_per_query(scored, k, ascending=True)
 
 
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:

@@ -471,6 +471,7 @@ _FRONT = [
     "hybrid_rrf",
     "bm25_topn",
     "stream_ann_topk",
+    "doc_chunks",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two
     # new index-artifact queries

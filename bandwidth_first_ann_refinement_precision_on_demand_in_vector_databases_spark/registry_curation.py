@@ -85,10 +85,41 @@ FROM canon WHERE doc_id NOT IN (SELECT id FROM dropped)
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking of every document — the RAG
+    ingestion front end (chunk → embed → index). Map-side generator,
+    no shuffle; the oracle replays the identical window arithmetic."""
+    from .operators.curation import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_doc_chunks() -> str:
+    from .operators.curation import CHUNK_OVERLAP, CHUNK_TOKENS
+
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {step})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // {step} AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, len(toks) - start_tok) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start_tok + 1, start_tok + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM s
+"""
+
+
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
+    "doc_chunks": q_doc_chunks,
 }
 
 CURATION_ORACLES: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
+    "doc_chunks": _sql_doc_chunks(),
 }

@@ -75,3 +75,34 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: s
     """Join two co-bucketed tables on their bucket key: Catalyst
     plans a SortMergeJoin with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_pq_index(corpus: DataFrame, out_path: str) -> None:
+    """Materialize the PQ index artifacts — the offline-build half of
+    the offline-build/online-serve split every production ANN
+    deployment runs. Two parquet tables:
+
+    * ``{out}/codebook`` — (m, cid, cvec), broadcast-sized (the
+      trained per-subspace centroids);
+    * ``{out}/codes`` — (vec_id, m, code), 8 small codes per vector:
+      the ~32×-smaller scan target the online ADC pass reads INSTEAD
+      of the raw embedding column.
+
+    Serving then needs no corpus access and no retraining
+    (``operators/pq.pq_topk_from_index``); the k-means build cost is
+    paid exactly once, here."""
+    from ..operators.pq import pq_codebook, pq_codes
+
+    cb = pq_codebook(corpus)
+    cb.write.mode("overwrite").parquet(f"{out_path}/codebook")
+    pq_codes(corpus, cb).write.mode("overwrite").parquet(f"{out_path}/codes")
+
+
+def read_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) scans of a stored PQ index. The codes scan
+    reads three thin columns (`ReadSchema` proves no vector bytes
+    move) — the bandwidth story of the code-table layout."""
+    return (
+        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{path}/codes"),
+    )

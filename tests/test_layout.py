@@ -122,3 +122,40 @@ def test_refinement_phase1_prunes_full_column(spark, sf_small, tmp_path):
     read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
     assert "redv" in read_schema and "delta" in read_schema
     assert "full" not in read_schema, read_schema
+
+
+def test_pq_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """Offline-build/online-serve: ADC top-K from the stored
+    codebook+codes artifacts equals the live in-session PQ top-K, and
+    the codes scan reads no vector bytes (ReadSchema)."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.pq import (
+        pq_topk,
+        pq_topk_from_index,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        read_pq_index,
+        write_pq_index,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "pq_index")
+    write_pq_index(corpus, out)
+    cb, codes = read_pq_index(spark, out)
+
+    live = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+            for r in pq_topk(queries, corpus, 10).collect()}
+    stored = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+              for r in pq_topk_from_index(queries, cb, codes, 10).collect()}
+    assert stored == live
+
+    plan = pq_topk_from_index(queries, cb, codes, 10)._jdf.queryExecution().executedPlan().toString()
+    # the codes relation scans only the thin columns, never embeddings
+    import re
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        if "code" in m.group(1):
+            assert "embedding" not in m.group(1)

@@ -140,6 +140,49 @@ class TestRange:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+class TestChunking:
+    def test_chunks_reconstruct_documents(self, spark):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.curation import (
+            CHUNK_OVERLAP,
+            CHUNK_TOKENS,
+            chunk_documents,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        step = CHUNK_TOKENS - CHUNK_OVERLAP
+        out = chunk_documents(docs).collect()
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        by_doc: dict[int, list] = {}
+        for r in out:
+            assert r.start_tok == r.chunk_id * step
+            assert r.n_chunk_tokens == len(r.chunk_text.split(" "))
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(texts)
+        for doc_id, rows in by_doc.items():
+            rows.sort(key=lambda r: r.chunk_id)
+            toks = texts[doc_id].split(" ")
+            # stitching chunks back (dropping each successor's overlap
+            # with its predecessor) reproduces the token stream
+            stitched = rows[0].chunk_text.split(" ")
+            for r in rows[1:]:
+                ct = r.chunk_text.split(" ")
+                stitched += ct[len(stitched) - r.start_tok:]
+            assert stitched == toks
+
+    def test_empty_text_yields_one_chunk(self, spark):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.curation import (
+            chunk_documents,
+        )
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        rows = chunk_documents(df).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == ""
+
+
+# ---------------------------------------------------------------------------
 # BM25
 # ---------------------------------------------------------------------------
 
