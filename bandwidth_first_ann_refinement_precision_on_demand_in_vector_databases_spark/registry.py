@@ -489,7 +489,9 @@ _FRONT = [
     "ann_pq_recall",
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
-    "refine_l2_tz_compressed_metrics",
+    # (refine_l2_tz_compressed_metrics is rows-only/no-oracle and had
+    # its r03 row — moved out of the window so an r02-green oracled
+    # query keeps its slot)
     # stale since r02 (not in the r03 window)
     "rollup_lineitem",
     "cube_orders",
