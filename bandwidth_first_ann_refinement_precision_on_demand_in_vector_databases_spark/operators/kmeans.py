@@ -85,6 +85,18 @@ def kmeans_centroids(
                 )
             ),
         )
+    if iters > 0:
+        # every Lloyd round re-references the points frame; without a
+        # persist each assignment job re-runs the upstream scan +
+        # subvector slicing (PQ: explode to M rows/vector) per
+        # iteration — persist once, release via clear_caches. The
+        # frame also inherits the fixture's single-file partitioning,
+        # which would run every argmin fold single-threaded
+        # (measured: the whole build on one core) — spread it first.
+        from ..session import ensure_parallelism
+
+        points = ensure_parallelism(points).persist()
+        persisted[f"pts-{len(persisted)}"] = points
     cents = points.where(F.col("pid") % stride == 0).select(
         "grp", F.col("pid").alias("cid"), F.col("pvec").alias("cvec")
     )
