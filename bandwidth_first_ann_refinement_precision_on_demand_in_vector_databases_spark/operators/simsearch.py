@@ -240,6 +240,36 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
+def knn_graph(corpus: DataFrame, k: int) -> DataFrame:
+    """(node_id, rank, neighbor_id, score): approximate KNN graph —
+    per-node top-``k`` cosine neighbors among hyperplane-LSH banded
+    candidates, self excluded. The graph-construction shape behind
+    graph ANN indexes and clustering at 100 TB: the band self-join
+    replaces the N² pair space with bucket-local candidates, the pair
+    set is deduped on bare ids (vectors re-attach afterwards via
+    shuffle joins — at N = corpus size there is no broadcastable
+    side), and the per-node rank is the salted two-phase top-K."""
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id")
+    cand_ids = (
+        cb.alias("a")
+        .join(cb.alias("b"), ["band", "bkey"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
+        .distinct()
+    )
+    sv = corpus.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    dv = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        cand_ids.join(sv, "query_id")
+        .join(dv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("score"))
+    )
+    out = topk_per_query(scored, k, ascending=False)
+    return out.select(
+        F.col("query_id").alias("node_id"), "rank", "neighbor_id", "score"
+    )
+
+
 def ann_recall_from_groundtruth(ann: DataFrame, gt: DataFrame, k: int) -> DataFrame:
     """Recall@K against an external ground-truth table ``(query_id,
     neighbor_ids array)`` — the shape ``sources.loaders.load_ivecs``

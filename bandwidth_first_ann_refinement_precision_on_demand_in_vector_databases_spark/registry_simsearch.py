@@ -507,6 +507,39 @@ SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell
 """
 
 
+KNN_GRAPH_K = 5
+
+
+def q_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN graph over the whole corpus (per-node top-K
+    among LSH-banded candidates, self excluded) — the ANN-graph
+    construction shape; oracle replays the identical banding."""
+    out = S.knn_graph(load_table(spark, sf_dir, "embeddings"), KNN_GRAPH_K)
+    return out.select(
+        "node_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_KNN_GRAPH = f"""
+WITH cb AS ({_sql_bands("embeddings", "vec_id", "embedding")}),
+cand AS (
+  SELECT DISTINCT a.id AS node_id, b.id AS neighbor_id,
+         a.vec AS qvec, b.vec AS cvec
+  FROM cb a JOIN cb b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id != b.id
+),
+scored AS (
+  SELECT node_id, neighbor_id, {_sql_cos("qvec", "cvec")} AS score FROM cand
+)
+SELECT node_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT node_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY node_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
 SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -520,6 +553,7 @@ SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "pq_codebook": q_pq_codebook,
     "ivf_cell_sizes": q_ivf_cell_sizes,
+    "ann_knn_graph": q_ann_knn_graph,
 }
 
 SIMSEARCH_ORACLES: dict[str, str] = {
@@ -535,4 +569,5 @@ SIMSEARCH_ORACLES: dict[str, str] = {
     "ann_ivfpq_recall": SQL_ANN_IVFPQ_RECALL,
     "pq_codebook": SQL_PQ_CODEBOOK,
     "ivf_cell_sizes": SQL_IVF_CELL_SIZES,
+    "ann_knn_graph": SQL_ANN_KNN_GRAPH,
 }

@@ -272,3 +272,36 @@ class TestHybrid:
                 if (qid, r.doc_id) in vec:
                     expect += 1 / (V.RRF_KAPPA + vec[(qid, r.doc_id)])
                 assert abs(r.rrf - expect) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# KNN graph
+# ---------------------------------------------------------------------------
+
+class TestKnnGraph:
+    def test_no_self_edges_scores_exact_ranks_monotone(self, spark):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+            knn_graph,
+        )
+
+        corpus = _corpus(spark)
+        out = knn_graph(corpus, 5).collect()
+        assert out
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in corpus.select("vec_id", "embedding").collect()}
+
+        def cos(a, b):
+            na = max(np.sqrt((a * a).sum()), 1e-12)
+            nb = max(np.sqrt((b * b).sum()), 1e-12)
+            return float(a @ b) / (na * nb)
+
+        by_node: dict[int, list] = {}
+        for r in out:
+            assert r.node_id != r.neighbor_id
+            assert abs(r.score - cos(vecs[r.node_id], vecs[r.neighbor_id])) < 1e-9
+            by_node.setdefault(r.node_id, []).append(r)
+        for rows in by_node.values():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r.score for r in rows]
+            assert scores == sorted(scores, reverse=True)
