@@ -28,13 +28,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from ..functions.text import predicted_lang, quality_score, token_count
-from .dedup import duplicate_components, exact_dedup, minhash_lsh_pairs
+from .dedup import duplicate_components, exact_dedup, minhash_lsh_pairs, shingle_index
 
 QUALITY_MIN = 0.5  #: keep + borderline buckets (registry_text thresholds)
 
 CHUNK_TOKENS = 32   #: tokens per chunk (RAG-ingestion default shape)
 CHUNK_OVERLAP = 8   #: tokens shared between consecutive chunks
+
+
+def decontaminate(
+    docs: DataFrame,
+    holdout: Column,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_contaminated, contamination): benchmark
+    decontamination — for every NON-holdout document, the fraction of
+    its distinct word n-gram shingles that appear anywhere in the
+    holdout (benchmark) set. The standard pre-training hygiene pass
+    (C4/Pile-style n-gram overlap): a downstream filter drops docs
+    above a contamination threshold before training.
+
+    Scale shape: the corpus side is the same inverted shingle index
+    the dedup operators build (one scan, explode, shuffle on the
+    shingle key); the holdout side is DISTINCT benchmark shingles —
+    benchmarks are MBs against a corpus of TBs, so it broadcasts and
+    the containment check is a map-side semi join. Docs too short to
+    shingle report contamination 0 over 0 shingles."""
+    corp = docs.where(~holdout)
+    sh = shingle_index(corp, n, text_col, id_col)
+    bench = (
+        shingle_index(docs.where(holdout), n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+    )
+    totals = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(bench), "shingle", "semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = corp.select(F.col(id_col).alias("id"))
+    n_sh = F.coalesce("n_shingles", F.lit(0))
+    n_hit = F.coalesce("n_contaminated", F.lit(0))
+    return (
+        base.join(totals, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_contaminated"),
+            F.round(
+                F.when(n_sh > 0, n_hit.cast("double") / n_sh).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )
 
 
 def chunk_documents(

@@ -114,12 +114,58 @@ FROM s
 """
 
 
+DECON_MOD = 10  #: doc_id % 10 == 1 plays the benchmark/holdout set
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per non-holdout doc, the fraction of
+    its distinct 3-gram shingles found anywhere in the holdout set."""
+    from pyspark.sql import functions as F
+
+    from .operators.curation import decontaminate
+
+    return decontaminate(
+        load_table(spark, sf_dir, "documents"),
+        F.col("doc_id") % DECON_MOD == 1,
+        n=SHINGLE_N,
+    )
+
+
+def _sql_decontamination() -> str:
+    from .registry_dedup import sql_shingle_ctes
+
+    return f"""
+WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} != 1),
+hold AS (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 1),
+{sql_shingle_ctes("corp")},
+{sql_shingle_ctes("hold", prefix="h")},
+ex AS (SELECT id, unnest(shs) AS s FROM sh),
+bench AS (SELECT DISTINCT unnest(shs) AS s FROM hsh),
+tot AS (SELECT id, count(*) AS n_shingles FROM ex GROUP BY id),
+hits AS (
+  SELECT ex.id, count(*) AS n_contaminated
+  FROM ex JOIN bench ON bench.s = ex.s GROUP BY ex.id
+)
+SELECT c.doc_id,
+       coalesce(t.n_shingles, 0) AS n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(CASE WHEN coalesce(t.n_shingles, 0) > 0
+                  THEN CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles
+                  ELSE 0.0 END, 6) AS contamination
+FROM corp c
+LEFT JOIN tot t ON t.id = c.doc_id
+LEFT JOIN hits h ON h.id = c.doc_id
+"""
+
+
 CURATION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "doc_chunks": q_doc_chunks,
+    "decontamination": q_decontamination,
 }
 
 CURATION_ORACLES: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "doc_chunks": _sql_doc_chunks(),
+    "decontamination": _sql_decontamination(),
 }

@@ -26,15 +26,18 @@ SHINGLE_N = 3
 #: shared CTEs: tokens → distinct word-3-gram shingles per doc.
 #: ``src`` must expose (doc_id, text) — the curation pipeline points
 #: this at its filtered canonical set instead of raw ``documents``.
-def sql_shingle_ctes(src: str = "documents") -> str:
+def sql_shingle_ctes(src: str = "documents", prefix: str = "") -> str:
+    """``prefix`` renames the CTEs (``{p}t``/``{p}sh``) so two shingle
+    pipelines can coexist in one query (decontamination shingles the
+    corpus and the holdout separately)."""
     return f"""
-t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM {src}),
-sh AS (SELECT id,
+{prefix}t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM {src}),
+{prefix}sh AS (SELECT id,
   CASE WHEN len(toks) >= {SHINGLE_N}
     THEN list_distinct(list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
     ELSE CAST([] AS VARCHAR[]) END AS shs
-  FROM t)
+  FROM {prefix}t)
 """
 
 

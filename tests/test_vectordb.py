@@ -305,3 +305,39 @@ class TestKnnGraph:
             assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
             scores = [r.score for r in rows]
             assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+class TestDecontamination:
+    def test_matches_pure_python_and_flags_exact_dups(self, spark):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.curation import (
+            decontaminate,
+        )
+
+        docs = load_table(spark, SF, "documents")
+        out = {r.doc_id: r for r in decontaminate(docs, F.col("doc_id") % 10 == 1).collect()}
+
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+        def shingles(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
+
+        bench = set().union(*(shingles(t) for d, t in texts.items() if d % 10 == 1))
+        assert set(out) == {d for d in texts if d % 10 != 1}
+        flagged_full = 0
+        for d, r in out.items():
+            sh = shingles(texts[d])
+            assert r.n_shingles == len(sh)
+            assert r.n_contaminated == len(sh & bench)
+            expect = round(len(sh & bench) / len(sh), 6) if sh else 0.0
+            assert abs(r.contamination - expect) < 1e-9
+            if sh and sh <= bench:
+                flagged_full += 1
+                assert r.contamination == 1.0
+        # the fixture contains exact dups across the holdout split, so
+        # full contamination must actually occur for the test to bite
+        assert flagged_full > 0
