@@ -494,11 +494,23 @@ _FRONT = [
     # (refine_l2_tz_compressed_metrics is rows-only/no-oracle and had
     # its r03 row — moved out of the window so an r02-green oracled
     # query keeps its slot)
-    # stale since r02 (not in the r03 window)
+    # stale since r02 (not in the r03 window). Text/dedup first: their
+    # shared shingle/token machinery saw r04 edits, so their re-check
+    # matters most; untouched plain-relational queries sit last and
+    # absorb any window-budget overflow.
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash_sketch",
+    "dedup_simhash",
     "rollup_lineitem",
     "cube_orders",
     "count_distinct",
-    "approx_count_distinct",
     "region_revenue",
     "top_orders",
     "semi_join",
@@ -513,16 +525,7 @@ _FRONT = [
     "scalar_json",
     "salted_agg",
     "value_quantiles",
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "simhash_sketch",
-    "dedup_simhash",
+    "approx_count_distinct",
 ]
 assert all(name in QUERIES for name in _FRONT)
 QUERIES = {name: QUERIES[name] for name in _FRONT} | {
