@@ -62,6 +62,8 @@ def _suite():
         "ann_sq_refined_topk",
         "ann_sq_recall",
         "hybrid_rrf",
+        "doc_chunks",
+        "decontamination",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
