@@ -270,6 +270,31 @@ def knn_graph(corpus: DataFrame, k: int) -> DataFrame:
     )
 
 
+def knn_graph_exact(corpus: DataFrame, k: int) -> DataFrame:
+    """Brute-force KNN graph (cosine, self excluded) — the ground
+    truth `knn_graph` is measured against, exactly as `exact_topk` is
+    the ground truth for the query-set ANN families. The corpus plays
+    its own query side (broadcast — ground-truth tooling, same
+    declared role as the other exact baselines)."""
+    q = F.broadcast(
+        corpus.select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("qvec"))
+    )
+    c = ensure_parallelism(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("node_id") != F.col("neighbor_id"))
+        .select(
+            F.col("node_id").alias("query_id"),
+            "neighbor_id",
+            cosine("qvec", "cvec").alias("score"),
+        )
+    )
+    out = topk_per_query(scored, k, ascending=False)
+    return out.select(F.col("query_id").alias("node_id"), "rank", "neighbor_id", "score")
+
+
 def ann_recall_from_groundtruth(ann: DataFrame, gt: DataFrame, k: int) -> DataFrame:
     """Recall@K against an external ground-truth table ``(query_id,
     neighbor_ids array)`` — the shape ``sources.loaders.load_ivecs``

@@ -473,6 +473,7 @@ _FRONT = [
     "stream_ann_topk",
     "doc_chunks",
     "ann_knn_graph",
+    "ann_knn_graph_recall",
     "decontamination",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two

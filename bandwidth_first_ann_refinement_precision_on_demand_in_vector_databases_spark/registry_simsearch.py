@@ -540,6 +540,55 @@ SELECT node_id, rank, neighbor_id, round(score, 6) AS score FROM (
 """
 
 
+def q_ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the banded KNN graph against the brute-force graph
+    (node-averaged, same metric shape as the other ann_*_recall)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.knn_graph(corpus, KNN_GRAPH_K).select(
+        F.col("node_id").alias("query_id"), "rank", "neighbor_id", "score"
+    )
+    exact = S.knn_graph_exact(corpus, KNN_GRAPH_K).select(
+        F.col("node_id").alias("query_id"), "rank", "neighbor_id", "score"
+    )
+    return S.ann_recall(ann, exact, KNN_GRAPH_K)
+
+
+SQL_ANN_KNN_GRAPH_RECALL = f"""
+WITH cb AS ({_sql_bands("embeddings", "vec_id", "embedding")}),
+cand AS (
+  SELECT DISTINCT a.id AS node_id, b.id AS neighbor_id,
+         a.vec AS qvec, b.vec AS cvec
+  FROM cb a JOIN cb b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id != b.id
+),
+ann AS (
+  SELECT node_id AS query_id, neighbor_id FROM (
+    SELECT node_id, neighbor_id,
+      row_number() OVER (PARTITION BY node_id
+        ORDER BY {_sql_cos("qvec", "cvec")} DESC, neighbor_id) AS rank
+    FROM cand
+  ) WHERE rank <= {KNN_GRAPH_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY {_sql_cos("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  ) WHERE rank <= {KNN_GRAPH_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {KNN_GRAPH_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
 SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -554,6 +603,7 @@ SIMSEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codebook": q_pq_codebook,
     "ivf_cell_sizes": q_ivf_cell_sizes,
     "ann_knn_graph": q_ann_knn_graph,
+    "ann_knn_graph_recall": q_ann_knn_graph_recall,
 }
 
 SIMSEARCH_ORACLES: dict[str, str] = {
@@ -570,4 +620,5 @@ SIMSEARCH_ORACLES: dict[str, str] = {
     "pq_codebook": SQL_PQ_CODEBOOK,
     "ivf_cell_sizes": SQL_IVF_CELL_SIZES,
     "ann_knn_graph": SQL_ANN_KNN_GRAPH,
+    "ann_knn_graph_recall": SQL_ANN_KNN_GRAPH_RECALL,
 }
