@@ -475,6 +475,8 @@ _FRONT = [
     "ann_knn_graph",
     "ann_knn_graph_recall",
     "decontamination",
+    "ann_ivfsq_topk",
+    "ann_ivfsq_recall",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two
     # new index-artifact queries

@@ -271,6 +271,107 @@ SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 
 
 # ---------------------------------------------------------------------------
+# IVF × SQ composition
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = SQ.ivfsq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+#: same cell pruning as the IVF-PQ twin, int8 ADC pricing, exact
+#: refinement — assembled from the already-proven CTE fragments
+SQL_ANN_IVFSQ_TOPK = f"""
+WITH {SQL_IVF_CTES},
+{_SQL_SQ_RECON},
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_dist2("p.qe", "r.recon")} AS score
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN recon r ON r.vec_id = a.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS rr
+    FROM adc
+  ) WHERE rr <= {SQ.SQ_REFINE_R * ANN_K}
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT c.query_id, c.neighbor_id,
+    {_sql_dist2("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY c.query_id
+      ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = SQ.ivfsq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_IVFSQ_RECALL = f"""
+WITH {SQL_IVF_CTES},
+{_SQL_SQ_RECON},
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_dist2("p.qe", "r.recon")} AS score
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN recon r ON r.vec_id = a.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS rr
+    FROM adc
+  ) WHERE rr <= {SQ.SQ_REFINE_R * ANN_K}
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, c.neighbor_id) AS rank
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hybrid keyword + vector fusion (RRF)
 # ---------------------------------------------------------------------------
 
@@ -404,6 +505,8 @@ VECTORDB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_sq_recall": q_ann_sq_recall,
     "hybrid_rrf": q_hybrid_rrf,
     "bm25_topn": q_bm25_topn,
+    "ann_ivfsq_topk": q_ann_ivfsq_topk,
+    "ann_ivfsq_recall": q_ann_ivfsq_recall,
 }
 
 VECTORDB_ORACLES: dict[str, str] = {
@@ -416,4 +519,6 @@ VECTORDB_ORACLES: dict[str, str] = {
     "ann_sq_recall": SQL_ANN_SQ_RECALL,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "bm25_topn": SQL_BM25_TOPN,
+    "ann_ivfsq_topk": SQL_ANN_IVFSQ_TOPK,
+    "ann_ivfsq_recall": SQL_ANN_IVFSQ_RECALL,
 }
