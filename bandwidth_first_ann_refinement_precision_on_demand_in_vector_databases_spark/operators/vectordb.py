@@ -224,28 +224,19 @@ def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     )
 
 
-def hybrid_rrf(
-    query_docs: DataFrame,
-    docs: DataFrame,
-    queries: DataFrame,
-    corpus: DataFrame,
+def rrf_fuse(
+    kw: DataFrame,
+    vec: DataFrame,
     k: int = HYBRID_K,
-    topn: int = HYBRID_TOPN,
     kappa: int = RRF_KAPPA,
 ) -> DataFrame:
-    """Reciprocal-rank fusion: rrf(d) = Σ_sides 1/(κ + rank_side(d)),
-    a side contributing 0 when d is outside its top-N. Output is the
-    fused per-query top-``k`` (ties → smaller doc_id).
-
-    Both inputs are bounded rank lists (q·topn rows), so the full
-    outer join and the final ranking are q·topn-sized regardless of
-    corpus size — the fusion step never touches the corpus again.
-    """
-    kw = keyword_topn(query_docs, docs, topn)
-    vec = (
-        exact_topk(queries, corpus, topn, metric="cosine")
-        .select("query_id", F.col("rank").alias("vec_rank"), F.col("neighbor_id").alias("doc_id"))
-    )
+    """Reciprocal-rank fusion of two bounded per-query rank lists —
+    ``kw`` (query_id, kw_rank, doc_id) and ``vec`` (query_id,
+    vec_rank, doc_id): rrf(d) = Σ_sides 1/(κ + rank_side(d)), a side
+    contributing 0 when d is outside its list. Output is the fused
+    per-query top-``k`` (ties → smaller doc_id). Both inputs are
+    q·topn rows, so the full outer join and the final ranking never
+    touch the corpus again."""
     fused = (
         kw.join(vec, ["query_id", "doc_id"], "full_outer")
         .select(
@@ -263,3 +254,42 @@ def hybrid_rrf(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf")
     )
+
+
+def _vec_ranks(queries: DataFrame, corpus: DataFrame, topn: int) -> DataFrame:
+    return exact_topk(queries, corpus, topn, metric="cosine").select(
+        "query_id", F.col("rank").alias("vec_rank"), F.col("neighbor_id").alias("doc_id")
+    )
+
+
+def hybrid_rrf(
+    query_docs: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = HYBRID_K,
+    topn: int = HYBRID_TOPN,
+    kappa: int = RRF_KAPPA,
+) -> DataFrame:
+    """RRF of the token-overlap keyword rank list × exact cosine."""
+    return rrf_fuse(
+        keyword_topn(query_docs, docs, topn), _vec_ranks(queries, corpus, topn), k, kappa
+    )
+
+
+def hybrid_bm25_rrf(
+    query_docs: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = HYBRID_K,
+    topn: int = HYBRID_TOPN,
+    kappa: int = RRF_KAPPA,
+) -> DataFrame:
+    """RRF with the BM25 rank list as the lexical side — the
+    production hybrid-search default (BM25 × dense, fused by rank so
+    the incomparable score scales never meet)."""
+    kw = bm25_topn(query_docs, docs, topn).select(
+        "query_id", F.col("rank").alias("kw_rank"), "doc_id"
+    )
+    return rrf_fuse(kw, _vec_ranks(queries, corpus, topn), k, kappa)

@@ -477,6 +477,7 @@ _FRONT = [
     "decontamination",
     "ann_ivfsq_topk",
     "ann_ivfsq_recall",
+    "hybrid_bm25_rrf",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two
     # new index-artifact queries

@@ -448,9 +448,9 @@ def q_bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: exact SQL replay of operators/vectordb.bm25_topn — identical
 #: literal constants, identical expression grouping, idf quantized to
-#: micro-units right after the only ln(), BIGINT micro-unit sums
-SQL_BM25_TOPN = f"""
-WITH toks AS (
+#: micro-units right after the only ln(), BIGINT micro-unit sums.
+#: The CTE body is shared with the BM25-side hybrid fusion below.
+_SQL_BM25_CTES = f"""toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -482,8 +482,8 @@ terms AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   JOIN idf ON idf.tok = tf.tok
   CROSS JOIN avgstat
-)
-SELECT query_id, rank, doc_id, score_micro FROM (
+),
+bm25r AS (
   SELECT query_id, doc_id, score_micro,
     CAST(row_number() OVER (PARTITION BY query_id
       ORDER BY score_micro DESC, doc_id) AS INT) AS rank
@@ -491,7 +491,60 @@ SELECT query_id, rank, doc_id, score_micro FROM (
     SELECT query_id, doc_id, sum(t6) AS score_micro
     FROM terms GROUP BY query_id, doc_id
   )
-) WHERE rank <= {BM25_TOPN}
+)"""
+
+SQL_BM25_TOPN = f"""
+WITH {_SQL_BM25_CTES}
+SELECT query_id, rank, doc_id, score_micro FROM bm25r
+WHERE rank <= {BM25_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fusion with the BM25 lexical side
+# ---------------------------------------------------------------------------
+
+def q_hybrid_bm25_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    query_docs = docs.where(F.col("doc_id") % QUERY_STRIDE == 0)
+    out = V.hybrid_bm25_rrf(
+        query_docs,
+        docs,
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf"))
+
+
+SQL_HYBRID_BM25_RRF = f"""
+WITH {_SQL_BM25_CTES},
+kw AS (
+  SELECT query_id, doc_id, rank AS kw_rank FROM bm25r
+  WHERE rank <= {V.HYBRID_TOPN}
+),
+q AS ({SQL_Q_CTE}),
+vec AS (
+  SELECT query_id, neighbor_id AS doc_id, vec_rank FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS vec_rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE vec_rank <= {V.HYBRID_TOPN}
+),
+fused AS (
+  SELECT coalesce(kw.query_id, vec.query_id) AS query_id,
+         coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+         coalesce(CAST(1 AS DOUBLE) / ({V.RRF_KAPPA} + kw_rank), 0.0)
+           + coalesce(CAST(1 AS DOUBLE) / ({V.RRF_KAPPA} + vec_rank), 0.0) AS rrf
+  FROM kw FULL OUTER JOIN vec
+    ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id
+)
+SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf FROM (
+  SELECT query_id, doc_id, rrf,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {V.HYBRID_K}
 """
 
 
@@ -507,6 +560,7 @@ VECTORDB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topn": q_bm25_topn,
     "ann_ivfsq_topk": q_ann_ivfsq_topk,
     "ann_ivfsq_recall": q_ann_ivfsq_recall,
+    "hybrid_bm25_rrf": q_hybrid_bm25_rrf,
 }
 
 VECTORDB_ORACLES: dict[str, str] = {
@@ -521,4 +575,5 @@ VECTORDB_ORACLES: dict[str, str] = {
     "bm25_topn": SQL_BM25_TOPN,
     "ann_ivfsq_topk": SQL_ANN_IVFSQ_TOPK,
     "ann_ivfsq_recall": SQL_ANN_IVFSQ_RECALL,
+    "hybrid_bm25_rrf": SQL_HYBRID_BM25_RRF,
 }

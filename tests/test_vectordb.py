@@ -341,3 +341,34 @@ class TestDecontamination:
         # the fixture contains exact dups across the holdout split, so
         # full contamination must actually occur for the test to bite
         assert flagged_full > 0
+
+
+class TestHybridBM25:
+    def test_fused_scores_follow_component_ranks(self, spark):
+        docs = load_table(spark, SF, "documents")
+        qd = docs.where(F.col("doc_id") % 50 == 0)
+        corpus, queries = _corpus(spark), _queries(spark)
+        out = V.hybrid_bm25_rrf(qd, docs, queries, corpus).collect()
+        kw = {
+            (r.query_id, r.doc_id): r.rank
+            for r in V.bm25_topn(qd, docs, V.HYBRID_TOPN).collect()
+        }
+        vec = {
+            (r.query_id, r.neighbor_id): r.rank
+            for r in exact_topk(queries, corpus, V.HYBRID_TOPN, metric="cosine").collect()
+        }
+        assert out
+        by_q: dict[int, list] = {}
+        for r in out:
+            expect = 0.0
+            if (r.query_id, r.doc_id) in kw:
+                expect += 1 / (V.RRF_KAPPA + kw[(r.query_id, r.doc_id)])
+            if (r.query_id, r.doc_id) in vec:
+                expect += 1 / (V.RRF_KAPPA + vec[(r.query_id, r.doc_id)])
+            assert abs(r.rrf - expect) < 1e-12
+            by_q.setdefault(r.query_id, []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r.rank)
+            assert len(rows) == V.HYBRID_K
+            rrfs = [r.rrf for r in rows]
+            assert rrfs == sorted(rrfs, reverse=True)
