@@ -224,6 +224,116 @@ def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+MMR_LAMBDA = 0.7   #: relevance weight (1−λ penalizes redundancy)
+MMR_TOPN = 10      #: candidate pool per query
+MMR_K = 5          #: diversified results kept
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = MMR_K,
+    topn: int = MMR_TOPN,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` of the top-``topn`` cosine
+    candidates, each step maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    sim(d, s) — relevance traded against redundancy with what is
+    already selected. The diversity-aware retrieval pass a RAG
+    pipeline runs after ANN.
+
+    Greedy selection is inherently sequential in k, so the k steps
+    are UNROLLED into k declarative rounds (k is a small constant —
+    the plan is k joins over per-query frames of ≤ topn rows). Per
+    round: join remaining candidates to the selected set through the
+    candidate-pair similarity table (q·topn² rows, bounded), take the
+    max-sim penalty, and argmax the MMR score via one aggregate —
+    ties → smaller doc id. No loop state leaves the plan; the DuckDB
+    twin replays the same k rounds as CTEs.
+
+    Returns (query_id, rank, doc_id, mmr) where ``mmr`` is the score
+    the item was selected with (rank 1 = λ·rel, no penalty).
+    """
+    cand = (
+        exact_topk(queries, corpus, topn, metric="cosine")
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("score").alias("rel"))
+    )
+    emb = corpus.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("__e"))
+    ce = cand.join(emb, "doc_id").select("query_id", "doc_id", "rel", "__e")
+    a = ce.select("query_id", F.col("doc_id").alias("id_a"), F.col("__e").alias("ea"))
+    b = ce.select("query_id", F.col("doc_id").alias("id_b"), F.col("__e").alias("eb"))
+    pairs = (
+        a.join(b, "query_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "id_b", cosine("ea", "eb").alias("sim"))
+    )
+    cand = cand.select("query_id", "doc_id", "rel")
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        """(query_id, doc_id, mmr) of the per-query MMR maximizer
+        (ties → smaller doc_id), via one struct-max aggregate."""
+        return (
+            scored.groupBy("query_id")
+            .agg(F.max(F.struct(F.col("mmr"), (-F.col("doc_id")).alias("nid"))).alias("s"))
+            .select(
+                "query_id",
+                (-F.col("s.nid")).cast("long").alias("doc_id"),
+                F.col("s.mmr").alias("mmr"),
+            )
+        )
+
+    # round 1: no selected set, penalty = 0. Each round's selected set
+    # is eagerly checkpointed (a ≤ q·k-row frame): every later round
+    # references it at least twice (anti-join + penalty join), and
+    # without truncation round r re-executes rounds 1..r−1 per
+    # consumer — the same lineage blow-up the CC propagation cuts.
+    cand = cand.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+    selected = (
+        argmax(cand.select("query_id", "doc_id", (F.lit(lam) * F.col("rel")).alias("mmr")))
+        .select("query_id", F.lit(1).alias("rank"), "doc_id", "mmr")
+        .localCheckpoint(eager=True)
+    )
+
+    p = pairs.select(
+        F.col("query_id").alias("pq"),
+        F.col("id_a").alias("pa"),
+        F.col("id_b").alias("pb"),
+        "sim",
+    )
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+        )
+        sel_b = selected.select(
+            F.col("query_id").alias("sq"), F.col("doc_id").alias("sb")
+        )
+        penalty = (
+            remaining.join(sel_b, F.col("query_id") == F.col("sq"))
+            .join(
+                p,
+                (F.col("query_id") == F.col("pq"))
+                & (F.col("doc_id") == F.col("pa"))
+                & (F.col("sb") == F.col("pb")),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = (
+            remaining.join(penalty, ["query_id", "doc_id"])
+            .select(
+                "query_id",
+                "doc_id",
+                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("pen")).alias("mmr"),
+            )
+        )
+        selected = selected.unionByName(
+            argmax(scored).select("query_id", F.lit(step).alias("rank"), "doc_id", "mmr")
+        ).localCheckpoint(eager=True)
+    return selected
+
+
 def rrf_fuse(
     kw: DataFrame,
     vec: DataFrame,

@@ -478,6 +478,7 @@ _FRONT = [
     "ann_ivfsq_topk",
     "ann_ivfsq_recall",
     "hybrid_bm25_rrf",
+    "ann_mmr_rerank",
     # changed in r04: real-decoder features (new oracle) + trained PQ
     # codebooks (new training replayed in every PQ oracle) + the two
     # new index-artifact queries

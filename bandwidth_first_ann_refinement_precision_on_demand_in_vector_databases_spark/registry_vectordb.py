@@ -501,6 +501,86 @@ WHERE rank <= {BM25_TOPN}
 
 
 # ---------------------------------------------------------------------------
+# MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = V.mmr_rerank(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings")
+    )
+    return out.select("query_id", "rank", "doc_id", F.round("mmr", 6).alias("mmr"))
+
+
+def _sql_mmr() -> str:
+    """Unrolled greedy MMR — the same k rounds the Spark plan runs,
+    as CTEs. The (1−λ) literal is emitted from the identical Python
+    float (1.0 − 0.7 is NOT 0.3 in binary; both engines must parse
+    the same repr)."""
+    lam = V.MMR_LAMBDA
+    one_minus = 1.0 - lam
+    head = f"""
+WITH q AS ({SQL_Q_CTE}),
+cand AS (
+  SELECT query_id, doc_id, rel, embedding FROM (
+    SELECT q.query_id, e.vec_id AS doc_id,
+      {_sql_cos("q.qe", "e.embedding")} AS rel, e.embedding,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rn <= {V.MMR_TOPN}
+),
+pairs AS (
+  SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+         {_sql_cos("a.embedding", "b.embedding")} AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id != b.doc_id
+),
+sel1 AS (
+  SELECT query_id, 1 AS rank, doc_id, mmr FROM (
+    SELECT query_id, doc_id, {lam} * rel AS mmr,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY {lam} * rel DESC, doc_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    parts = [head]
+    for i in range(2, V.MMR_K + 1):
+        prev = f"sel{i - 1}"
+        parts.append(f""",
+rem{i} AS (
+  SELECT c.query_id, c.doc_id, c.rel FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                    WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)
+),
+pen{i} AS (
+  SELECT r.query_id, r.doc_id, max(p.sim) AS pen
+  FROM rem{i} r
+  JOIN {prev} s ON s.query_id = r.query_id
+  JOIN pairs p ON p.query_id = r.query_id
+             AND p.id_a = r.doc_id AND p.id_b = s.doc_id
+  GROUP BY r.query_id, r.doc_id
+),
+pick{i} AS (
+  SELECT query_id, {i} AS rank, doc_id, mmr FROM (
+    SELECT r.query_id, r.doc_id,
+      {lam} * r.rel - {one_minus} * n.pen AS mmr,
+      row_number() OVER (PARTITION BY r.query_id
+        ORDER BY {lam} * r.rel - {one_minus} * n.pen DESC, r.doc_id) AS rn
+    FROM rem{i} r JOIN pen{i} n
+      ON n.query_id = r.query_id AND n.doc_id = r.doc_id
+  ) WHERE rn = 1
+),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+    parts.append(f"""
+SELECT query_id, rank, doc_id, round(mmr, 6) AS mmr FROM sel{V.MMR_K}
+""")
+    return "".join(parts)
+
+
+SQL_ANN_MMR_RERANK = _sql_mmr()
+
+
+# ---------------------------------------------------------------------------
 # Hybrid fusion with the BM25 lexical side
 # ---------------------------------------------------------------------------
 
@@ -561,6 +641,7 @@ VECTORDB_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfsq_topk": q_ann_ivfsq_topk,
     "ann_ivfsq_recall": q_ann_ivfsq_recall,
     "hybrid_bm25_rrf": q_hybrid_bm25_rrf,
+    "ann_mmr_rerank": q_ann_mmr_rerank,
 }
 
 VECTORDB_ORACLES: dict[str, str] = {
@@ -576,4 +657,5 @@ VECTORDB_ORACLES: dict[str, str] = {
     "ann_ivfsq_topk": SQL_ANN_IVFSQ_TOPK,
     "ann_ivfsq_recall": SQL_ANN_IVFSQ_RECALL,
     "hybrid_bm25_rrf": SQL_HYBRID_BM25_RRF,
+    "ann_mmr_rerank": SQL_ANN_MMR_RERANK,
 }

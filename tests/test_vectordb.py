@@ -372,3 +372,50 @@ class TestHybridBM25:
             assert len(rows) == V.HYBRID_K
             rrfs = [r.rrf for r in rows]
             assert rrfs == sorted(rrfs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+class TestMMR:
+    def test_matches_pure_python_greedy(self, spark):
+        corpus, queries = _corpus(spark), _queries(spark)
+        out = V.mmr_rerank(queries, corpus).collect()
+
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in corpus.select("vec_id", "embedding").collect()}
+        qv = {r.query_id: np.array(r.embedding, dtype=np.float64)
+              for r in queries.select("query_id", "embedding").collect()}
+
+        def cos(a, b):
+            na = max(np.sqrt((a * a).sum()), 1e-12)
+            nb = max(np.sqrt((b * b).sum()), 1e-12)
+            return float(a @ b) / (na * nb)
+
+        lam = V.MMR_LAMBDA
+        expect = {}
+        for q, qe in qv.items():
+            rel = sorted(
+                ((cos(qe, v), -i) for i, v in vecs.items()), reverse=True
+            )[: V.MMR_TOPN]
+            cand = {-ni: r for r, ni in rel}
+            sel = []
+            for rank in range(1, V.MMR_K + 1):
+                best = None
+                for d, r in sorted(cand.items()):
+                    if d in (s for s, _ in sel):
+                        continue
+                    pen = max(
+                        (cos(vecs[d], vecs[s]) for s, _ in sel), default=0.0
+                    )
+                    mmr = lam * r - (1.0 - lam) * pen if sel else lam * r
+                    if best is None or mmr > best[1]:
+                        best = (d, mmr)
+                sel.append(best)
+                expect[(q, rank)] = best
+        for r in out:
+            d, mmr = expect[(r.query_id, r.rank)]
+            assert r.doc_id == d
+            assert abs(r.mmr - mmr) < 1e-9
+        assert len(out) == len(expect)
