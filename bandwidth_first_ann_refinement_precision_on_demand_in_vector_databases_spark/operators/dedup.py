@@ -472,3 +472,73 @@ def duplicate_components(
             "component_size",
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    stride: int | None = None,
+    iters: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space
+    with the IVF coarse quantizer (``operators/kmeans.py`` — the same
+    trained, DuckDB-replayable build the ANN index uses), then look
+    for near-duplicate pairs WITHIN each cluster only, cluster those
+    pairs into connected components, and keep one canonical vector
+    per component.
+
+    The cluster restriction is the declared semantics, not an
+    approximation to hide: SemDeDup's insight is that semantic
+    duplicates are co-located under any reasonable coarse quantizer,
+    so the O(N²) pair space collapses to Σ|cell|² ≈ N·stride — linear
+    in N at fixed stride. At 100 TB the cell is the shuffle/partition
+    key (embeddings move once, to their cell) and each cell's
+    triangular self-join is a partition-local problem; no pair ever
+    crosses cells. The DuckDB twin replays the identical quantizer,
+    assignment, pair predicate, and unrolled label-propagation
+    rounds, so the hash check is exact.
+
+    Returns one row per vector: ``(vec_id, cell, component_id,
+    component_size, is_canonical)`` with ``component_id`` = the
+    component's smallest vec_id (singletons are their own canonical).
+    """
+    from .simsearch import IVF_KMEANS_ITERS, IVF_STRIDE, ivf_assign, ivf_centroids
+
+    stride = IVF_STRIDE if stride is None else stride
+    iters = IVF_KMEANS_ITERS if iters is None else iters
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    assigned = ivf_assign(corpus, ivf_centroids(corpus, stride, iters))
+    # three consumers (both pair sides + the final membership join):
+    # persist so assignment runs once; released by session.clear_caches
+    assigned = assigned.persist()
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+    comps = duplicate_components(pairs)
+    canonical = F.coalesce("component_id", F.col("vec_id"))
+    return (
+        assigned.join(comps, assigned["vec_id"] == comps["doc_id"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            canonical.alias("component_id"),
+            F.coalesce(F.col("component_size"), F.lit(1).cast("long")).alias(
+                "component_size"
+            ),
+            (canonical == F.col("vec_id")).cast("int").alias("is_canonical"),
+        )
+    )

@@ -459,6 +459,10 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
+    # NEW in r04: SemDeDup-style semantic dedup + Gopher repetition
+    # gate — never driver-checked
+    "dedup_semantic",
+    "text_repetition",
     # NEW in r04: the vector-database query shapes (filtered/range/
     # SQ-int8/hybrid) — never driver-checked
     "ann_filtered_topk",

@@ -306,3 +306,67 @@ DEDUP_ORACLES: dict[str, str] = {
     "dedup_embedding": _sql_dedup_lsh(NEARDUP_COS_TAU),
     "dedup_embedding_lsh": _sql_dedup_lsh(NEARDUP_COS_TAU_TIGHT),
 }
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster-blocked embedding near-dup)
+# ---------------------------------------------------------------------------
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked embedding dedup (SemDeDup, arXiv:2303.09540):
+    the IVF coarse quantizer partitions the corpus; near-dup pairs
+    are found within cells only; one canonical vector survives per
+    duplicate component. The oracle replays the identical quantizer
+    (``kmeans_sql_ctes``), assignment, pair predicate, and unrolled
+    label-propagation rounds."""
+    return D.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS_TAU
+    )
+
+
+def _sql_dedup_semantic(tau: float) -> str:
+    from .registry_simsearch import (
+        _IVF_KM_CTES,
+        _IVF_KM_FINAL,
+        _sql_cos,
+        _sql_dist2,
+    )
+
+    n = D.CC_ITERS
+    return f"""
+WITH
+ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+{_IVF_KM_CTES},
+cents AS (SELECT cid AS centroid_id, cvec FROM {_IVF_KM_FINAL}),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_sql_dist2("e.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+dup AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_sql_cos("a.embedding", "b.embedding")}, 6) >= {tau}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM dup
+),
+{_sql_cc_rounds(n)},
+sizes AS (SELECT label, count(*) AS component_size FROM l{n} GROUP BY label)
+SELECT a.vec_id, a.cell,
+  coalesce(l.label, a.vec_id) AS component_id,
+  coalesce(s.component_size, 1) AS component_size,
+  CAST(coalesce(l.label, a.vec_id) = a.vec_id AS INT) AS is_canonical
+FROM assigned a
+LEFT JOIN l{n} l ON l.id = a.vec_id
+LEFT JOIN sizes s ON s.label = l.label
+"""
+
+
+DEDUP_QUERIES["dedup_semantic"] = q_dedup_semantic
+DEDUP_ORACLES["dedup_semantic"] = _sql_dedup_semantic(NEARDUP_COS_TAU)

@@ -281,3 +281,149 @@ TEXT_ORACLES: dict[str, str] = {
     "vocab_topn": SQL_VOCAB_TOPN,
     "corpus_sample": SQL_CORPUS_SAMPLE,
 }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+# public method): documents dominated by a few repeated words/n-grams are
+# low-quality for LM training. All signals are per-document.
+# ---------------------------------------------------------------------------
+
+#: repetition gate thresholds (Gopher Table A1 analogs, adapted to the
+#: whitespace tokenizer): drop a doc when the most frequent word covers
+#: more than 20% of it or the most frequent bigram more than 18%.
+TOP_WORD_FRAC_MAX = 0.20
+TOP_BIGRAM_FRAC_MAX = 0.18
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate-word fraction
+    (map-side array expression — no shuffle), most-frequent-word and
+    most-frequent-bigram coverage (explode → (doc, gram) count →
+    per-doc argmax; the shuffle is keyed by (doc_id, gram) with
+    map-side combine, the word-count shape that scales), and the
+    composed Gopher-style keep/drop gate.
+
+    Ties on gram frequency break to the lexicographically smallest
+    gram, so both engines pick the same winner."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.round(
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        toks.alias("__toks"),
+        bigrams.alias("__bgs"),
+    )
+
+    def _top(col: str, out_gram: str, out_n: str) -> DataFrame:
+        counts = (
+            base.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("c").desc(), F.col("g").asc()
+        )
+        return (
+            counts.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("doc_id", F.col("g").alias(out_gram), F.col("c").alias(out_n))
+        )
+
+    topw = _top("__toks", "top_word", "__wn")
+    topb = _top("__bgs", "top_bigram", "__bn")
+    out = (
+        base.drop("__toks", "__bgs")
+        .join(topw, "doc_id")
+        .join(topb, "doc_id", "left")
+    )
+    top_word_frac = F.round(F.col("__wn") / F.col("n_words").cast("double"), 6)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("__bn") / (F.col("n_words") - 1).cast("double"), F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "top_word",
+        top_word_frac.alias("top_word_frac"),
+        F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (top_word_frac <= TOP_WORD_FRAC_MAX)
+            & (top_bigram_frac <= TOP_BIGRAM_FRAC_MAX)
+        )
+        .cast("int")
+        .alias("passes_repetition"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_words,
+    round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 6)
+      AS dup_word_frac,
+    toks,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ELSE CAST([] AS VARCHAR[]) END AS bgs
+  FROM t
+),
+wc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS g FROM base) GROUP BY doc_id, g
+),
+topw AS (
+  SELECT doc_id, g AS top_word, c AS wn FROM (
+    SELECT doc_id, g, c,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
+    FROM wc
+  ) WHERE r = 1
+),
+bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS g FROM base) GROUP BY doc_id, g
+),
+topb AS (
+  SELECT doc_id, g AS top_bigram, c AS bn FROM (
+    SELECT doc_id, g, c,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS r
+    FROM bc
+  ) WHERE r = 1
+)
+SELECT b.doc_id, b.n_words, b.dup_word_frac,
+  w.top_word,
+  round(w.wn / CAST(b.n_words AS DOUBLE), 6) AS top_word_frac,
+  coalesce(p.top_bigram, '') AS top_bigram,
+  round(coalesce(p.bn / CAST(b.n_words - 1 AS DOUBLE), 0.0), 6) AS top_bigram_frac,
+  CAST(round(w.wn / CAST(b.n_words AS DOUBLE), 6) <= {TOP_WORD_FRAC_MAX}
+    AND round(coalesce(p.bn / CAST(b.n_words - 1 AS DOUBLE), 0.0), 6) <= {TOP_BIGRAM_FRAC_MAX}
+    AS INT) AS passes_repetition
+FROM base b
+JOIN topw w ON w.doc_id = b.doc_id
+LEFT JOIN topb p ON p.doc_id = b.doc_id
+"""
+
+TEXT_QUERIES["text_repetition"] = q_text_repetition
+TEXT_ORACLES["text_repetition"] = SQL_TEXT_REPETITION
