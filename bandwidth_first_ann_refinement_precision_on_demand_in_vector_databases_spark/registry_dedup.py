@@ -338,7 +338,7 @@ WITH
 ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
 {_IVF_KM_CTES},
 cents AS (SELECT cid AS centroid_id, cvec FROM {_IVF_KM_FINAL}),
-assigned AS (
+assigned AS MATERIALIZED (
   SELECT vec_id, embedding, centroid_id AS cell FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
       row_number() OVER (PARTITION BY e.vec_id
@@ -346,12 +346,16 @@ assigned AS (
     FROM embeddings e CROSS JOIN cents c
   ) WHERE r = 1
 ),
-dup AS (
+dup AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE round({_sql_cos("a.embedding", "b.embedding")}, 6) >= {tau}
 ),
-edges AS (
+-- MATERIALIZED: the unrolled label-propagation chain below references
+-- edges once per round PER LEVEL, and DuckDB's default CTE inlining
+-- re-evaluates the quantizer+assignment+pair pipeline 2^rounds times
+-- (measured 296s vs 3s at sf0.1)
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM dup
   UNION
   SELECT id_b AS src, id_a AS dst FROM dup
