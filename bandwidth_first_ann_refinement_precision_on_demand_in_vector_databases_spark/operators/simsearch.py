@@ -325,3 +325,101 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         .select("query_id", (F.coalesce("n_hit", F.lit(0)) / F.lit(k)).alias("recall"))
     )
     return per_q.agg(F.round(F.avg("recall"), 6).alias("recall_at_k"), F.count("*").alias("n_queries"))
+
+
+#: graph beam search: entry seeds every ``BEAM_ENTRY_STRIDE``-th
+#: vector (same deterministic stride idiom as the k-means init), beam
+#: width per query per round, fixed round budget (the SQL twin
+#: unrolls the rounds, exactly like the k-means / label-propagation
+#: replays).
+BEAM_ENTRY_STRIDE = 25
+BEAM_WIDTH = 8
+BEAM_ROUNDS = 3
+
+
+def graph_beam_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    graph_k: int = 5,
+    beam: int = BEAM_WIDTH,
+    rounds: int = BEAM_ROUNDS,
+    entry_stride: int = BEAM_ENTRY_STRIDE,
+) -> DataFrame:
+    """Graph-based ANN (the NSW/HNSW-family search shape, declarative):
+    walk the approximate KNN graph from fixed entry points, expanding
+    the current best ``beam`` candidates' neighbors each round and
+    re-scoring exactly, for ``rounds`` rounds; final answer = exact
+    top-``k`` of everything visited.
+
+    Spark realization — no iteration state, no driver loop over rows:
+
+    * graph = ``knn_graph`` (banded construction), symmetrized —
+      undirected expansion doubles reach at no extra scoring cost;
+      built once and persisted (an offline index artifact at scale,
+      like the IVF cells and PQ codes).
+    * entry points = every ``entry_stride``-th vector, scored exactly
+      (the deterministic seed idiom the quantizers use — no RNG).
+    * each round: top-``beam`` of the candidate set (row_number,
+      ties → smaller vec_id) ⋈ edges → new ids → re-attach vectors →
+      exact cosine. The per-round frontier is q·beam rows and the
+      expansion q·beam·2·graph_k — broadcast-sized; the only
+      corpus-sized shuffle is the id→vector re-attach join.
+    * the candidate set is deduped on (query_id, vec_id): scores for
+      the same pair are bit-identical across rounds (same fold over
+      the same floats), so DISTINCT is exact; per-round
+      localCheckpoint cuts the lineage like the label-propagation
+      loop.
+
+    Recall depends on graph quality (see ``ann_knn_graph_recall``);
+    the refinement stage downstream is unchanged — this is another
+    candidate generator feeding the same precision-on-demand pipeline
+    (``ANNCode.py:560-575`` shape).
+    """
+    g = knn_graph(corpus, graph_k)
+    edges = (
+        g.select(F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .unionByName(
+            g.select(F.col("neighbor_id").alias("src"), F.col("node_id").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    qv = F.broadcast(
+        queries.select("query_id", F.col("embedding").alias("qvec"))
+    )
+    seeds = corpus.where(F.col("vec_id") % entry_stride == 0).select(
+        "vec_id", F.col("embedding").alias("cvec")
+    )
+    cand = (
+        qv.crossJoin(F.broadcast(seeds))
+        .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
+    ).localCheckpoint(eager=True)
+    cv = corpus.select("vec_id", F.col("embedding").alias("cvec"))
+    for _ in range(rounds):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        frontier = (
+            cand.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= beam)
+            .select("query_id", "vec_id")
+        )
+        new_ids = (
+            frontier.join(edges, frontier.vec_id == edges.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        scored = (
+            new_ids.join(cv, "vec_id")
+            .join(qv, "query_id")
+            .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
+        )
+        cand = cand.unionByName(scored).distinct().localCheckpoint(eager=True)
+    out = topk_per_query(
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), "score"),
+        k,
+        ascending=False,
+        salted=False,
+    )
+    return out

@@ -463,6 +463,8 @@ _FRONT = [
     # gate — never driver-checked
     "dedup_semantic",
     "text_repetition",
+    "ann_graph_topk",
+    "ann_graph_recall",
     # NEW in r04: the vector-database query shapes (filtered/range/
     # SQ-int8/hybrid) — never driver-checked
     "ann_filtered_topk",
