@@ -99,9 +99,13 @@ def shingle_index(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     substrate for Jaccard candidate generation. Exploding is the
     scalable form: the shuffle is keyed by shingle, so the join that
     follows is a plain hash partition, no broadcast of the corpus."""
-    sh = word_shingles(tokens(F.col(text_col)), n)
-    return ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    # tokenize in its own projection so the shingle window slices read
+    # a materialized array attribute, not a re-evaluated split
+    tokd = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return tokd.select(
+        "id", F.explode(word_shingles(F.col("__toks"), n)).alias("shingle")
     )
 
 

@@ -64,6 +64,10 @@ def _suite():
         "hybrid_rrf",
         "doc_chunks",
         "decontamination",
+        "dedup_semantic",
+        "text_repetition",
+        "ann_graph_topk",
+        "ann_graph_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
