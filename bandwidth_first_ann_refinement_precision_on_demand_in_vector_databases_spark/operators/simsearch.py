@@ -337,6 +337,34 @@ BEAM_WIDTH = 8
 BEAM_ROUNDS = 3
 
 
+def symmetric_knn_edges(corpus: DataFrame, graph_k: int) -> DataFrame:
+    """Symmetrized (src, dst) edge set of the banded KNN graph — the
+    offline graph-index artifact. Memoized + persisted per (session,
+    corpus, graph_k): every search query over the same corpus shares
+    one build, exactly as the IVF centroids and PQ codebook are
+    trained once and served many times; released by
+    ``session.clear_caches``."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "knn_graph_edges")
+    key = (id(corpus), graph_k)
+    if key not in cache:
+        g = knn_graph(corpus, graph_k)
+        cache[key] = (
+            g.select(
+                F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
+            )
+            .unionByName(
+                g.select(
+                    F.col("neighbor_id").alias("src"), F.col("node_id").alias("dst")
+                )
+            )
+            .distinct()
+            .persist()
+        )
+    return cache[key]
+
+
 def graph_beam_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -376,15 +404,7 @@ def graph_beam_search(
     candidate generator feeding the same precision-on-demand pipeline
     (``ANNCode.py:560-575`` shape).
     """
-    g = knn_graph(corpus, graph_k)
-    edges = (
-        g.select(F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .unionByName(
-            g.select(F.col("neighbor_id").alias("src"), F.col("node_id").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    edges = symmetric_knn_edges(corpus, graph_k)
     qv = F.broadcast(
         queries.select("query_id", F.col("embedding").alias("qvec"))
     )
