@@ -278,8 +278,18 @@ def refine_topk(
     delta: float | None = None,
     prepared_corpus: DataFrame | None = None,
     cache_key: str | None = None,
+    candidate_ids: DataFrame | None = None,
 ) -> RefineResult:
-    """Run one refinement mode end to end (scalable fixed-τ₀ path)."""
+    """Run one refinement mode end to end (scalable fixed-τ₀ path).
+
+    ``candidate_ids`` (optional ``(query_id, vec_id)`` pairs, assumed
+    distinct) restricts phase 1 to a per-query candidate stream — the
+    production composition where an index (IVF cells, LSH bands, a
+    graph walk) generates candidates and the cushioned refinement
+    prices their re-scoring (README.md:11 "orthogonal to index
+    choice"). Seeds, τ₀, and the zero-miss guarantee are then all
+    relative to the candidate stream: the result equals an exact
+    re-rank of the same candidates, at reduced fetched bytes."""
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
     cos = is_cosine(mode)
@@ -301,7 +311,15 @@ def refine_topk(
         + (["embedding"] if mode == "l2-tz" else [])
         + (["bconst"] if mode == "cos-l2" else [])
     )
-    pairs = corp.select(*reduced_cols).crossJoin(F.broadcast(qs))
+    if candidate_ids is None:
+        pairs = corp.select(*reduced_cols).crossJoin(F.broadcast(qs))
+    else:
+        # candidate stream: equi-join on vec_id prunes the cheap pass
+        # to the index's candidates (at scale: a partition-pruned scan
+        # of the probed cells), queries still broadcast
+        pairs = candidate_ids.join(corp.select(*reduced_cols), "vec_id").join(
+            F.broadcast(qs), "query_id"
+        )
     if cos:
         pairs = pairs.withColumn("s_hat", dot("redv", "q"))
         phase1_score, ascending = "s_hat", False
@@ -592,3 +610,50 @@ def _refine_metrics_with_frames(
         (F.col("n_unnecessary") / F.col("n_pairs")).alias("fpr"),
     )
     return row, ([] if key is not None else [scored, fetched])
+
+
+def ivf_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    nprobe: int | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """The engine's flagship composition: IVF candidate generation ×
+    cushioned precision-on-demand refinement. The coarse quantizer
+    prunes the corpus to the probed cells (the classic IVF bandwidth
+    win); the cushioned two-phase refinement then prices the
+    re-scoring of those candidates — scanning their reduced
+    representation and fetching full precision only for seeds and
+    cushion-admitted survivors (the reference's contribution,
+    ``ANNCode.py:560-575``, applied to an index's candidate stream
+    instead of the whole corpus; README.md:11 declares the method
+    "orthogonal to index choice" — this operator is that claim,
+    composed).
+
+    Zero-miss composition law (test- and oracle-checked): the result
+    equals the exact re-rank of the same IVF candidates, so recall
+    vs. the full-corpus exact top-K is EXACTLY ``ann_ivf_recall`` —
+    the cushion loses nothing on top of the cell pruning."""
+    from .simsearch import IVF_NPROBE, ivf_assign, ivf_centroids, ivf_probes
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    cents = ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents)
+    probes = ivf_probes(queries, cents, nprobe)
+    cand_ids = F.broadcast(probes.select("query_id", "cell")).join(
+        assigned.select("vec_id", "cell"), "cell"
+    ).select("query_id", "vec_id")
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=cand_ids,
+    )

@@ -181,8 +181,16 @@ def _l2_lower_sql(mode: str, delta: float | None) -> str:
 
 
 def refine_body(mode: str, k: int, keep_m: int, delta: float | None,
-                query_stride: int) -> str:
-    """CTE chain from ``red_tbl`` to ``final`` (rank ≤ k candidates)."""
+                query_stride: int, extra_ctes: str = "",
+                candidate_cte: str | None = None) -> str:
+    """CTE chain from ``red_tbl`` to ``final`` (rank ≤ k candidates).
+
+    ``candidate_cte`` (with ``extra_ctes`` supplying its definition —
+    inserted after ``corp``) names a ``(query_id, vec_id)`` CTE that
+    restricts the pair space to a per-query candidate stream,
+    replaying ``refine.refine_topk(candidate_ids=...)``; the ``q`` CTE
+    always exposes the raw ``qe`` alongside ``qn`` so index CTEs (IVF
+    probes) can consume it."""
     cos = mode.startswith("cos-")
     if cos:
         corp_extra = (
@@ -211,12 +219,18 @@ def refine_body(mode: str, k: int, keep_m: int, delta: float | None,
         cush = f"{_l2_lower_sql(mode, delta)} AS lower_b"
         exact = sql_dist2("q.qn", "c.fullv")
     p1col = "s_hat" if cos else "d2_hat"
+    pairs_from = (
+        "FROM q CROSS JOIN corp c"
+        if candidate_cte is None
+        else f"FROM {candidate_cte} ci JOIN q ON q.query_id = ci.query_id "
+             f"JOIN corp c ON c.vec_id = ci.vec_id"
+    )
     return f"""
-q AS (SELECT vec_id AS query_id, {qn} AS qn FROM embeddings WHERE vec_id % {query_stride} = 0),
+q AS (SELECT vec_id AS query_id, embedding AS qe, {qn} AS qn FROM embeddings WHERE vec_id % {query_stride} = 0),
 corp AS ({corp}),
-pairs AS (
+{extra_ctes}pairs AS (
   SELECT q.query_id, q.qn, c.vec_id, {phase1}, {cush}
-  FROM q CROSS JOIN corp c
+  {pairs_from}
 ),
 seed AS (
   SELECT query_id, vec_id FROM (

@@ -433,6 +433,51 @@ def q_refine_l2_tz_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["refine_l2_tz_exact_metrics"] = q_refine_l2_tz_exact_metrics
 
+
+def q_ann_ivf_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: IVF cell pruning × cushioned
+    precision-on-demand refinement (``operators/refine.
+    ivf_cushion_topk``) — the reference's bandwidth-first re-scoring
+    applied to an index's candidate stream (README.md:11 "orthogonal
+    to index choice"). Zero-miss within the candidates: the result
+    equals the exact (fp16) re-rank of the probed cells at a fraction
+    of the fetched bytes (measured ~28% of candidate vectors fetched
+    at sf0.001)."""
+    from .operators.refine import ivf_cushion_topk
+
+    res = ivf_cushion_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        "l2-tz",
+        K_DEFAULT,
+        KEEP_M_DEFAULT,
+        cache_key=sf_dir,
+    )
+    return _rounded_topk(res.topk)
+
+
+def q_ann_ivf_cushion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the IVF×cushion composition against the full-corpus
+    zero-miss refinement in the SAME metric (fp16 l2) — i.e. exactly
+    the recall cost of the cell pruning; the cushion itself loses
+    nothing (its zero-miss guarantee is per candidate stream)."""
+    from .operators.refine import ivf_cushion_topk, refine_topk
+    from .operators.simsearch import ann_recall
+
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    comp = ivf_cushion_topk(
+        queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
+    ).topk
+    full = refine_topk(
+        queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
+    ).topk
+    return ann_recall(comp, full, K_DEFAULT)
+
+
+QUERIES["ann_ivf_cushion_topk"] = q_ann_ivf_cushion_topk
+QUERIES["ann_ivf_cushion_recall"] = q_ann_ivf_cushion_recall
+
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_curation import CURATION_ORACLES, CURATION_QUERIES  # noqa: E402
 from .registry_multimodal import MULTIMODAL_ORACLES, MULTIMODAL_QUERIES  # noqa: E402
@@ -465,6 +510,8 @@ _FRONT = [
     "text_repetition",
     "ann_graph_topk",
     "ann_graph_recall",
+    "ann_ivf_cushion_topk",
+    "ann_ivf_cushion_recall",
     # NEW in r04: the vector-database query shapes (filtered/range/
     # SQ-int8/hybrid) — never driver-checked
     "ann_filtered_topk",
@@ -617,3 +664,43 @@ ORACLES.update(STREAMING_ORACLES)
 ORACLES.update(MULTIMODAL_ORACLES)
 ORACLES.update(CURATION_ORACLES)
 ORACLES.update(VECTORDB_ORACLES)
+
+# IVF × cushion composition: the IVF CTE chain (quantizer, assignment,
+# probes — shared verbatim with the ann_ivf_* oracles) feeds a
+# candidate-restricted refine_body; the refinement CTEs replay the
+# identical fp16 reduction, cushions, seeds and fixed τ₀.
+from .registry_simsearch import SQL_IVF_BODY as _SQL_IVF_BODY  # noqa: E402
+
+_IVF_CUSHION_EXTRA = f"""{_SQL_IVF_BODY},
+cand_ids AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+),
+"""
+
+_IVF_CUSHION_BODY = duck_oracle.refine_body(
+    "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_IVF_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_ivf_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_IVF_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_ivf_cushion_recall"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_IVF_CUSHION_BODY},
+ann AS (SELECT query_id, neighbor_id FROM final WHERE rank <= {K_DEFAULT}),
+hits AS (
+  SELECT gt.query_id, count(*) AS n_hit
+  FROM gt JOIN ann USING (query_id, neighbor_id) GROUP BY gt.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {K_DEFAULT} AS recall
+  FROM (SELECT DISTINCT query_id FROM gt) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""

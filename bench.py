@@ -68,6 +68,8 @@ def _suite():
         "text_repetition",
         "ann_graph_topk",
         "ann_graph_recall",
+        "ann_ivf_cushion_topk",
+        "ann_ivf_cushion_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
