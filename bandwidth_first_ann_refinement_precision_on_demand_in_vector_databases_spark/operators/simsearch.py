@@ -249,7 +249,10 @@ def knn_graph(corpus: DataFrame, k: int) -> DataFrame:
     set is deduped on bare ids (vectors re-attach afterwards via
     shuffle joins — at N = corpus size there is no broadcastable
     side), and the per-node rank is the salted two-phase top-K."""
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id")
+    # both self-join sides read the band frame: persist so the 16
+    # hyperplane projections run once per vector, not twice (the same
+    # rationale as embedding_neardup_lsh)
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id").persist()
     cand_ids = (
         cb.alias("a")
         .join(cb.alias("b"), ["band", "bkey"])

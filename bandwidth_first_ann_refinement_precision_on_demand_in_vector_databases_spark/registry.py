@@ -434,6 +434,28 @@ def q_refine_l2_tz_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["refine_l2_tz_exact_metrics"] = q_refine_l2_tz_exact_metrics
 
 
+def _ivf_cushion_frames(spark: SparkSession, sf_dir: str):
+    """(composed topk, full-corpus refine topk), persisted + memoized
+    per (session, fixture): the topk and recall queries share one
+    build — the served-index pattern every other ANN family follows.
+    Released by ``session.clear_caches``."""
+    from .operators.refine import ivf_cushion_topk, refine_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "ivf_cushion")
+    if sf_dir not in cache:
+        queries = queries_view(spark, sf_dir)
+        corpus = load_table(spark, sf_dir, "embeddings")
+        comp = ivf_cushion_topk(
+            queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
+        ).topk.persist()
+        full = refine_topk(
+            queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
+        ).topk.persist()
+        cache[sf_dir] = (comp, full)
+    return cache[sf_dir]
+
+
 def q_ann_ivf_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composition: IVF cell pruning × cushioned
     precision-on-demand refinement (``operators/refine.
@@ -443,17 +465,8 @@ def q_ann_ivf_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the exact (fp16) re-rank of the probed cells at a fraction
     of the fetched bytes (measured ~28% of candidate vectors fetched
     at sf0.001)."""
-    from .operators.refine import ivf_cushion_topk
-
-    res = ivf_cushion_topk(
-        queries_view(spark, sf_dir),
-        load_table(spark, sf_dir, "embeddings"),
-        "l2-tz",
-        K_DEFAULT,
-        KEEP_M_DEFAULT,
-        cache_key=sf_dir,
-    )
-    return _rounded_topk(res.topk)
+    comp, _ = _ivf_cushion_frames(spark, sf_dir)
+    return _rounded_topk(comp)
 
 
 def q_ann_ivf_cushion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,17 +474,9 @@ def q_ann_ivf_cushion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-miss refinement in the SAME metric (fp16 l2) — i.e. exactly
     the recall cost of the cell pruning; the cushion itself loses
     nothing (its zero-miss guarantee is per candidate stream)."""
-    from .operators.refine import ivf_cushion_topk, refine_topk
     from .operators.simsearch import ann_recall
 
-    queries = queries_view(spark, sf_dir)
-    corpus = load_table(spark, sf_dir, "embeddings")
-    comp = ivf_cushion_topk(
-        queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
-    ).topk
-    full = refine_topk(
-        queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
-    ).topk
+    comp, full = _ivf_cushion_frames(spark, sf_dir)
     return ann_recall(comp, full, K_DEFAULT)
 
 
