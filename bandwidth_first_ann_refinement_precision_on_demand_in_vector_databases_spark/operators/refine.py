@@ -657,3 +657,44 @@ def ivf_cushion_topk(
         cache_key=cache_key,
         candidate_ids=cand_ids,
     )
+
+
+def lsh_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """Hyperplane-LSH candidate generation × cushioned refinement —
+    the second instantiation of the "orthogonal to index choice"
+    composition (see ``ivf_cushion_topk``). LSH band candidates are
+    several times larger per query than IVF's probed cells at the
+    fixture operating point, which is exactly the regime where
+    precision-on-demand pays: the K seeds are a small fraction of the
+    stream, so the cushion prunes most of the full-precision
+    fetches."""
+    from .simsearch import lsh_signature_bands
+
+    qb = lsh_signature_bands(
+        queries.select("query_id", "embedding"), "embedding", "query_id"
+    )
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id")
+    cand_ids = (
+        qb.alias("q")
+        .join(cb.alias("c"), ["band", "bkey"])
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("vec_id"))
+        .distinct()
+    )
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=cand_ids,
+    )

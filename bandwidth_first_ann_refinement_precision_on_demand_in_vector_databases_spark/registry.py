@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.fp16 import with_reduced_precision
+from .functions.fp16 import FP16_EXP_BITS, with_reduced_precision
 from .functions.vector import delta_from_exp_col, l2_norm, unit
 from .operators.metrics import recall_at_k
 from .operators.refine import MODES, refine_metrics, refine_topk
@@ -446,14 +446,36 @@ def _ivf_cushion_frames(spark: SparkSession, sf_dir: str):
     if sf_dir not in cache:
         queries = queries_view(spark, sf_dir)
         corpus = load_table(spark, sf_dir, "embeddings")
-        comp = ivf_cushion_topk(
+        res = ivf_cushion_topk(
             queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
-        ).topk.persist()
+        )
+        res.topk.persist()
         full = refine_topk(
             queries, corpus, "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, cache_key=sf_dir
         ).topk.persist()
-        cache[sf_dir] = (comp, full)
+        cache[sf_dir] = (res, full)
     return cache[sf_dir]
+
+
+def q_ann_ivf_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the IVF×cushion composition (the A2 model
+    over the candidate stream): how many candidate pairs the probed
+    cells produce, how many survive to a full-precision fetch, and
+    the two savings that fall out — vs an exact re-rank of the same
+    candidates (the cushion's contribution) and vs the full-corpus
+    exact scan (pruning × cushion composed, the end-to-end story).
+
+    Measured honestly: at the fixture operating point the K=20 seeds
+    are ~29% of an IVF candidate stream (~69/query), so
+    ``save_vs_exact_rerank`` is slightly NEGATIVE — reduced pages for
+    every pair plus full fetches exceed a plain full re-rank when
+    K/|candidates| is this large. The composed end-to-end save (~0.85)
+    is the IVF story; the per-candidate cushion pays where streams
+    are larger (see ``ann_lsh_cushion_metrics``, +0.064 at sf0.01,
+    and the corpus-wide ``refine_*_metrics``, +0.45)."""
+    res, _ = _ivf_cushion_frames(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
 
 
 def q_ann_ivf_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,8 +487,8 @@ def q_ann_ivf_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the exact (fp16) re-rank of the probed cells at a fraction
     of the fetched bytes (measured ~28% of candidate vectors fetched
     at sf0.001)."""
-    comp, _ = _ivf_cushion_frames(spark, sf_dir)
-    return _rounded_topk(comp)
+    res, _ = _ivf_cushion_frames(spark, sf_dir)
+    return _rounded_topk(res.topk)
 
 
 def q_ann_ivf_cushion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,12 +498,80 @@ def q_ann_ivf_cushion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (its zero-miss guarantee is per candidate stream)."""
     from .operators.simsearch import ann_recall
 
-    comp, full = _ivf_cushion_frames(spark, sf_dir)
-    return ann_recall(comp, full, K_DEFAULT)
+    res, full = _ivf_cushion_frames(spark, sf_dir)
+    return ann_recall(res.topk, full, K_DEFAULT)
+
+
+def _lsh_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized LSH×cushion build shared by the topk and metrics
+    queries (cos-l1, keep_m=6 — the measured best per-candidate save:
+    0.064 at sf0.01 vs 0.002 at m=2; LSH streams are ~2× IVF's, so
+    the cushion prunes 81% of the full fetches)."""
+    from .operators.refine import lsh_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "lsh_cushion")
+    if sf_dir not in cache:
+        res = lsh_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_lsh_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidates × cushioned refinement (cos-l1) —
+    the second index family behind the same precision-on-demand
+    re-scorer, demonstrating the reference's "orthogonal to index
+    choice" claim across index types."""
+    return _rounded_topk(_lsh_cushion_res(spark, sf_dir).topk)
+
+
+def _cushion_metrics_row(res, corpus_n: int, keep_m: int) -> DataFrame:
+    dim = 64
+    b_full = 16.0 * dim / 8.0
+    b_red = (1 + FP16_EXP_BITS + keep_m) * dim / 8.0
+    counts = res.scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("query_id").alias("n_q"),
+    ).crossJoin(res.fetched.agg(F.count("*").alias("n_fetched")))
+    cost = F.lit(b_red) * F.col("n_pairs") + F.lit(b_full) * F.col("n_fetched")
+    return counts.select(
+        "n_pairs",
+        "n_fetched",
+        F.round(F.col("n_fetched") / F.col("n_pairs"), 6).alias("fetch_frac"),
+        F.round(
+            F.lit(1.0) - cost / (F.lit(b_full) * F.col("n_pairs")), 6
+        ).alias("save_vs_exact_rerank"),
+        F.round(
+            F.lit(1.0)
+            - cost / (F.lit(b_full) * F.col("n_q") * F.lit(float(corpus_n))),
+            6,
+        ).alias("save_vs_full_scan"),
+    )
+
+
+def q_ann_lsh_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the LSH×cushion composition — the regime
+    where per-candidate precision-on-demand pays (candidate streams
+    ~2× IVF's probed cells, so the K seeds are a smaller mandatory
+    fraction and the cushion prunes most full fetches)."""
+    res = _lsh_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
 
 
 QUERIES["ann_ivf_cushion_topk"] = q_ann_ivf_cushion_topk
 QUERIES["ann_ivf_cushion_recall"] = q_ann_ivf_cushion_recall
+QUERIES["ann_ivf_cushion_metrics"] = q_ann_ivf_cushion_metrics
+QUERIES["ann_lsh_cushion_topk"] = q_ann_lsh_cushion_topk
+QUERIES["ann_lsh_cushion_metrics"] = q_ann_lsh_cushion_metrics
 
 from .registry_dedup import DEDUP_ORACLES, DEDUP_QUERIES  # noqa: E402
 from .registry_curation import CURATION_ORACLES, CURATION_QUERIES  # noqa: E402
@@ -517,6 +607,9 @@ _FRONT = [
     "ann_graph_recall",
     "ann_ivf_cushion_topk",
     "ann_ivf_cushion_recall",
+    "ann_ivf_cushion_metrics",
+    "ann_lsh_cushion_topk",
+    "ann_lsh_cushion_metrics",
     # NEW in r04: the vector-database query shapes (filtered/range/
     # SQ-int8/hybrid) — never driver-checked
     "ann_filtered_topk",
@@ -693,6 +786,68 @@ WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
 {_IVF_CUSHION_BODY}
 SELECT query_id, rank, neighbor_id, round(score, 6) AS score
 FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+_B_FULL = 16.0 * 64 / 8.0
+_B_RED = (1 + 5 + KEEP_M_DEFAULT) * 64 / 8.0
+
+ORACLES["ann_ivf_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_IVF_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+# LSH × cushion: hyperplane band CTEs (shared shapes with the
+# ann_lsh_* oracles) feed the candidate-restricted refine_body in
+# cos-l1 mode.
+from .registry_simsearch import _sql_bands as _sql_lsh_bands  # noqa: E402
+
+_LSH_CUSHION_EXTRA = f"""qb AS ({_sql_lsh_bands("q", "query_id", "qe")}),
+cb AS ({_sql_lsh_bands("embeddings", "vec_id", "embedding")}),
+cand_ids AS (
+  SELECT DISTINCT q2.id AS query_id, c2.id AS vec_id
+  FROM qb q2 JOIN cb c2 ON q2.band = c2.band AND q2.bkey = c2.bkey
+),
+"""
+
+_LSH_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_LSH_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_lsh_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_LSH_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_lsh_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_LSH_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
 """
 
 ORACLES["ann_ivf_cushion_recall"] = f"""

@@ -70,6 +70,9 @@ def _suite():
         "ann_graph_recall",
         "ann_ivf_cushion_topk",
         "ann_ivf_cushion_recall",
+        "ann_ivf_cushion_metrics",
+        "ann_lsh_cushion_topk",
+        "ann_lsh_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
