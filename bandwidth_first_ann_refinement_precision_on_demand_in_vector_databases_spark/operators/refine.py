@@ -698,3 +698,85 @@ def lsh_cushion_topk(
         cache_key=cache_key,
         candidate_ids=cand_ids,
     )
+
+
+def graph_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    graph_k: int = 8,
+    beam: int | None = None,
+    rounds: int | None = None,
+    entry_stride: int | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """Quantization-guided graph walk × cushioned refinement — the
+    third index family behind the same re-scorer, and the one
+    production graph stores actually ship: the beam search ranks its
+    frontier on the REDUCED representation (the walk never touches
+    full precision — in HNSW-with-PQ deployments the graph adjacency
+    and the codes are the only hot data), and the cushioned
+    refinement then prices the exact re-scoring of everything the
+    walk visited. Zero-miss over the visited stream, so the final
+    top-K equals the exact (fp16) re-rank of the walk's candidates.
+
+    Only cosine modes are meaningful here (the walk maximizes
+    reduced dot product; an l2 walk would need the lower-bound form
+    per hop — same composition, omitted)."""
+    from .simsearch import (
+        BEAM_ENTRY_STRIDE,
+        BEAM_ROUNDS,
+        BEAM_WIDTH,
+        symmetric_knn_edges,
+    )
+    from pyspark.sql.window import Window
+
+    if not is_cosine(mode):
+        raise ValueError("graph_cushion_topk walks by reduced dot product; use a cos-* mode")
+    beam = BEAM_WIDTH if beam is None else beam
+    rounds = BEAM_ROUNDS if rounds is None else rounds
+    entry_stride = BEAM_ENTRY_STRIDE if entry_stride is None else entry_stride
+
+    corp = prepare_corpus_cached(corpus, keep_m, mode, cache_key)
+    qs = F.broadcast(prepare_queries(queries, mode))
+    edges = symmetric_knn_edges(corpus, graph_k)
+    red_side = corp.select("vec_id", "redv")
+    seeds = F.broadcast(red_side.where(F.col("vec_id") % entry_stride == 0))
+    cand = (
+        qs.crossJoin(seeds)
+        .select("query_id", "vec_id", dot("redv", "q").alias("red_score"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("red_score").desc(), F.col("vec_id").asc()
+        )
+        frontier = (
+            cand.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= beam)
+            .select("query_id", "vec_id")
+        )
+        new_ids = (
+            frontier.join(edges, frontier.vec_id == edges.src)
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        scored = (
+            new_ids.join(red_side, "vec_id")
+            .join(qs, "query_id")
+            .select("query_id", "vec_id", dot("redv", "q").alias("red_score"))
+        )
+        cand = cand.unionByName(scored).distinct().localCheckpoint(eager=True)
+    visited = cand.select("query_id", "vec_id")
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=visited,
+    )

@@ -610,6 +610,8 @@ _FRONT = [
     "ann_ivf_cushion_metrics",
     "ann_lsh_cushion_topk",
     "ann_lsh_cushion_metrics",
+    "ann_graph_cushion_topk",
+    "ann_graph_cushion_metrics",
     # NEW in r04: the vector-database query shapes (filtered/range/
     # SQ-int8/hybrid) — never driver-checked
     "ann_filtered_topk",
@@ -683,10 +685,8 @@ _FRONT = [
     "value_quantiles",
     "approx_count_distinct",
 ]
-assert all(name in QUERIES for name in _FRONT)
-QUERIES = {name: QUERIES[name] for name in _FRONT} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_FRONT)
-}
+# (the _FRONT rotation is applied at the END of this module, after
+# every late registration block has run)
 
 ORACLES: dict[str, str] = {
     "topk_cosine_exact": _sql_topk(_sql_cosine("q.qe", "e.embedding"), "DESC", K_DEFAULT),
@@ -864,3 +864,155 @@ per_q AS (
 )
 SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 """
+
+# graph × cushion: the quantization-guided walk. Graph construction
+# CTEs are shared shapes with the ann_graph_* oracles; the walk ranks
+# on corp.redv (the reduced representation refine_body already
+# defines), and the visited set feeds the candidate-restricted
+# refinement. Every per-round CTE is MATERIALIZED — the round chain
+# references its predecessor three times per level (frontier, union,
+# dedup), which is exponential under DuckDB's default inlining.
+
+
+def _sql_graph_cushion_extra() -> str:
+    from .operators import simsearch as _S
+    from .registry_simsearch import GRAPH_BEAM_K, _sql_cos
+
+    parts = [
+        f"""gcb AS ({_sql_lsh_bands("embeddings", "vec_id", "embedding")}),
+ggraph AS (
+  SELECT node_id, neighbor_id FROM (
+    SELECT node_id, neighbor_id,
+      row_number() OVER (PARTITION BY node_id
+        ORDER BY score DESC, neighbor_id) AS rank
+    FROM (
+      SELECT node_id, neighbor_id, {_sql_cos("qvec", "cvec")} AS score FROM (
+        SELECT DISTINCT a.id AS node_id, b.id AS neighbor_id,
+               a.vec AS qvec, b.vec AS cvec
+        FROM gcb a JOIN gcb b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.id != b.id
+      )
+    )
+  ) WHERE rank <= {GRAPH_BEAM_K}
+),
+gedges AS MATERIALIZED (
+  SELECT node_id AS src, neighbor_id AS dst FROM ggraph
+  UNION
+  SELECT neighbor_id AS src, node_id AS dst FROM ggraph
+),
+w0 AS MATERIALIZED (
+  SELECT q.query_id, s.vec_id, {duck_oracle.sql_dot("s.redv", "q.qn")} AS red_score
+  FROM q CROSS JOIN
+    (SELECT vec_id, redv FROM corp WHERE vec_id % {_S.BEAM_ENTRY_STRIDE} = 0) s
+)"""
+    ]
+    for i in range(1, _S.BEAM_ROUNDS + 1):
+        prev, cur = f"w{i - 1}", f"w{i}"
+        parts.append(f"""wf{i} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY red_score DESC, vec_id ASC) AS r
+    FROM {prev}
+  ) WHERE r <= {_S.BEAM_WIDTH}
+)""")
+        parts.append(f"""wn{i} AS (
+  SELECT DISTINCT f.query_id, e.dst AS vec_id
+  FROM wf{i} f JOIN gedges e ON e.src = f.vec_id
+)""")
+        parts.append(f"""ws{i} AS (
+  SELECT n.query_id, n.vec_id, {duck_oracle.sql_dot("c.redv", "q.qn")} AS red_score
+  FROM wn{i} n
+  JOIN corp c ON c.vec_id = n.vec_id
+  JOIN q ON q.query_id = n.query_id
+)""")
+        parts.append(f"""{cur} AS MATERIALIZED (
+  SELECT DISTINCT query_id, vec_id, red_score FROM (
+    SELECT * FROM {prev} UNION ALL SELECT * FROM ws{i}
+  )
+)""")
+    parts.append(
+        f"cand_ids AS (SELECT query_id, vec_id FROM w{_S.BEAM_ROUNDS})"
+    )
+    return ",\n".join(parts) + ",\n"
+
+
+_GRAPH_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_sql_graph_cushion_extra(), candidate_cte="cand_ids",
+)
+
+ORACLES["ann_graph_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_GRAPH_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_graph_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_GRAPH_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+
+def _graph_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized quantized-walk build shared by its topk and metrics
+    queries (cos-l1, keep_m=6; walk parameters shared with
+    ann_graph_topk)."""
+    from .operators.refine import graph_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "graph_cushion")
+    if sf_dir not in cache:
+        res = graph_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_graph_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-guided graph walk × cushioned refinement — the
+    walk ranks its frontier on the reduced representation only (the
+    HNSW-with-codes deployment shape) and the cushion prices the
+    exact re-scoring of the visited set."""
+    return _rounded_topk(_graph_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_graph_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the quantized-walk composition."""
+    res = _graph_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_graph_cushion_topk"] = q_ann_graph_cushion_topk
+QUERIES["ann_graph_cushion_metrics"] = q_ann_graph_cushion_metrics
+
+
+# apply the correctness-window rotation LAST, after every
+# registration block above has populated QUERIES
+assert all(name in QUERIES for name in _FRONT), [
+    n for n in _FRONT if n not in QUERIES
+]
+QUERIES = {name: QUERIES[name] for name in _FRONT} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_FRONT)
+}

@@ -73,6 +73,8 @@ def _suite():
         "ann_ivf_cushion_metrics",
         "ann_lsh_cushion_topk",
         "ann_lsh_cushion_metrics",
+        "ann_graph_cushion_topk",
+        "ann_graph_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
