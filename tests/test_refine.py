@@ -96,3 +96,68 @@ def test_hoeffding_delta_monotone(spark, sf_small):
     f_small_delta = refine_topk(queries, corpus, "cos-hoeff", K, 6, delta=1e-6).fetched.count()
     f_big_delta = refine_topk(queries, corpus, "cos-hoeff", K, 6, delta=0.7).fetched.count()
     assert f_small_delta >= f_big_delta
+
+
+def test_cushion_composition_law(spark, sf_small):
+    """Index × cushion composition law: the cushioned refinement over
+    an index's candidate stream returns EXACTLY the exact (fp16)
+    re-rank of those candidates — zero-miss relative to the stream.
+    Pinned here for the IVF composition; the LSH/graph variants share
+    the same refine path."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+        dot,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+        ivf_cushion_topk,
+        prepare_corpus,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_probes,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        topk_per_query,
+    )
+
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    mode, keep_m = "cos-l1", 4
+
+    res = ivf_cushion_topk(queries, corpus, mode, K, keep_m)
+    got = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in res.topk.collect()
+    }
+
+    # exact (fp16 'full' representation) re-rank of the SAME candidates
+    cents = ivf_centroids(corpus)
+    cand = (
+        F.broadcast(ivf_probes(queries, cents).select("query_id", "cell"))
+        .join(ivf_assign(corpus, cents).select("vec_id", "cell"), "cell")
+        .select("query_id", "vec_id")
+    )
+    corp = prepare_corpus(corpus, keep_m, mode)
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+        prepare_queries,
+    )
+
+    qs = prepare_queries(queries, mode)
+    rerank = topk_per_query(
+        cand.join(corp.select("vec_id", "full"), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("full", "q").alias("score"),
+        ),
+        K,
+        ascending=False,
+        salted=False,
+    )
+    want = {
+        (r.query_id, r.rank, r.neighbor_id) for r in rerank.collect()
+    }
+    assert got == want
