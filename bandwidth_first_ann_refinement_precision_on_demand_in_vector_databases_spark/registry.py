@@ -603,6 +603,7 @@ _FRONT = [
     # gate — never driver-checked
     "dedup_semantic",
     "text_repetition",
+    "text_lm_quality",
     "ann_graph_topk",
     "ann_graph_recall",
     "ann_ivf_cushion_topk",

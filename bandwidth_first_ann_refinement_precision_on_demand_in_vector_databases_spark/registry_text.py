@@ -427,3 +427,124 @@ LEFT JOIN topb p ON p.doc_id = b.doc_id
 
 TEXT_QUERIES["text_repetition"] = q_text_repetition
 TEXT_ORACLES["text_repetition"] = SQL_TEXT_REPETITION
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality proxy (CCNet/KenLM-style filtering, Wenzek et
+# al. 2019, arXiv:1911.00359 — public method): score each document by
+# the average log-probability of its word bigrams under an add-one-
+# smoothed bigram model trained on the corpus itself. Low scores =
+# improbable word sequences = gibberish/boilerplate candidates.
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000  # ln() quantization (the BM25 fixed-point rule)
+
+
+def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score. The "training" is two corpus
+    aggregations (bigram counts + unigram-prefix counts, shuffled on
+    the gram with map-side combine — wordcount shape); the model is
+    broadcast back and scoring is one per-doc aggregation.
+    Cross-engine: ln() differs at the last ULP between engines, so
+    each bigram's log-prob is floor-quantized to micro-units
+    immediately (the ``bm25_topn`` rule) and summed as BIGINT."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    doc_bgs = tokd.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_counts = doc_bgs.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    prefix = F.split(F.col("bg"), " ").getItem(0)
+    w1_counts = bg_counts.groupBy(prefix.alias("w1")).agg(
+        F.sum("c_bg").alias("c_w1")
+    )
+    vocab_n = (
+        tokd.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    model = (
+        bg_counts.join(w1_counts, prefix == F.col("w1"))
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "bg",
+            F.floor(
+                F.log(
+                    (F.col("c_bg") + 1.0)
+                    / (F.col("c_w1") + F.col("v").cast("double"))
+                )
+                * LM_SCALE
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    scored = (
+        doc_bgs.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_micro").alias("__s"),
+        )
+    )
+    return (
+        tokd.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.round(
+                F.coalesce(
+                    F.col("__s").cast("double")
+                    / F.col("n_bigrams")
+                    / F.lit(float(LM_SCALE)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+SQL_TEXT_LM_QUALITY = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ELSE CAST([] AS VARCHAR[]) END
+  ) AS bg
+  FROM t
+),
+bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+w1c AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
+  FROM bgc GROUP BY string_split(bg, ' ')[1]
+),
+vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)
+),
+model AS (
+  SELECT bgc.bg,
+    CAST(floor(ln((bgc.c_bg + 1.0) / (w.c_w1 + CAST(vb.v AS DOUBLE)))
+               * {LM_SCALE}) AS BIGINT) AS lp_micro
+  FROM bgc
+  JOIN w1c w ON w.w1 = string_split(bgc.bg, ' ')[1]
+  CROSS JOIN vocab vb
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams, sum(m.lp_micro) AS s
+  FROM bg b JOIN model m ON m.bg = b.bg GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+  coalesce(s.n_bigrams, 0) AS n_bigrams,
+  round(coalesce(CAST(s.s AS DOUBLE) / s.n_bigrams / {LM_SCALE}.0, 0.0), 6)
+    AS avg_logp
+FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
+"""
+
+TEXT_QUERIES["text_lm_quality"] = q_text_lm_quality
+TEXT_ORACLES["text_lm_quality"] = SQL_TEXT_LM_QUALITY
