@@ -604,6 +604,7 @@ _FRONT = [
     "dedup_semantic",
     "text_repetition",
     "text_lm_quality",
+    "quality_gate",
     "ann_graph_topk",
     "ann_graph_recall",
     "ann_ivf_cushion_topk",

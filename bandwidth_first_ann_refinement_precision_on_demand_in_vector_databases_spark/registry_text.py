@@ -548,3 +548,53 @@ FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
 
 TEXT_QUERIES["text_lm_quality"] = q_text_lm_quality
 TEXT_ORACLES["text_lm_quality"] = SQL_TEXT_LM_QUALITY
+
+
+#: LM-score floor for the composed gate (fixture range ≈ [−3.61, −3.26])
+LM_KEEP_MIN = -3.5
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed filter stack a production corpus pipeline runs:
+    heuristic quality score (C4-style), Gopher repetition gate, and
+    the statistical LM floor, joined on doc_id into one keep/drop
+    decision. Each signal is the registered query's own plan; the
+    composition is three doc_id equi-joins — at scale each side is a
+    per-doc scalar frame, orders of magnitude narrower than the
+    corpus."""
+    qual = q_text_quality(spark, sf_dir).select("doc_id", "quality", "bucket")
+    rep = q_text_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    lm = q_text_lm_quality(spark, sf_dir).select("doc_id", "avg_logp")
+    return (
+        qual.join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "passes_repetition",
+            "avg_logp",
+            (
+                (F.col("bucket") != "drop")
+                & (F.col("passes_repetition") == 1)
+                & (F.col("avg_logp") >= F.lit(LM_KEEP_MIN))
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+SQL_QUALITY_GATE = f"""
+WITH qual AS ({SQL_TEXT_QUALITY}),
+rep AS ({SQL_TEXT_REPETITION}),
+lm AS ({SQL_TEXT_LM_QUALITY})
+SELECT q.doc_id, q.quality, r.passes_repetition, l.avg_logp,
+  CAST(q.bucket != 'drop' AND r.passes_repetition = 1
+       AND l.avg_logp >= {LM_KEEP_MIN} AS INT) AS keep
+FROM qual q
+JOIN rep r ON r.doc_id = q.doc_id
+JOIN lm l ON l.doc_id = q.doc_id
+"""
+
+TEXT_QUERIES["quality_gate"] = q_quality_gate
+TEXT_ORACLES["quality_gate"] = SQL_QUALITY_GATE
