@@ -612,6 +612,7 @@ _FRONT = [
     "ann_ivf_cushion_metrics",
     "ann_lsh_cushion_topk",
     "ann_lsh_cushion_metrics",
+    "ann_lsh_cushion_tuned_metrics",
     "ann_graph_cushion_topk",
     "ann_graph_cushion_metrics",
     # NEW in r04: the vector-database query shapes (filtered/range/
@@ -1018,3 +1019,55 @@ assert all(name in QUERIES for name in _FRONT), [
 QUERIES = {name: QUERIES[name] for name in _FRONT} | {
     name: fn for name, fn in QUERIES.items() if name not in set(_FRONT)
 }
+
+# tuned composition operating point: the sweep
+# (reports/cushion_composition_sweep.csv) finds the interior keep_m
+# optimum for per-candidate save at m=3 for every family; register the
+# LSH point (the largest candidate streams, hence the headline).
+CUSHION_M_TUNED = 3
+
+
+def q_ann_lsh_cushion_tuned_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH×cushion byte accounting at the swept keep_m optimum
+    (m=3): per-candidate save +0.327 at sf0.1 vs +0.202 at the m=6
+    default — the fetch-fraction × page-width trade has an interior
+    optimum, exactly as the corpus-wide refine family's KEEP_M_TUNED
+    does."""
+    from .operators.refine import lsh_cushion_topk
+
+    res = lsh_cushion_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        "cos-l1",
+        K_DEFAULT,
+        CUSHION_M_TUNED,
+        cache_key=sf_dir,
+    )
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, CUSHION_M_TUNED)
+
+
+QUERIES["ann_lsh_cushion_tuned_metrics"] = q_ann_lsh_cushion_tuned_metrics
+
+_B_RED_T = (1 + 5 + CUSHION_M_TUNED) * 64 / 8.0
+_LSH_CUSHION_TUNED_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, CUSHION_M_TUNED, None, QUERY_STRIDE,
+    extra_ctes=_LSH_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_lsh_cushion_tuned_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(CUSHION_M_TUNED)},
+{_LSH_CUSHION_TUNED_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED_T!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED_T!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""

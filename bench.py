@@ -73,6 +73,7 @@ def _suite():
         "ann_ivf_cushion_metrics",
         "ann_lsh_cushion_topk",
         "ann_lsh_cushion_metrics",
+        "ann_lsh_cushion_tuned_metrics",
         "ann_graph_cushion_topk",
         "ann_graph_cushion_metrics",
     ]
