@@ -1011,15 +1011,6 @@ QUERIES["ann_graph_cushion_topk"] = q_ann_graph_cushion_topk
 QUERIES["ann_graph_cushion_metrics"] = q_ann_graph_cushion_metrics
 
 
-# apply the correctness-window rotation LAST, after every
-# registration block above has populated QUERIES
-assert all(name in QUERIES for name in _FRONT), [
-    n for n in _FRONT if n not in QUERIES
-]
-QUERIES = {name: QUERIES[name] for name in _FRONT} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_FRONT)
-}
-
 # tuned composition operating point: the sweep
 # (reports/cushion_composition_sweep.csv) finds the interior keep_m
 # optimum for per-candidate save at m=3 for every family; register the
@@ -1071,3 +1062,12 @@ SELECT p.n_pairs, f.n_fetched,
             / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
 FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
 """
+
+# apply the correctness-window rotation LAST, after every
+# registration block above has populated QUERIES
+assert all(name in QUERIES for name in _FRONT), [
+    n for n in _FRONT if n not in QUERIES
+]
+QUERIES = {name: QUERIES[name] for name in _FRONT} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_FRONT)
+}
