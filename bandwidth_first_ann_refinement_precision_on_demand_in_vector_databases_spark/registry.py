@@ -602,6 +602,7 @@ _FRONT = [
     # NEW in r04: SemDeDup-style semantic dedup + Gopher repetition
     # gate — never driver-checked
     "dedup_semantic",
+    "dedup_incremental",
     "text_repetition",
     "text_lm_quality",
     "quality_gate",

@@ -374,3 +374,114 @@ LEFT JOIN sizes s ON s.label = l.label
 
 DEDUP_QUERIES["dedup_semantic"] = q_dedup_semantic
 DEDUP_ORACLES["dedup_semantic"] = _sql_dedup_semantic(NEARDUP_COS_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new ingest batch against the existing corpus —
+# the continuous-ingest shape every production pipeline runs (dedup is
+# not a one-shot batch job; each arriving shard is checked against
+# what is already stored).
+# ---------------------------------------------------------------------------
+
+#: deterministic batch split: every 5th doc is "incoming", the rest
+#: is the stored corpus (scale-stable, no timestamps needed).
+INC_MOD, INC_REM = 5, 4
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-incoming-doc dedup decision against the existing corpus:
+    exact duplicate (hash-first match with exact text verification on
+    the hash-colliding candidates only — document bodies never join
+    at corpus width), near duplicate (the shared MinHash banding,
+    restricted to incoming×existing pairs), and the composed keep
+    bit. At scale the incoming side is a shard, the existing side's
+    hashes/sketches are the persisted index exact_dedup and
+    minhash_signatures already build."""
+    docs = load_table(spark, sf_dir, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+
+    h = docs.select(
+        "doc_id", F.xxhash64(F.lower(F.col("text"))).alias("__h")
+    )
+    inc_h = h.where(inc_pred)
+    ex_h = h.where(~inc_pred).select(F.col("doc_id").alias("ex_id"), "__h")
+    cand = inc_h.join(ex_h, "__h").select("doc_id", "ex_id")
+    ta = docs.select("doc_id", F.lower(F.col("text")).alias("__ta"))
+    tb = docs.select(
+        F.col("doc_id").alias("ex_id"), F.lower(F.col("text")).alias("__tb")
+    )
+    exact_ids = (
+        cand.join(ta, "doc_id")
+        .join(tb, "ex_id")
+        .where(F.col("__ta") == F.col("__tb"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        docs, n=SHINGLE_N, threshold=MINHASH_TAU
+    )
+    a_inc = (F.col("id_a") % INC_MOD == INC_REM) & (
+        F.col("id_b") % INC_MOD != INC_REM
+    )
+    b_inc = (F.col("id_b") % INC_MOD == INC_REM) & (
+        F.col("id_a") % INC_MOD != INC_REM
+    )
+    near_ids = (
+        pairs.where(a_inc)
+        .select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.where(b_inc).select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+
+    inc = docs.where(inc_pred).select("doc_id")
+    return (
+        inc.join(exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__e", F.lit(0)).alias("is_exact_dup"),
+            F.coalesce("__n", F.lit(0)).alias("is_near_dup"),
+            (F.col("__e").isNull() & F.col("__n").isNull())
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {SQL_MINHASH_CTES},
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, {_SQL_JAC} AS jaccard
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+),
+dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= {MINHASH_TAU}),
+near_ids AS (
+  SELECT id_a AS doc_id FROM dup
+  WHERE id_a % {INC_MOD} = {INC_REM} AND id_b % {INC_MOD} != {INC_REM}
+  UNION
+  SELECT id_b AS doc_id FROM dup
+  WHERE id_b % {INC_MOD} = {INC_REM} AND id_a % {INC_MOD} != {INC_REM}
+),
+exact_ids AS (
+  SELECT DISTINCT i.doc_id
+  FROM documents i JOIN documents e2 ON lower(i.text) = lower(e2.text)
+  WHERE i.doc_id % {INC_MOD} = {INC_REM} AND e2.doc_id % {INC_MOD} != {INC_REM}
+),
+inc AS (SELECT doc_id FROM documents WHERE doc_id % {INC_MOD} = {INC_REM})
+SELECT inc.doc_id,
+  CAST(x.doc_id IS NOT NULL AS INT) AS is_exact_dup,
+  CAST(n.doc_id IS NOT NULL AS INT) AS is_near_dup,
+  CAST(x.doc_id IS NULL AND n.doc_id IS NULL AS INT) AS keep
+FROM inc
+LEFT JOIN exact_ids x ON x.doc_id = inc.doc_id
+LEFT JOIN near_ids n ON n.doc_id = inc.doc_id
+"""
+
+DEDUP_QUERIES["dedup_incremental"] = q_dedup_incremental
+DEDUP_ORACLES["dedup_incremental"] = SQL_DEDUP_INCREMENTAL
