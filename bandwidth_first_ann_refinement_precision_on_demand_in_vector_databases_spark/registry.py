@@ -606,6 +606,7 @@ _FRONT = [
     "text_repetition",
     "text_lm_quality",
     "quality_gate",
+    "corpus_mixture",
     "ann_graph_topk",
     "ann_graph_recall",
     "ann_ivf_cushion_topk",

@@ -598,3 +598,92 @@ JOIN lm l ON l.doc_id = q.doc_id
 
 TEXT_QUERIES["quality_gate"] = q_quality_gate
 TEXT_ORACLES["quality_gate"] = SQL_QUALITY_GATE
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture sampler: resample the corpus toward a declared
+# per-source target mix (the "data mixing" stage of a training run —
+# up/down-weighting sources is how pretraining corpora are composed).
+# ---------------------------------------------------------------------------
+
+#: declared target mix: source srcN gets relative weight (N % 4) + 1 —
+#: a deterministic non-uniform target over however many sources exist.
+MIX_BUDGET_FRAC = 0.6  #: sampled corpus size as a fraction of N
+MIX_SALT = "bfann-mix:"
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampler. Per-source sampling
+    rates are derived from the declared target weights and the
+    observed source counts (one tiny aggregate, broadcast back);
+    documents are kept by the same salted rolling-hash draw as
+    ``corpus_sample`` — RNG-free, so reruns and the DuckDB twin agree
+    row-for-row. Rates are integer percent (the draw is mod-100), so
+    the keep predicate is integral on both engines; ``weight`` is the
+    inverse rate for unbiased downstream reweighting."""
+    d = load_table(spark, sf_dir, "documents")
+    widx = F.substring("source", 4, 10).cast("int")
+    w = (widx % 4 + 1).cast("double")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum((F.substring("source", 4, 10).cast("int") % 4 + 1).cast("double")).alias(
+            "w_total"
+        ),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(100),
+            F.floor(
+                F.lit(100.0 * MIX_BUDGET_FRAC)
+                * F.col("n_total")
+                * ((F.substring("source", 4, 10).cast("int") % 4 + 1).cast("double") / F.col("w_total"))
+                / F.col("n_s")
+            ).cast("int"),
+        ).alias("rate_pct"),
+    )
+    draw = T.poly_hash(
+        F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        d.select("doc_id", "source", draw.alias("__draw"))
+        .join(F.broadcast(rates), "source")
+        .where(F.col("__draw") < F.col("rate_pct"))
+        .select(
+            "doc_id",
+            "source",
+            "rate_pct",
+            F.round(F.lit(100.0) / F.col("rate_pct"), 6).alias("weight"),
+        )
+    )
+
+
+_SQL_MIX_DRAW = _sql_poly_hash(f"'{MIX_SALT}' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+SQL_CORPUS_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+tot AS (
+  SELECT sum(n_s) AS n_total,
+         sum(CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE)) AS w_total
+  FROM counts
+),
+rates AS (
+  SELECT source,
+    least(100, CAST(floor(
+      100.0 * {MIX_BUDGET_FRAC} * t.n_total
+      * (CAST(CAST(substr(c.source, 4) AS INT) % 4 + 1 AS DOUBLE) / t.w_total)
+      / c.n_s
+    ) AS INT)) AS rate_pct
+  FROM counts c CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source, r.rate_pct,
+  round(100.0 / r.rate_pct, 6) AS weight
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE {_SQL_MIX_DRAW} < r.rate_pct
+"""
+
+TEXT_QUERIES["corpus_mixture"] = q_corpus_mixture
+TEXT_ORACLES["corpus_mixture"] = SQL_CORPUS_MIXTURE
