@@ -76,6 +76,10 @@ def _suite():
         "ann_lsh_cushion_tuned_metrics",
         "ann_graph_cushion_topk",
         "ann_graph_cushion_metrics",
+        "text_lm_quality",
+        "quality_gate",
+        "dedup_incremental",
+        "corpus_mixture",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
