@@ -5,8 +5,9 @@ theme (paper §3; reference reduces per-coordinate precision,
 ``ANNCode.py:195-242`` — PQ reduces per-*subvector* precision to a
 single code).
 
-Representation: the D=64-dim vector splits into ``PQ_M`` = 8
-subvectors of ``PQ_SUBDIM`` = 8 dims; each subvector is replaced by
+Representation: the D-dim vector splits into ``PQ_M`` = 8 subvectors
+of D/M dims (``pq_subdim`` — derived from the data, nothing bakes a
+fixture dimensionality in); each subvector is replaced by
 the id of its nearest codebook centroid. A vector becomes 8 small
 codes — ~8 bytes against 256 for FP32, a 32× at-rest/scan reduction,
 which is the PQ bandwidth story at 100 TB: the cheap pass reads only
@@ -50,24 +51,37 @@ from ..session import ensure_parallelism
 from .kmeans import KMEANS_ITERS, kmeans_centroids
 from .topk import topk_per_query
 
-PQ_M = 8        #: subspaces
-PQ_SUBDIM = 8   #: dims per subspace (M * SUBDIM = fixture D = 64)
+PQ_M = 8        #: subspaces (a hyperparameter; subdim = D / M is derived)
 PQ_STRIDE = 25  #: codebook seeds = subvectors of every stride-th vector
 PQ_REFINE_R = 3  #: refinement fetches R*K candidates for exact re-rank
 
 
-def _subvec(vec_col: str, m_col: str) -> Column:
+def pq_subdim(corpus: DataFrame, vec_col: str = "embedding") -> int:
+    """Dims per subspace, derived from the data: D / PQ_M. D comes
+    from :func:`..operators.simsearch.embedding_dim` (a limit-1 peek —
+    ArrayType schemas carry no length), so nothing bakes a fixture
+    dimensionality into the index layer. Raises if D is not divisible
+    by the subspace count."""
+    from .simsearch import embedding_dim
+
+    dim = embedding_dim(corpus, vec_col)
+    if dim % PQ_M:
+        raise ValueError(f"PQ_M={PQ_M} does not divide embedding dim {dim}")
+    return dim // PQ_M
+
+
+def _subvec(vec_col: str, m_col: str, subdim: int) -> Column:
     """1-based slice of subspace ``m`` from a D-dim array column.
-    Guarded: a vector whose dimension is not exactly M·SUBDIM raises
+    Guarded: a vector whose dimension is not exactly M·subdim raises
     at runtime instead of silently producing short subvectors and
     corrupt codes."""
     return F.when(
-        F.size(F.col(vec_col)) == PQ_M * PQ_SUBDIM,
-        F.slice(F.col(vec_col), F.col(m_col) * PQ_SUBDIM + F.lit(1), PQ_SUBDIM),
+        F.size(F.col(vec_col)) == PQ_M * subdim,
+        F.slice(F.col(vec_col), F.col(m_col) * subdim + F.lit(1), subdim),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"PQ expects dimension {PQ_M * PQ_SUBDIM}, got "),
+                F.lit(f"PQ expects dimension {PQ_M * subdim}, got "),
                 F.size(F.col(vec_col)).cast("string"),
             )
         )
@@ -96,12 +110,13 @@ def pq_codebook(
     cache = session_cache(corpus.sparkSession, "pq_codebook")
     key = (id(corpus), stride, iters)
     if key not in cache:
+        subdim = pq_subdim(corpus)
         pts = _explode_m(corpus.select("vec_id", "embedding")).select(
             F.col("m").alias("grp"),
             F.col("vec_id").alias("pid"),
-            _subvec("embedding", "m").alias("pvec"),
+            _subvec("embedding", "m", subdim).alias("pvec"),
         )
-        cache[key] = kmeans_centroids(pts, stride, iters, dim=PQ_SUBDIM).select(
+        cache[key] = kmeans_centroids(pts, stride, iters, dim=subdim).select(
             F.col("grp").alias("m"), "cid", "cvec"
         )
     return cache[key]
@@ -115,8 +130,9 @@ def pq_codes(
     scans instead of the raw vectors. Argmin ties break on smaller
     centroid id (struct ordering, free)."""
     cb = codebook if codebook is not None else pq_codebook(corpus)
+    subdim = pq_subdim(corpus)
     sub = _explode_m(ensure_parallelism(corpus).select("vec_id", "embedding")).select(
-        "vec_id", "m", _subvec("embedding", "m").alias("subv")
+        "vec_id", "m", _subvec("embedding", "m", subdim).alias("subv")
     )
     scored = sub.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "cid", dist2("subv", "cvec").alias("__d2")

@@ -676,12 +676,13 @@ def lsh_cushion_topk(
     precision-on-demand pays: the K seeds are a small fraction of the
     stream, so the cushion prunes most of the full-precision
     fetches."""
-    from .simsearch import lsh_signature_bands
+    from .simsearch import embedding_dim, lsh_signature_bands
 
+    dim = embedding_dim(corpus)
     qb = lsh_signature_bands(
-        queries.select("query_id", "embedding"), "embedding", "query_id"
+        queries.select("query_id", "embedding"), "embedding", "query_id", dim=dim
     )
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id")
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
     cand_ids = (
         qb.alias("q")
         .join(cb.alias("c"), ["band", "bkey"])

@@ -59,12 +59,37 @@ IVF_KMEANS_ITERS = 0
 LSH_PLANES_N = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # bits per band
-LSH_DIM = 64  # fixture embedding dimensionality
-_rng = np.random.default_rng(43)
-LSH_PLANES: tuple[tuple[float, ...], ...] = tuple(
-    tuple(round(float(x), 6) for x in row)
-    for row in _rng.standard_normal((LSH_PLANES_N, LSH_DIM))
-)
+_PLANE_SEED = 43
+
+_planes_memo: dict[int, tuple[tuple[float, ...], ...]] = {}
+
+
+def lsh_planes(dim: int) -> tuple[tuple[float, ...], ...]:
+    """The 16 hyperplanes for a given embedding dimensionality.
+    Deterministic per ``dim`` (seed 43) so the same literals embed in
+    the DuckDB oracle SQL; memoized because plane generation is pure.
+    Nothing bakes a fixture dimensionality in — callers derive ``dim``
+    from the data via :func:`embedding_dim`."""
+    if dim not in _planes_memo:
+        rng = np.random.default_rng(_PLANE_SEED)
+        _planes_memo[dim] = tuple(
+            tuple(round(float(x), 6) for x in row)
+            for row in rng.standard_normal((LSH_PLANES_N, dim))
+        )
+    return _planes_memo[dim]
+
+
+def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector dimensionality derived from the data — ArrayType schemas
+    carry no length, so the index layer peeks at ``size(vec_col)`` of
+    one row at plan-build time (a limit-1 job: the plan-build analog
+    of the loaders' header read, ``sources/loaders.py``). Per-row
+    dimension *enforcement* stays in the operators' runtime guards
+    (``kmeans``/``pq`` raise on a mismatched row)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
+    if row is None or row["d"] is None or int(row["d"]) <= 0:
+        raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
+    return int(row["d"])
 
 
 def ivf_centroids(
@@ -91,7 +116,8 @@ def ivf_centroids(
             F.col("vec_id").alias("pid"),
             F.col("embedding").alias("pvec"),
         )
-        cache[key] = kmeans_centroids(pts, stride, iters, dim=LSH_DIM).select(
+        dim = embedding_dim(corpus) if iters > 0 else None
+        cache[key] = kmeans_centroids(pts, stride, iters, dim=dim).select(
             F.col("cid").alias("centroid_id"), F.col("cvec")
         )
     return cache[key]
@@ -168,25 +194,32 @@ def ivf_topk(
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
-def _planes_array_sql() -> str:
-    """The 16×64 hyperplane matrix as one SQL array-of-arrays literal.
-    Building this as a string parsed JVM-side replaces ~1k py4j
-    ``F.lit`` round trips (~2.8s of driver-side plan construction per
-    frame, measured) with a single ``F.expr`` call."""
+def _planes_array_sql(dim: int) -> str:
+    """The 16×``dim`` hyperplane matrix as one SQL array-of-arrays
+    literal. Building this as a string parsed JVM-side replaces ~1k
+    py4j ``F.lit`` round trips (~2.8s of driver-side plan construction
+    per frame, measured) with a single ``F.expr`` call."""
     rows = ", ".join(
-        "array(" + ", ".join(repr(v) + "D" for v in row) + ")" for row in LSH_PLANES
+        "array(" + ", ".join(repr(v) + "D" for v in row) + ")"
+        for row in lsh_planes(dim)
     )
     return f"array({rows})"
 
 
-def lsh_signature_bands(df: DataFrame, vec_col: str, id_alias: str) -> DataFrame:
+def lsh_signature_bands(
+    df: DataFrame, vec_col: str, id_alias: str, dim: int | None = None
+) -> DataFrame:
     """(id, band, bkey): sign-of-projection bits against the fixed
     hyperplanes, packed per band into an integer key. Pure Column
     expressions — one corpus pass, no Python in the data path, and
     one ``F.expr`` on the driver (the fold is written once and looped
-    JVM-side instead of unrolled 16× through py4j)."""
+    JVM-side instead of unrolled 16× through py4j). ``dim`` defaults
+    to the data's own dimensionality (:func:`embedding_dim`); pass it
+    explicitly to skip the peek when the caller already knows it."""
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
     dots_sql = (
-        f"transform({_planes_array_sql()}, p -> "
+        f"transform({_planes_array_sql(dim)}, p -> "
         f"aggregate(zip_with({vec_col}, p, (x, pp) -> cast(x AS double) * pp), "
         f"cast(0.0 AS double), (acc, v) -> acc + v))"
     )
@@ -219,8 +252,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     The band equi-join shuffles on (band, bkey) — 2⁴ buckets per band
     — instead of the q×N cross product; recall is governed by the
     band/row trade-off exactly as in MinHash LSH."""
-    qb = lsh_signature_bands(queries, "embedding", "query_id")
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id")
+    dim = embedding_dim(corpus)
+    qb = lsh_signature_bands(queries, "embedding", "query_id", dim=dim)
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
     # dedupe on the id pair only — running distinct over rows that
     # carry both embedding arrays shuffles ~16× more bytes for the
     # same result; vectors re-attach after the pair set is small

@@ -16,9 +16,18 @@ from .operators import pq as P
 from .operators import simsearch as S
 from .operators.kmeans import kmeans_sql_ctes
 from .operators.topk import exact_topk_fixture_cached
-from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
+from .sources.fixtures import (
+    FIXTURE_EMBED_DIM,
+    QUERY_STRIDE,
+    load_table,
+    queries_view,
+)
 
 ANN_K = 20
+
+#: the oracle SQL is literal text over the D=64 fixture tables; the
+#: operator layer derives subdim from the data (operators/pq.pq_subdim)
+_PQ_SUBDIM = FIXTURE_EMBED_DIM // P.PQ_M
 
 SQL_Q_CTE = (
     f"SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
@@ -172,7 +181,7 @@ def _sql_plane_lit(plane: tuple[float, ...]) -> str:
 def _sql_band_key(vec: str, band: int) -> str:
     terms = []
     for j in range(S.LSH_ROWS):
-        plane = S.LSH_PLANES[band * S.LSH_ROWS + j]
+        plane = S.lsh_planes(FIXTURE_EMBED_DIM)[band * S.LSH_ROWS + j]
         d = _sql_dot(vec, _sql_plane_lit(plane))
         terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(terms)
@@ -264,14 +273,14 @@ SQL_PQ_BODY = f"""
 ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
 pqkm_pts AS (
   SELECT m AS grp, vec_id AS pid,
-         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS pvec
+         list_slice(embedding, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS pvec
   FROM embeddings CROSS JOIN ms
 ),
 {_PQ_KM_CTES},
 pq_cb AS (SELECT grp AS m, cid, cvec FROM {_PQ_KM_FINAL}),
 pq_sub AS (
   SELECT vec_id, m,
-         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS subv
+         list_slice(embedding, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS subv
   FROM embeddings CROSS JOIN ms
 ),
 pq_code AS (
@@ -477,7 +486,7 @@ SQL_PQ_CODEBOOK = f"""
 WITH ms AS (SELECT unnest(range(0, {P.PQ_M})) AS m),
 pqkm_pts AS (
   SELECT m AS grp, vec_id AS pid,
-         list_slice(embedding, m * {P.PQ_SUBDIM} + 1, m * {P.PQ_SUBDIM} + {P.PQ_SUBDIM}) AS pvec
+         list_slice(embedding, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS pvec
   FROM embeddings CROSS JOIN ms
 ),
 {_PQ_KM_CTES}

@@ -488,7 +488,7 @@ bm25r AS (
     CAST(row_number() OVER (PARTITION BY query_id
       ORDER BY score_micro DESC, doc_id) AS INT) AS rank
   FROM (
-    SELECT query_id, doc_id, sum(t6) AS score_micro
+    SELECT query_id, doc_id, CAST(sum(t6) AS BIGINT) AS score_micro
     FROM terms GROUP BY query_id, doc_id
   )
 )"""

@@ -33,6 +33,12 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: Deterministic query-set derivation (FIXTURES.md §B): every 50th vector.
 QUERY_STRIDE = 50
 
+#: The fixture corpus's embedding dimensionality (FIXTURES.md §B). The
+#: operator layer derives dim from the data (`simsearch.embedding_dim`);
+#: this constant exists ONLY for the DuckDB oracle strings, which are
+#: literal SQL over these specific fixture tables by definition.
+FIXTURE_EMBED_DIM = 64
+
 
 #: fixture columns stored as parquet TIMESTAMP(NANOS); Spark reads them
 #: as LONG (``nanosAsLong``) and we truncate to microseconds — exactly

@@ -58,6 +58,23 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     if len(got) != len(want):
         problems.append(f"row count differs: spark={len(got)} duckdb={len(want)}")
         return problems
+    # dtype-kind parity: the driver hashes value *representations*, so a
+    # Spark int64 column vs a DuckDB HUGEINT→float64 column hash-mismatches
+    # even when every value is numerically identical (the r04 bm25_topn
+    # failure: `sum(BIGINT)` promotes to HUGEINT in DuckDB). Flag any
+    # integer-vs-float kind disagreement before the value compare, which
+    # would otherwise pass.
+    _KIND = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+    for col in got.columns:
+        gk = _KIND.get(got[col].dtype.kind, "other")
+        wk = _KIND.get(want[col].dtype.kind, "other")
+        if {gk, wk} == {"int", "float"}:
+            problems.append(
+                f"column {col!r}: dtype kind differs (spark={got[col].dtype}, "
+                f"duckdb={want[col].dtype}) — driver hash would mismatch"
+            )
+    if problems:
+        return problems
     for col in got.columns:
         ga, wa = got[col].tolist(), want[col].tolist()
         bad = [
