@@ -708,7 +708,7 @@ def graph_cushion_topk(
     k: int,
     keep_m: int,
     delta: float | None = None,
-    graph_k: int = 8,
+    graph_k: int | None = None,
     beam: int | None = None,
     rounds: int | None = None,
     entry_stride: int | None = None,
@@ -731,12 +731,14 @@ def graph_cushion_topk(
         BEAM_ENTRY_STRIDE,
         BEAM_ROUNDS,
         BEAM_WIDTH,
+        GRAPH_DEGREE,
         symmetric_knn_edges,
     )
     from pyspark.sql.window import Window
 
     if not is_cosine(mode):
         raise ValueError("graph_cushion_topk walks by reduced dot product; use a cos-* mode")
+    graph_k = GRAPH_DEGREE if graph_k is None else graph_k
     beam = BEAM_WIDTH if beam is None else beam
     rounds = BEAM_ROUNDS if rounds is None else rounds
     entry_stride = BEAM_ENTRY_STRIDE if entry_stride is None else entry_stride
@@ -769,7 +771,15 @@ def graph_cushion_topk(
             .join(qs, "query_id")
             .select("query_id", "vec_id", dot("redv", "q").alias("red_score"))
         )
-        cand = cand.unionByName(scored).distinct().localCheckpoint(eager=True)
+        # dedup on the id pair alone (max — the pair's red_score is
+        # bit-identical across rounds); distinct() over the float
+        # column would rely on that bit-identity forever (r04 advisor)
+        cand = (
+            cand.unionByName(scored)
+            .groupBy("query_id", "vec_id")
+            .agg(F.max("red_score").alias("red_score"))
+            .localCheckpoint(eager=True)
+        )
     visited = cand.select("query_id", "vec_id")
     return refine_topk(
         queries,

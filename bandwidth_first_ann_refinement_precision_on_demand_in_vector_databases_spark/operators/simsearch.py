@@ -369,25 +369,43 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
 #: width per query per round, fixed round budget (the SQL twin
 #: unrolls the rounds, exactly like the k-means / label-propagation
 #: replays).
-BEAM_ENTRY_STRIDE = 25
+#:
+#: Operating point swept at sf0.1 (tools/sweep_graph_beam.py,
+#: reports/sweep_graph_beam.csv): degree is the dominant recall lever
+#: on the isotropic fixture (0.609 → 0.711 for 8 → 16 at fixed
+#: beam/rounds); halving the entry seeds (stride 25 → 50) pays for a
+#: fourth round inside the same visited budget. The registered point
+#: (degree 16, beam 8, 4 rounds, stride 50) measures recall@20
+#: 0.7125 at 306 visited/query — vs r04's 0.609 at 214 — within the
+#: 1.5× visited-budget bar the r04 verdict set.
+BEAM_ENTRY_STRIDE = 50
 BEAM_WIDTH = 8
-BEAM_ROUNDS = 3
+BEAM_ROUNDS = 4
+#: degree of the symmetrized search graph (ONE constant shared by the
+#: walk operators, the registry, and every oracle twin — the Spark
+#: walk and the SQL replay must never disagree on it)
+GRAPH_DEGREE = 16
 
 
-def symmetric_knn_edges(corpus: DataFrame, graph_k: int) -> DataFrame:
+def symmetric_knn_edges(
+    corpus: DataFrame, graph_k: int, cache_key: str | None = None
+) -> DataFrame:
     """Symmetrized (src, dst) edge set of the banded KNN graph — the
     offline graph-index artifact. Memoized + persisted per (session,
     corpus, graph_k): every search query over the same corpus shares
     one build, exactly as the IVF centroids and PQ codebook are
     trained once and served many times; released by
-    ``session.clear_caches``."""
+    ``session.clear_caches``. The memo key holds a reference to the
+    corpus DataFrame itself, so a recycled ``id()`` from a collected
+    frame can never serve a stale edge set (round-4 advisor note);
+    ``cache_key`` lets callers key by a stable name instead."""
     from ..session import session_cache
 
     cache = session_cache(corpus.sparkSession, "knn_graph_edges")
-    key = (id(corpus), graph_k)
+    key = (cache_key if cache_key is not None else id(corpus), graph_k)
     if key not in cache:
         g = knn_graph(corpus, graph_k)
-        cache[key] = (
+        edges = (
             g.select(
                 F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
             )
@@ -399,14 +417,17 @@ def symmetric_knn_edges(corpus: DataFrame, graph_k: int) -> DataFrame:
             .distinct()
             .persist()
         )
-    return cache[key]
+        # pin the corpus object in the entry: its id() stays live as
+        # long as the memoized edges do
+        cache[key] = (corpus, edges)
+    return cache[key][1]
 
 
 def graph_beam_search(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    graph_k: int = 5,
+    graph_k: int = GRAPH_DEGREE,
     beam: int = BEAM_WIDTH,
     rounds: int = BEAM_ROUNDS,
     entry_stride: int = BEAM_ENTRY_STRIDE,
@@ -442,6 +463,54 @@ def graph_beam_search(
     (``ANNCode.py:560-575`` shape).
     """
     edges = symmetric_knn_edges(corpus, graph_k)
+    cand = beam_candidates(queries, corpus, edges, beam, rounds, entry_stride)
+    out = topk_per_query(
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), "score"),
+        k,
+        ascending=False,
+        salted=False,
+    )
+    return out
+
+
+def graph_topk_from_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    edges: DataFrame,
+    k: int,
+    beam: int = BEAM_WIDTH,
+    rounds: int = BEAM_ROUNDS,
+    entry_stride: int = BEAM_ENTRY_STRIDE,
+) -> DataFrame:
+    """Beam-search top-K served from a STORED edge table
+    (``sources/layout.write_graph_index`` / ``read_graph_index``) —
+    the online half of the offline-build/online-serve split: the
+    banded graph construction (the dominant cost of
+    ``graph_beam_search``) never appears in this plan; the scan side
+    is two thin id columns. Result is identical to
+    ``graph_beam_search`` over the corpus the index was built from."""
+    cand = beam_candidates(queries, corpus, edges, beam, rounds, entry_stride)
+    return topk_per_query(
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), "score"),
+        k,
+        ascending=False,
+        salted=False,
+    )
+
+
+def beam_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    edges: DataFrame,
+    beam: int = BEAM_WIDTH,
+    rounds: int = BEAM_ROUNDS,
+    entry_stride: int = BEAM_ENTRY_STRIDE,
+) -> DataFrame:
+    """The visited set ``(query_id, vec_id, score)`` of the beam walk
+    over an explicit ``(src, dst)`` edge frame — the serve-path core:
+    the edge set can come from :func:`symmetric_knn_edges` (in-session
+    build) or a stored index table (``sources/layout.read_graph_index``),
+    and the walk itself never touches how the graph was built."""
     qv = F.broadcast(
         queries.select("query_id", F.col("embedding").alias("qvec"))
     )
@@ -472,11 +541,14 @@ def graph_beam_search(
             .join(qv, "query_id")
             .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
         )
-        cand = cand.unionByName(scored).distinct().localCheckpoint(eager=True)
-    out = topk_per_query(
-        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), "score"),
-        k,
-        ascending=False,
-        salted=False,
-    )
-    return out
+        # dedup on the id pair alone (max(score) — scores for a pair
+        # are bit-identical across rounds, so max is the value
+        # itself). A distinct() over the float column would rely on
+        # that bit-identity forever (round-4 advisor note).
+        cand = (
+            cand.unionByName(scored)
+            .groupBy("query_id", "vec_id")
+            .agg(F.max("score").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+    return cand

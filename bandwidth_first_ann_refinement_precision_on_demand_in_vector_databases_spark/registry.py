@@ -263,10 +263,13 @@ def _refine_topk_query(mode: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _refine_metrics_query(
-    mode: str, keep_m: int = KEEP_M_DEFAULT
+    mode: str, keep_m: int = KEEP_M_DEFAULT, delta_override: float | None = None
 ) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        delta = DELTA_DEFAULT if "hoeff" in mode else None
+        if delta_override is not None:
+            delta = delta_override
+        else:
+            delta = DELTA_DEFAULT if "hoeff" in mode else None
         row = refine_metrics(
             queries_view(spark, sf_dir),
             load_table(spark, sf_dir, "embeddings"),
@@ -320,6 +323,22 @@ QUERIES["refine_l2_tz_tuned_metrics"] = _refine_metrics_query("l2-tz", KEEP_M_TU
 QUERIES["refine_cos_l1_tuned_metrics"] = _refine_metrics_query("cos-l1", KEEP_M_TUNED)
 QUERIES["compression_model_tuned"] = lambda spark, sf_dir: q_compression_model(
     spark, sf_dir, keep_m=KEEP_M_TUNED
+)
+
+#: Hoeffding frontier, swept over the paper's δ grid (1e-12 … 1e-1,
+#: BASELINE.md line 28) extended through the loose right tail, ×
+#: keep_m ∈ {2,4,6} at sf0.1 (tools/sweep_hoeffding.py,
+#: reports/sweep_hoeffding.csv): measured recall is 1.0 at EVERY grid
+#: point — the Hoeffding cushion is conservative on the D=64 Gaussian
+#: fixture — so the honest optimum is the save-maximizing corner:
+#: keep_m=2, δ=0.9 → save 0.4859, fpr 0.0041 (vs 0.2398 at the
+#: reference-CLI default m=6/δ=0.7). Still under the paper's ≤60%
+#: best-dataset headline; the remaining gap is the documented fixture
+#: argument (no low-variance coordinates to truncate at D=64).
+KEEP_M_HOEFF_TUNED = 2
+DELTA_TUNED = 0.9
+QUERIES["refine_cos_hoeff_tuned_metrics"] = _refine_metrics_query(
+    "cos-hoeff", KEEP_M_HOEFF_TUNED, delta_override=DELTA_TUNED
 )
 
 #: exponent-truncation surface (P6 end-to-end). Two registered faces:
@@ -599,78 +618,30 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # NEW in r04: SemDeDup-style semantic dedup + Gopher repetition
-    # gate — never driver-checked
-    "dedup_semantic",
-    "dedup_incremental",
-    "text_repetition",
-    "text_lm_quality",
-    "quality_gate",
-    "corpus_mixture",
-    "ann_graph_topk",
+    # r05 rotation. Policy unchanged: (1) queries whose semantics or
+    # oracle CHANGED this round lead — they need a fresh driver row;
+    # (2) the oldest-checked queries follow (the 26 still sitting on
+    # r02 rows — round 3 and 4 both owed this rotation); (3) the
+    # remaining slots go to the oldest r03 rows, preferring families
+    # whose code the r05 de-fixturing touched (LSH planes / PQ subdim
+    # / IVF dim threading).
+    # -- changed in r05 --
+    "bm25_topn",                      # r04's one red row: oracle dtype fixed
+    "refine_cos_hoeff_tuned_metrics", # new: swept Hoeffding frontier
+    "ann_graph_index_topk",           # new: stored-index serve path
+    "ann_graph_topk",                 # new operating point (deg 16/4 rounds)
     "ann_graph_recall",
-    "ann_ivf_cushion_topk",
-    "ann_ivf_cushion_recall",
-    "ann_ivf_cushion_metrics",
-    "ann_lsh_cushion_topk",
-    "ann_lsh_cushion_metrics",
-    "ann_lsh_cushion_tuned_metrics",
     "ann_graph_cushion_topk",
     "ann_graph_cushion_metrics",
-    # NEW in r04: the vector-database query shapes (filtered/range/
-    # SQ-int8/hybrid) — never driver-checked
-    "ann_filtered_topk",
-    "ann_filtered_ivf_topk",
-    "ann_range_search",
-    "sq_codes",
-    "ann_sq_topk",
-    "ann_sq_refined_topk",
-    "ann_sq_recall",
-    "hybrid_rrf",
-    "bm25_topn",
-    "stream_ann_topk",
-    "doc_chunks",
-    "ann_knn_graph",
-    "ann_knn_graph_recall",
-    "decontamination",
-    "ann_ivfsq_topk",
-    "ann_ivfsq_recall",
-    "hybrid_bm25_rrf",
-    "ann_mmr_rerank",
-    # changed in r04: real-decoder features (new oracle) + trained PQ
-    # codebooks (new training replayed in every PQ oracle) + the two
-    # new index-artifact queries
-    "media_features",
-    "pq_codebook",
-    "ivf_cell_sizes",
-    "refine_l2_tz_exact_metrics",
-    "stream_dedup_events",
-    "stream_interval_join",
-    "dedup_components",
-    "corpus_curation",
-    "pq_codes",
-    "ann_pq_topk",
-    "ann_pq_refined_topk",
-    "ann_pq_recall",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    # (refine_l2_tz_compressed_metrics is rows-only/no-oracle and had
-    # its r03 row — moved out of the window so an r02-green oracled
-    # query keeps its slot)
-    # stale since r02 (not in the r03 window). Text/dedup first: their
-    # shared shingle/token machinery saw r04 edits, so their re-check
-    # matters most; untouched plain-relational queries sit last and
-    # absorb any window-budget overflow.
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "fingerprint",
+    # -- stale since r02 (26) --
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash_sketch",
     "dedup_simhash",
+    "lang_id",
+    "fingerprint",
     "rollup_lineitem",
     "cube_orders",
     "count_distinct",
@@ -689,6 +660,24 @@ _FRONT = [
     "salted_agg",
     "value_quantiles",
     "approx_count_distinct",
+    # -- oldest r03 rows, de-fixtured code first --
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "dedup_embedding_lsh",
+    "dedup_embedding",
+    "topk_cosine_exact",
+    "topk_l2_exact",
+    "rownorm_unit",
+    "reduce_precision",
+    "recall_l2_vs_cosine",
+    "pricing_summary",
+    "embedding_dim_stats",
+    "grouping_sets_orders",
+    "pivot_events",
+    "window_range_frame",
+    "corpus_sample",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
@@ -752,6 +741,9 @@ ORACLES["refine_l2_tz_tuned_metrics"] = duck_oracle.refine_metrics_sql(
 )
 ORACLES["refine_cos_l1_tuned_metrics"] = duck_oracle.refine_metrics_sql(
     "cos-l1", K_DEFAULT, KEEP_M_TUNED, None, QUERY_STRIDE
+)
+ORACLES["refine_cos_hoeff_tuned_metrics"] = duck_oracle.refine_metrics_sql(
+    "cos-hoeff", K_DEFAULT, KEEP_M_HOEFF_TUNED, DELTA_TUNED, QUERY_STRIDE
 )
 ORACLES["reduce_precision_ekeep"] = duck_oracle.reduce_precision_sql(
     KEEP_M_DEFAULT, keep_e=KEEP_E_TUNED
@@ -932,9 +924,9 @@ w0 AS MATERIALIZED (
   JOIN q ON q.query_id = n.query_id
 )""")
         parts.append(f"""{cur} AS MATERIALIZED (
-  SELECT DISTINCT query_id, vec_id, red_score FROM (
+  SELECT query_id, vec_id, max(red_score) AS red_score FROM (
     SELECT * FROM {prev} UNION ALL SELECT * FROM ws{i}
-  )
+  ) GROUP BY query_id, vec_id
 )""")
     parts.append(
         f"cand_ids AS (SELECT query_id, vec_id FROM w{_S.BEAM_ROUNDS})"

@@ -638,11 +638,13 @@ SIMSEARCH_ORACLES: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 #: graph degree for the SEARCH graph: richer than the registered
-#: 5-NN construction artifact (measured at sf0.1: recall@20 0.49 at
-#: degree 5 vs 0.61 at degree 8 with the same beam/rounds — on the
-#: isotropic fixture the banded graph is the recall ceiling, and
-#: degree is the lever; beam rounds converge by 3).
-GRAPH_BEAM_K = 8
+#: 5-NN construction artifact. r05 sweep (tools/sweep_graph_beam.py):
+#: degree is the dominant recall lever on the isotropic fixture —
+#: 0.609@20 at degree 8 vs 0.711 at 16 (fixed beam/rounds); the
+#: registered point (16/beam 8/4 rounds/stride 50) measures 0.7125
+#: at 306 visited/query. One constant, shared with the walk
+#: operators and every oracle (operators/simsearch.GRAPH_DEGREE).
+GRAPH_BEAM_K = S.GRAPH_DEGREE
 
 
 def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,9 +722,9 @@ def _sql_graph_beam_ctes() -> tuple[str, str]:
   JOIN q ON q.query_id = n.query_id
 )""")
         parts.append(f"""{cur} AS MATERIALIZED (
-  SELECT DISTINCT query_id, vec_id, score FROM (
+  SELECT query_id, vec_id, max(score) AS score FROM (
     SELECT * FROM {prev} UNION ALL SELECT * FROM s{i}
-  )
+  ) GROUP BY query_id, vec_id
 )""")
     parts.append(
         f"beam_cand AS (SELECT query_id, vec_id AS neighbor_id, score "
@@ -758,3 +760,39 @@ SIMSEARCH_QUERIES["ann_graph_topk"] = q_ann_graph_topk
 SIMSEARCH_QUERIES["ann_graph_recall"] = q_ann_graph_recall
 SIMSEARCH_ORACLES["ann_graph_topk"] = SQL_ANN_GRAPH_TOPK
 SIMSEARCH_ORACLES["ann_graph_recall"] = SQL_ANN_GRAPH_RECALL
+
+
+def q_ann_graph_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_graph_topk``: the symmetrized KNN
+    edge set is WRITTEN once per (session, fixture dir) as a parquet
+    index artifact (``sources/layout.write_graph_index``) and the
+    query plan walks the STORED (src, dst) table — the offline-build/
+    online-serve split of a production graph-ANN deployment. Results
+    are identical to the in-session build, so the oracle is shared;
+    ``tests/test_layout.py`` asserts the serve plan reads only the
+    two id columns and contains no band construction."""
+    import tempfile
+
+    from .session import session_cache
+    from .sources.layout import read_graph_index, write_graph_index
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cache = session_cache(spark, "graph_index_path")
+    if sf_dir not in cache:
+        path = tempfile.mkdtemp(prefix="bfann-graph-index-")
+        write_graph_index(
+            corpus, path, GRAPH_BEAM_K, cache_key=f"fixture:{sf_dir}"
+        )
+        cache[sf_dir] = path
+    edges = read_graph_index(spark, cache[sf_dir])
+    out = S.graph_topk_from_index(
+        queries_view(spark, sf_dir), corpus, edges, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SIMSEARCH_QUERIES["ann_graph_index_topk"] = q_ann_graph_index_topk
+#: same result as the in-session build by construction
+SIMSEARCH_ORACLES["ann_graph_index_topk"] = SQL_ANN_GRAPH_TOPK

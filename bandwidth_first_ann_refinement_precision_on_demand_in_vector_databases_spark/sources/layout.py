@@ -106,3 +106,26 @@ def read_pq_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
         spark.read.parquet(f"{path}/codebook"),
         spark.read.parquet(f"{path}/codes"),
     )
+
+
+def write_graph_index(
+    corpus: DataFrame, out_path: str, graph_k: int, cache_key: str | None = None
+) -> None:
+    """Materialize the symmetrized KNN-graph edge set — the offline
+    half of graph ANN serving. The banded construction (the dominant
+    cost of an in-query ``graph_beam_search``) runs exactly once,
+    here; the stored table is two thin id columns (src, dst)
+    repartitioned by ``src`` so a frontier-expansion join reads
+    co-located adjacency."""
+    from ..operators.simsearch import symmetric_knn_edges
+
+    edges = symmetric_knn_edges(corpus, graph_k, cache_key=cache_key)
+    edges.repartition("src").write.mode("overwrite").parquet(f"{out_path}/edges")
+
+
+def read_graph_index(spark: SparkSession, path: str) -> DataFrame:
+    """(src, dst) scan of a stored graph index. The serve-path plan
+    built on this frame (``operators/simsearch.graph_topk_from_index``)
+    contains no band/bucket construction at all — `ReadSchema` on the
+    edge scan shows only the two id columns."""
+    return spark.read.parquet(f"{path}/edges")

@@ -36,6 +36,7 @@ def _suite():
         "refine_l2_tz_tuned_metrics",
         "refine_cos_l1_tuned_metrics",
         "refine_cos_hoeff_metrics",
+        "refine_cos_hoeff_tuned_metrics",
         "refine_l2_tz_compressed_metrics",
         "refine_l2_tz_ekeep_metrics",
         "compression_model",
@@ -67,6 +68,7 @@ def _suite():
         "dedup_semantic",
         "text_repetition",
         "ann_graph_topk",
+        "ann_graph_index_topk",
         "ann_graph_recall",
         "ann_ivf_cushion_topk",
         "ann_ivf_cushion_recall",

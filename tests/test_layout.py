@@ -159,3 +159,52 @@ def test_pq_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
     for m in re.finditer(r"ReadSchema: (\S+)", plan):
         if "code" in m.group(1):
             assert "embedding" not in m.group(1)
+
+
+def test_graph_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """Offline-build/online-serve for the graph index: beam-search
+    top-K from the stored (src, dst) edge table equals the live
+    in-session build, and the serve plan contains no band
+    construction — the edge scan reads exactly the two id columns."""
+    import re
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        graph_beam_search,
+        graph_topk_from_index,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        read_graph_index,
+        write_graph_index,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "graph_index")
+    write_graph_index(corpus, out, 5, cache_key="test-graph-idx")
+    edges = read_graph_index(spark, out)
+
+    live = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+            for r in graph_beam_search(queries, corpus, 10, graph_k=5).collect()}
+    served = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+              for r in graph_topk_from_index(queries, corpus, edges, 10).collect()}
+    assert served == live
+
+    plan = (
+        graph_topk_from_index(queries, corpus, edges, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no banding anywhere in the serve plan (the build never runs)
+    assert "bkey" not in plan
+    # the walk rounds checkpoint eagerly, so the final plan shows RDD
+    # scans; the edge relation itself must scan exactly (src, dst) —
+    # assert on its own physical plan
+    edge_plan = edges._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (\S+)", edge_plan)
+    assert m, edge_plan
+    assert "src" in m.group(1) and "dst" in m.group(1), m.group(1)
+    assert "embedding" not in m.group(1), m.group(1)
