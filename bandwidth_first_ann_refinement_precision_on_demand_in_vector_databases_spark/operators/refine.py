@@ -289,7 +289,16 @@ def refine_topk(
     prices their re-scoring (README.md:11 "orthogonal to index
     choice"). Seeds, τ₀, and the zero-miss guarantee are then all
     relative to the candidate stream: the result equals an exact
-    re-rank of the same candidates, at reduced fetched bytes."""
+    re-rank of the same candidates, at reduced fetched bytes.
+
+    Edge case: a query whose candidate stream is EMPTY disappears from
+    ``topk``/``fetched``/``scored`` entirely (the joins are inner) —
+    it does not surface as an empty group. Callers that must
+    distinguish "no candidates" from "not queried" should left-join
+    their query universe against the result (``ann_recall`` does
+    exactly this, counting such queries as recall 0). On the fixtures
+    every query self-matches in its own cell/band, so the case never
+    arises in the registered compositions."""
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}; expected one of {MODES}")
     cos = is_cosine(mode)
@@ -413,7 +422,7 @@ def refine_metrics(
     delta: float | None = None,
     keep_e: int = FP16_EXP_BITS,
     red_bytes_override: float | None = None,
-    dim: int = 64,
+    dim: int | None = None,
     cache_key: str | None = None,
     prepared_corpus: DataFrame | None = None,
 ) -> DataFrame:
@@ -429,6 +438,12 @@ def refine_metrics(
     exact top-K on the fp16 corpus (``ANNCode.py:836-839``). All
     counts are computed as Spark aggregates — no driver loops.
     """
+    if dim is None:
+        # derive from the data (ArrayType schemas carry no length) —
+        # nothing bakes the fixture's D=64 into the byte model
+        from .simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
     row, intermediates = _refine_metrics_with_frames(
         queries, corpus, mode, k, keep_m, delta, keep_e, red_bytes_override,
         dim, cache_key, prepared_corpus,

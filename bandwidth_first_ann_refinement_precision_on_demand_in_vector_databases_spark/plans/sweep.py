@@ -29,7 +29,7 @@ def sweep_metrics(
     m_keeps: list[int],
     deltas: list[float] | None = None,
     exact_replica: bool = False,
-    dim: int = 64,
+    dim: int | None = None,
     keep_e: int = 5,
     compress_level: int | None = None,
 ) -> DataFrame:
@@ -52,6 +52,10 @@ def sweep_metrics(
     from ..operators.compression import avg_reduced_bytes_per_vec
 
     spark = queries.sparkSession
+    if dim is None:
+        from ..operators.simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
     deltas_in = (deltas or [0.7]) if "hoeff" in mode else [None]
     rows = []
     for m in m_keeps:

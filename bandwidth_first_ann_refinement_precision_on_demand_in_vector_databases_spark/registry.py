@@ -32,7 +32,12 @@ from .operators.metrics import recall_at_k
 from .operators.refine import MODES, refine_metrics, refine_topk
 from .operators.topk import exact_topk, exact_topk_fixture_cached
 from .plans import duck_oracle
-from .sources.fixtures import QUERY_STRIDE, load_table, queries_view
+from .sources.fixtures import (
+    FIXTURE_EMBED_DIM,
+    QUERY_STRIDE,
+    load_table,
+    queries_view,
+)
 
 K_DEFAULT = 20   # reference CLI default, ANNCode.py:798
 KEEP_M_DEFAULT = 6   # reference CLI default, ANNCode.py:799
@@ -633,6 +638,10 @@ _FRONT = [
     "ann_graph_recall",
     "ann_graph_cushion_topk",
     "ann_graph_cushion_metrics",
+    "bq_codes",                       # new: 1-bit sign quantization family
+    "ann_bq_topk",
+    "ann_bq_refined_topk",
+    "ann_bq_recall",
     # -- stale since r02 (26) --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -674,10 +683,6 @@ _FRONT = [
     "recall_l2_vs_cosine",
     "pricing_summary",
     "embedding_dim_stats",
-    "grouping_sets_orders",
-    "pivot_events",
-    "window_range_frame",
-    "corpus_sample",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
@@ -785,8 +790,12 @@ SELECT query_id, rank, neighbor_id, round(score, 6) AS score
 FROM final WHERE rank <= {K_DEFAULT}
 """
 
-_B_FULL = 16.0 * 64 / 8.0
-_B_RED = (1 + 5 + KEEP_M_DEFAULT) * 64 / 8.0
+#: byte model constants interpolated from the SAME sources the Spark
+#: side uses (functions/fp16.FP16_EXP_BITS + the fixture dim) — a
+#: change to either can no longer silently diverge the metrics
+#: oracles from the engine (r04 advisor note)
+_B_FULL = 16.0 * FIXTURE_EMBED_DIM / 8.0
+_B_RED = (1 + FP16_EXP_BITS + KEEP_M_DEFAULT) * FIXTURE_EMBED_DIM / 8.0
 
 ORACLES["ann_ivf_cushion_metrics"] = f"""
 WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
@@ -1034,7 +1043,7 @@ def q_ann_lsh_cushion_tuned_metrics(spark: SparkSession, sf_dir: str) -> DataFra
 
 QUERIES["ann_lsh_cushion_tuned_metrics"] = q_ann_lsh_cushion_tuned_metrics
 
-_B_RED_T = (1 + 5 + CUSHION_M_TUNED) * 64 / 8.0
+_B_RED_T = (1 + FP16_EXP_BITS + CUSHION_M_TUNED) * FIXTURE_EMBED_DIM / 8.0
 _LSH_CUSHION_TUNED_BODY = duck_oracle.refine_body(
     "cos-l1", K_DEFAULT, CUSHION_M_TUNED, None, QUERY_STRIDE,
     extra_ctes=_LSH_CUSHION_EXTRA, candidate_cte="cand_ids",

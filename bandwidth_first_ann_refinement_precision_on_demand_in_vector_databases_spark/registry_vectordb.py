@@ -659,3 +659,166 @@ VECTORDB_ORACLES: dict[str, str] = {
     "hybrid_bm25_rrf": SQL_HYBRID_BM25_RRF,
     "ann_mmr_rerank": SQL_ANN_MMR_RERANK,
 }
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization — 1-bit signatures, Hamming pre-rank
+# (operators/bq.py; the precision ladder's cheapest rung)
+# ---------------------------------------------------------------------------
+
+from .operators import bq as BQ  # noqa: E402
+from .sources.fixtures import FIXTURE_EMBED_DIM as _DIM  # noqa: E402
+
+_BQ_W = (_DIM + BQ.BQ_WORD - 1) // BQ.BQ_WORD
+
+
+def _sql_bq_words(src: str, id_expr: str, vec: str, cte: str) -> str:
+    """(id, w, wcode) CTE: the packed sign words, replayed with the
+    identical shift arithmetic (32-dim words keep every shift ≤ 31,
+    where Spark and DuckDB BIGINT shifts agree bit-for-bit)."""
+    return f"""{cte} AS (
+  SELECT {id_expr} AS id, t.w,
+    CAST(list_sum(list_transform(range(0, {BQ.BQ_WORD}), j ->
+      CASE WHEN t.w * {BQ.BQ_WORD} + j < {_DIM}
+                AND {vec}[CAST(t.w * {BQ.BQ_WORD} + j + 1 AS INT)] >= 0
+           THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS wcode
+  FROM {src} CROSS JOIN range(0, {_BQ_W}) t(w)
+)"""
+
+
+_SQL_BQ_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{_sql_bq_words("q", "query_id", "qe", "bq_qw")},
+{_sql_bq_words("embeddings", "vec_id", "embedding", "bq_cw")},
+bq_cand AS (
+  SELECT qw.id AS query_id, cw.id AS neighbor_id,
+         CAST(sum(bit_count(xor(qw.wcode, cw.wcode))) AS INT) AS score
+  FROM bq_qw qw JOIN bq_cw cw ON qw.w = cw.w
+  GROUP BY qw.id, cw.id
+)
+"""
+
+
+def q_bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored signature table in driver-hashable long form
+    (vec_id, word, wcode) — D/8 bytes per vector at rest."""
+    enc = BQ.bq_encode(load_table(spark, sf_dir, "embeddings"))
+    return enc.select(
+        F.col("id").alias("vec_id"), F.posexplode("words").alias("word", "wcode")
+    )
+
+
+SQL_BQ_CODES = f"""
+WITH {_sql_bq_words("embeddings", "vec_id", "embedding", "bq_cw")}
+SELECT id AS vec_id, CAST(w AS INT) AS word, wcode FROM bq_cw
+"""
+
+
+def q_ann_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = BQ.bq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select("query_id", "rank", "neighbor_id", "hamming")
+
+
+SQL_ANN_BQ_TOPK = f"""
+WITH {_SQL_BQ_CTES}
+SELECT query_id, rank, neighbor_id, score AS hamming FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM bq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_bq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = BQ.bq_refined_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_BQ_REFINED_TOPK = f"""
+WITH {_SQL_BQ_CTES},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS r
+    FROM bq_cand
+  ) WHERE r <= {BQ.BQ_REFINE_R * ANN_K}
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT c.query_id, c.neighbor_id,
+    {_sql_cos("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY c.query_id
+      ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the REFINED path vs the exact cosine top-K — the
+    number a deployment cares about (the raw Hamming rank is only the
+    pre-filter)."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = BQ.bq_refined_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_BQ_RECALL = f"""
+WITH {_SQL_BQ_CTES},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS r
+    FROM bq_cand
+  ) WHERE r <= {BQ.BQ_REFINE_R * ANN_K}
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS rank
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+VECTORDB_QUERIES["bq_codes"] = q_bq_codes
+VECTORDB_QUERIES["ann_bq_topk"] = q_ann_bq_topk
+VECTORDB_QUERIES["ann_bq_refined_topk"] = q_ann_bq_refined_topk
+VECTORDB_QUERIES["ann_bq_recall"] = q_ann_bq_recall
+VECTORDB_ORACLES["bq_codes"] = SQL_BQ_CODES
+VECTORDB_ORACLES["ann_bq_topk"] = SQL_ANN_BQ_TOPK
+VECTORDB_ORACLES["ann_bq_refined_topk"] = SQL_ANN_BQ_REFINED_TOPK
+VECTORDB_ORACLES["ann_bq_recall"] = SQL_ANN_BQ_RECALL

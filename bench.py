@@ -62,6 +62,8 @@ def _suite():
         "ann_filtered_topk",
         "ann_sq_refined_topk",
         "ann_sq_recall",
+        "ann_bq_refined_topk",
+        "ann_bq_recall",
         "hybrid_rrf",
         "doc_chunks",
         "decontamination",
@@ -215,6 +217,7 @@ def main() -> None:
         "ann_ivf_recall",
         "ann_ivfpq_recall",
         "ann_sq_recall",
+        "ann_bq_recall",
         "ann_graph_recall",
         "ann_lsh_cushion_tuned_metrics",
         "combined_saving_l2_tz",

@@ -114,3 +114,15 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="does not divide"):
         P.pq_subdim(df)
+
+
+def test_bq_d48(queries48, corpus48):
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        bq as B,
+    )
+
+    enc = B.bq_encode(corpus48)
+    row = enc.where(F.col("id") == 0).first()
+    assert len(row.words) == (DIM + B.BQ_WORD - 1) // B.BQ_WORD  # 2 words at D=48
+    out = B.bq_refined_topk(queries48, corpus48, 5)
+    assert _self_at_rank1(out)

@@ -419,3 +419,83 @@ class TestMMR:
             assert r.doc_id == d
             assert abs(r.mmr - mmr) < 1e-9
         assert len(out) == len(expect)
+
+
+class TestBinaryQuantization:
+    def test_encode_bits_match_signs(self, spark, sf_small):
+        """Every packed bit equals the sign predicate of its coordinate
+        (checked exhaustively on one collected vector)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            bq as B,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        vec = corpus.orderBy("vec_id").first()
+        enc = B.bq_encode(corpus).where(F.col("id") == vec.vec_id).first()
+        for j, x in enumerate(vec.embedding):
+            w, b = divmod(j, B.BQ_WORD)
+            got = (enc.words[w] >> b) & 1
+            assert got == (1 if x >= 0 else 0), (j, x)
+
+    def test_self_query_hamming_zero(self, spark, sf_small):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            bq as B,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+            queries_view,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        queries = queries_view(spark, sf_small)
+        top = B.bq_topk(queries, corpus, 3)
+        firsts = {r.query_id: (r.neighbor_id, r.hamming) for r in top.where(F.col("rank") == 1).collect()}
+        # self signature distance is 0; ties break on neighbor_id, and
+        # query ids ARE corpus ids on the fixtures, so rank 1 hamming
+        # must be 0 for every query
+        assert firsts and all(h == 0 for (_n, h) in firsts.values())
+
+    def test_refined_rerank_is_exact_over_candidates(self, spark, sf_small):
+        """The refined top-K equals the exact cosine re-rank of the
+        Hamming candidate set (zero-miss within candidates)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            bq as B,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+            cosine,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+            queries_view,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        queries = queries_view(spark, sf_small)
+        k = 5
+        got = {(r.query_id, r.rank): r.neighbor_id
+               for r in B.bq_refined_topk(queries, corpus, k).collect()}
+        cand = B.bq_topk(queries, corpus, B.BQ_REFINE_R * k).select(
+            "query_id", "neighbor_id"
+        )
+        qv = queries.select("query_id", F.col("embedding").alias("qv"))
+        cv = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        from pyspark.sql.window import Window
+
+        exact = (
+            cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id", cosine("qv", "cv").alias("s"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("s").desc(), F.col("neighbor_id")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= k)
+        )
+        want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+        assert got == want
