@@ -187,3 +187,99 @@ def curate_corpus(
         "pred_lang",
         "n_copies",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-and-chunk) and chunk-level dedup
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 128     #: tokens per packed training sequence
+PACK_SHARDS = 8    #: independent packing streams (the parallelism unit)
+
+#: chunk-level dedup runs on non-overlapping windows of this size —
+#: the C4-style "drop repeated paragraphs" granularity
+DEDUP_CHUNK_TOKENS = 16
+
+#: composite (doc_id, chunk_id) -> single id encoding for chunk rows;
+#: chunk counts are bounded by tokens/doc, far below this radix
+_CHUNK_RADIX = 100_000
+
+
+def pack_documents(
+    docs: DataFrame,
+    ctx: int = PACK_CTX,
+    shards: int = PACK_SHARDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_offset, bin_id,
+    crosses_boundary): GPT-style concat-and-chunk packing — documents
+    are concatenated in id order and cut into fixed ``ctx``-token
+    training sequences; each document's placement is its cumulative
+    token offset within its stream.
+
+    Scale shape: a single global concatenation would serialize on one
+    window partition, so packing runs as ``shards`` independent
+    streams (``doc_id % shards`` — deterministic, no RNG), each a
+    partition-local running sum. At 100 TB the shard count is the
+    write parallelism of the packed-sequence store; within a shard
+    the window is a single sort-free running total (rows already
+    arrive sorted by the shuffle's range partitioning). All integer
+    arithmetic — the DuckDB twin is exact, not float-fold-sensitive.
+
+    ``crosses_boundary`` marks documents straddling a sequence cut —
+    the fraction a curriculum would care about when choosing ``ctx``
+    vs document length."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % shards).cast("int").alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / ctx).cast("int").alias("bin_id"),
+        (
+            F.floor((cum - F.lit(1)) / ctx)
+            > F.floor((cum - F.col("n_tokens")) / ctx)
+        ).alias("crosses_boundary"),
+    )
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    chunk: int = DEDUP_CHUNK_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_copies): exact duplicate groups at the
+    CHUNK level — the C4-style paragraph dedup a document-level pass
+    misses (boilerplate repeated across otherwise-distinct documents).
+    Non-overlapping ``chunk``-token windows feed the same hash-first
+    exact-dedup aggregate as the document pass (``dedup.exact_dedup``:
+    xxhash64 shuffle keys, bodies never shuffle, collision re-check),
+    so the scale properties are identical; the composite
+    (doc_id, chunk_id) key rides through it encoded in one long."""
+    ch = chunk_documents(docs, chunk=chunk, overlap=0, text_col=text_col, id_col=id_col)
+    enc = ch.select(
+        (F.col("doc_id") * _CHUNK_RADIX + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    out = exact_dedup(enc, text_col="chunk_text", id_col="cid")
+    return out.select(
+        F.floor(F.col("canonical_id") / _CHUNK_RADIX).cast("long").alias("doc_id"),
+        (F.col("canonical_id") % _CHUNK_RADIX).cast("int").alias("chunk_id"),
+        "n_copies",
+    )

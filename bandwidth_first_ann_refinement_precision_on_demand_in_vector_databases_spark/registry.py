@@ -642,6 +642,8 @@ _FRONT = [
     "ann_bq_topk",
     "ann_bq_refined_topk",
     "ann_bq_recall",
+    "doc_packing",                    # new: concat-and-chunk packing
+    "dedup_chunks",                   # new: paragraph-level dedup
     # -- stale since r02 (26) --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -681,8 +683,6 @@ _FRONT = [
     "rownorm_unit",
     "reduce_precision",
     "recall_l2_vs_cosine",
-    "pricing_summary",
-    "embedding_dim_stats",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

@@ -169,3 +169,79 @@ CURATION_ORACLES: dict[str, str] = {
     "doc_chunks": _sql_doc_chunks(),
     "decontamination": _sql_decontamination(),
 }
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per document, its placement
+    (stream shard, cumulative token offset, training-sequence bin)
+    when the corpus is concatenated in id order and cut into fixed
+    PACK_CTX-token sequences. Integer window arithmetic — exact."""
+    from .operators.curation import pack_documents
+
+    return pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_doc_packing() -> str:
+    from .operators.curation import PACK_CTX, PACK_SHARDS
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_offset,
+       CAST((cum - n_tokens) // {PACK_CTX} AS INT) AS bin_id,
+       ((cum - 1) // {PACK_CTX}) > ((cum - n_tokens) // {PACK_CTX}) AS crosses_boundary
+FROM c
+"""
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-style) exact dedup: duplicate groups of
+    non-overlapping 16-token windows — boilerplate repeated across
+    otherwise-distinct documents, which document-level dedup misses."""
+    from .operators.curation import dedup_chunks
+
+    return dedup_chunks(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_chunks() -> str:
+    from .operators.curation import _CHUNK_RADIX, DEDUP_CHUNK_TOKENS
+
+    step = DEDUP_CHUNK_TOKENS
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {step})) AS start_tok
+  FROM t
+),
+ch AS (
+  SELECT doc_id * {_CHUNK_RADIX} + (start_tok // {step}) AS cid,
+         array_to_string(list_slice(toks, start_tok + 1, start_tok + {step}), ' ') AS chunk_text
+  FROM s
+),
+grp AS (
+  SELECT min(cid) AS canonical_id, count(*) AS n_copies
+  FROM ch GROUP BY lower(chunk_text)
+)
+SELECT CAST(canonical_id // {_CHUNK_RADIX} AS BIGINT) AS doc_id,
+       CAST(canonical_id % {_CHUNK_RADIX} AS INT) AS chunk_id,
+       n_copies
+FROM grp
+"""
+
+
+CURATION_QUERIES["doc_packing"] = q_doc_packing
+CURATION_QUERIES["dedup_chunks"] = q_dedup_chunks
+CURATION_ORACLES["doc_packing"] = _sql_doc_packing()
+CURATION_ORACLES["dedup_chunks"] = _sql_dedup_chunks()

@@ -66,6 +66,8 @@ def _suite():
         "ann_bq_recall",
         "hybrid_rrf",
         "doc_chunks",
+        "doc_packing",
+        "dedup_chunks",
         "decontamination",
         "dedup_semantic",
         "text_repetition",

@@ -129,3 +129,61 @@ def test_ivf_probing_all_cells_equals_exact(spark, sf_small):
     got = sorted(map(tuple, ivf.select("query_id", "rank", "neighbor_id").collect()))
     want = sorted(map(tuple, exact.select("query_id", "rank", "neighbor_id").collect()))
     assert got == want
+
+
+class TestSequencePacking:
+    def test_offsets_are_shardwise_cumulative(self, spark, sf_small):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.curation import (
+            pack_documents,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+        from pyspark.sql import functions as F
+
+        out = pack_documents(load_table(spark, sf_small, "documents")).collect()
+        by_shard: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+            by_shard.setdefault(r.shard, []).append(r)
+        assert by_shard
+        for rows in by_shard.values():
+            cum = 0
+            for r in rows:
+                assert r.start_offset == cum, r
+                cum += r.n_tokens
+
+    def test_crosses_boundary_definition(self, spark, sf_small):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.curation import (
+            PACK_CTX,
+            pack_documents,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        for r in pack_documents(load_table(spark, sf_small, "documents")).collect():
+            expect = (r.start_offset % PACK_CTX) + r.n_tokens > PACK_CTX
+            assert bool(r.crosses_boundary) == expect, r
+            assert r.bin_id == r.start_offset // PACK_CTX
+
+
+class TestChunkDedup:
+    def test_copies_cover_all_chunks(self, spark, sf_small):
+        """Σ n_copies over duplicate groups equals the total chunk
+        count, and every canonical (doc_id, chunk_id) is a real chunk."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.curation import (
+            DEDUP_CHUNK_TOKENS,
+            chunk_documents,
+            dedup_chunks,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_small, "documents")
+        groups = dedup_chunks(docs).collect()
+        chunks = chunk_documents(docs, chunk=DEDUP_CHUNK_TOKENS, overlap=0)
+        n_chunks = chunks.count()
+        assert sum(g.n_copies for g in groups) == n_chunks
+        keys = {(r.doc_id, r.chunk_id) for r in chunks.select("doc_id", "chunk_id").collect()}
+        assert all((g.doc_id, g.chunk_id) in keys for g in groups)
