@@ -429,6 +429,47 @@ def q_refine_l2_tz_compressed_metrics(spark: SparkSession, sf_dir: str) -> DataF
 QUERIES["refine_l2_tz_compressed_metrics"] = q_refine_l2_tz_compressed_metrics
 
 
+def q_refine_l2_tz_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship refinement SERVED from the stored disaggregated
+    layout (paper §3.3): the prepared corpus — (redv, delta) cheap-pass
+    columns next to the ``full`` fetch column — is WRITTEN once per
+    (session, fixture dir) as parquet and the query plan scans the
+    STORED table, exactly as the PQ codes and graph edges serve from
+    their index artifacts. Parquet's columnar chunking makes the
+    disaggregation physical: the phase-1 scan reads only the
+    (redv, delta) pages (`ReadSchema`-checked in
+    ``tests/test_layout.py::test_refinement_phase1_prunes_full_column``
+    — the same layout). Results are identical to the in-session
+    preparation, so the oracle is shared with ``refine_l2_tz_topk``."""
+    import tempfile
+
+    from .operators.refine import refine_topk
+    from .operators.refine import prepare_corpus as _prep
+    from .session import session_cache
+
+    cache = session_cache(spark, "refine_layout_path")
+    if sf_dir not in cache:
+        path = tempfile.mkdtemp(prefix="bfann-refine-layout-")
+        _prep(
+            load_table(spark, sf_dir, "embeddings"), KEEP_M_DEFAULT, "l2-tz"
+        ).write.mode("overwrite").parquet(path)
+        cache[sf_dir] = path
+    prepared = spark.read.parquet(cache[sf_dir])
+    res = refine_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        "l2-tz",
+        K_DEFAULT,
+        KEEP_M_DEFAULT,
+        None,
+        prepared_corpus=prepared,
+    )
+    return _rounded_topk(res.topk)
+
+
+QUERIES["refine_l2_tz_served_topk"] = q_refine_l2_tz_served_topk
+
+
 def q_refine_l2_tz_exact_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-exact (order-sensitive) metrics at the tuned
     operating point via the corpus-partitioned evolving-threshold
@@ -644,6 +685,7 @@ _FRONT = [
     "ann_bq_recall",
     "doc_packing",                    # new: concat-and-chunk packing
     "dedup_chunks",                   # new: paragraph-level dedup
+    "refine_l2_tz_served_topk",       # new: stored-layout serve path
     # -- stale since r02 (26) --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -682,7 +724,6 @@ _FRONT = [
     "topk_l2_exact",
     "rownorm_unit",
     "reduce_precision",
-    "recall_l2_vs_cosine",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
@@ -741,6 +782,11 @@ for _mode in MODES:
     ORACLES[f"refine_{_slug}_metrics"] = duck_oracle.refine_metrics_sql(
         _mode, K_DEFAULT, KEEP_M_DEFAULT, _delta, QUERY_STRIDE
     )
+#: the served plan reads the stored layout but computes the identical
+#: result — one oracle, two execution strategies
+ORACLES["refine_l2_tz_served_topk"] = duck_oracle.refine_topk_sql(
+    "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE
+)
 ORACLES["refine_l2_tz_tuned_metrics"] = duck_oracle.refine_metrics_sql(
     "l2-tz", K_DEFAULT, KEEP_M_TUNED, None, QUERY_STRIDE
 )

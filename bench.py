@@ -32,6 +32,7 @@ def _suite():
         "topk_l2_exact",
         "recall_l2_vs_cosine",
         "refine_cos_l1_topk",
+        "refine_l2_tz_served_topk",
         "refine_l2_tz_metrics",
         "refine_l2_tz_tuned_metrics",
         "refine_cos_l1_tuned_metrics",

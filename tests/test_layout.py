@@ -208,3 +208,18 @@ def test_graph_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
     assert m, edge_plan
     assert "src" in m.group(1) and "dst" in m.group(1), m.group(1)
     assert "embedding" not in m.group(1), m.group(1)
+
+
+def test_served_refinement_scans_stored_layout(spark, sf_small):
+    """The registered serve-path refinement reads the STORED prepared
+    corpus (paper §3.3 layout written once per session) — the plan
+    must contain a parquet scan of the layout directory, not an
+    in-session preparation of the raw corpus."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry import (
+        q_refine_l2_tz_served_topk,
+    )
+
+    df = q_refine_l2_tz_served_topk(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bfann-refine-layout-" in plan, plan[:2000]
+    assert df.count() > 0
