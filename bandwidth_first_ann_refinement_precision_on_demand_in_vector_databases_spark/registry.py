@@ -686,6 +686,8 @@ _FRONT = [
     "doc_packing",                    # new: concat-and-chunk packing
     "dedup_chunks",                   # new: paragraph-level dedup
     "refine_l2_tz_served_topk",       # new: stored-layout serve path
+    "ann_pq_index_topk",              # new: stored PQ index serve path
+    "ann_ivf_index_topk",             # new: partition-pruned IVF serve path
     # -- stale since r02 (26) --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -722,8 +724,6 @@ _FRONT = [
     "dedup_embedding",
     "topk_cosine_exact",
     "topk_l2_exact",
-    "rownorm_unit",
-    "reduce_precision",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

@@ -796,3 +796,66 @@ def q_ann_graph_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMSEARCH_QUERIES["ann_graph_index_topk"] = q_ann_graph_index_topk
 #: same result as the in-session build by construction
 SIMSEARCH_ORACLES["ann_graph_index_topk"] = SQL_ANN_GRAPH_TOPK
+
+
+def _index_store_path(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
+    """Session-memoized offline index build: run ``build(path)`` once
+    per (session, fixture dir, kind) into a temp dir, return the path."""
+    import tempfile
+
+    from .session import session_cache
+
+    cache = session_cache(spark, f"{kind}_store_path")
+    if sf_dir not in cache:
+        path = tempfile.mkdtemp(prefix=f"bfann-{kind}-")
+        build(path)
+        cache[sf_dir] = path
+    return cache[sf_dir]
+
+
+def q_ann_pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_pq_topk``: the trained codebook and
+    the 8-byte code table are WRITTEN once as parquet index artifacts
+    (``sources/layout.write_pq_index``) and the ADC plan reads ONLY
+    the stored tables — no corpus column, no retraining (ReadSchema
+    asserted in ``tests/test_layout.py``). Shares the in-session
+    oracle by result identity."""
+    from .operators.pq import pq_topk_from_index
+    from .sources.layout import read_pq_index, write_pq_index
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "pq-index", lambda p: write_pq_index(corpus, p)
+    )
+    cb, codes = read_pq_index(spark, path)
+    out = pq_topk_from_index(queries_view(spark, sf_dir), cb, codes, ANN_K)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_ivf_topk``: the assigned corpus is
+    WRITTEN once partitioned by cell (``layout.write_cell_partitioned``)
+    and the query's probe list drives a partition-pruned scan — only
+    the probed directories are opened (`PartitionFilters`), which is
+    the IVF bandwidth win made physical. Shares the in-session oracle
+    by result identity."""
+    from .sources.layout import ivf_topk_from_store, write_cell_partitioned
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "ivf-cells", lambda p: write_cell_partitioned(corpus, p)
+    )
+    cents = S.ivf_centroids(corpus)
+    out = ivf_topk_from_store(spark, path, queries_view(spark, sf_dir), cents, ANN_K)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SIMSEARCH_QUERIES["ann_pq_index_topk"] = q_ann_pq_index_topk
+SIMSEARCH_QUERIES["ann_ivf_index_topk"] = q_ann_ivf_index_topk
+#: identical results to the in-session builds by construction
+SIMSEARCH_ORACLES["ann_pq_index_topk"] = SQL_ANN_PQ_TOPK
+SIMSEARCH_ORACLES["ann_ivf_index_topk"] = SQL_ANN_IVF_TOPK

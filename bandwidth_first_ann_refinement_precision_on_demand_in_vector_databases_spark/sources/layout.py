@@ -129,3 +129,33 @@ def read_graph_index(spark: SparkSession, path: str) -> DataFrame:
     contains no band/bucket construction at all — `ReadSchema` on the
     edge scan shows only the two id columns."""
     return spark.read.parquet(f"{path}/edges")
+
+
+def ivf_topk_from_store(
+    spark: SparkSession,
+    store_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF top-K served from the cell-partitioned store: the probe
+    set is computed against the broadcast-sized quantizer, its cell
+    list drives a PARTITION-PRUNED scan of the stored corpus (the
+    coordinator-side routing every IVF serving system performs —
+    q·nprobe ints, the one legitimate driver-side decision), and
+    scoring runs only over the probed directories. Identical result
+    to the in-session ``simsearch.ivf_topk``."""
+    from ..functions.vector import cosine
+    from ..operators.simsearch import IVF_NPROBE, ivf_probes
+    from ..operators.topk import topk_per_query
+
+    probed = ivf_probes(queries, centroids, nprobe or IVF_NPROBE)
+    cells = [r.cell for r in probed.select("cell").distinct().collect()]
+    stored = read_probed_cells(spark, store_path, cells)
+    cand = F.broadcast(probed).join(stored, "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine("qvec", "embedding").alias("score"),
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)

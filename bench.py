@@ -74,6 +74,8 @@ def _suite():
         "text_repetition",
         "ann_graph_topk",
         "ann_graph_index_topk",
+        "ann_pq_index_topk",
+        "ann_ivf_index_topk",
         "ann_graph_recall",
         "ann_ivf_cushion_topk",
         "ann_ivf_cushion_recall",

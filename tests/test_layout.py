@@ -223,3 +223,32 @@ def test_served_refinement_scans_stored_layout(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bfann-refine-layout-" in plan, plan[:2000]
     assert df.count() > 0
+
+
+def test_ivf_serve_path_prunes_partitions(spark, sf_small):
+    """The registered IVF serve query must scan only the probed cell
+    directories of the stored corpus — `PartitionFilters` with the
+    cell list on the store scan, and identical results to the
+    in-session ivf_topk."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_topk,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_simsearch import (
+        ANN_K,
+        q_ann_ivf_index_topk,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+
+    df = q_ann_ivf_index_topk(spark, sf_small)
+    plan = _phys(df)
+    assert "PartitionFilters" in plan
+    assert "bfann-ivf-cells-" in plan, plan[:2000]
+    served = {(r.query_id, r.rank): r.neighbor_id for r in df.collect()}
+    corpus = load_table(spark, sf_small, "embeddings")
+    live = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(queries_view(spark, sf_small), corpus, ANN_K).collect()
+    }
+    assert served == live
