@@ -552,3 +552,48 @@ def beam_candidates(
             .localCheckpoint(eager=True)
         )
     return cand
+
+
+def assign_cells_stateless(
+    df: DataFrame,
+    centroid_rows: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment as a PURE PROJECTION —
+    the quantizer rides along as a literal array (it is broadcast-
+    sized by construction: N/stride rows), so the plan has no join,
+    no aggregation, and NO STATE. That makes it legal in a streaming
+    append-mode micro-batch as-is — the continuous index-maintenance
+    path: new vectors stream in, each is routed to its cell and
+    appended to the cell-partitioned store
+    (``sources/layout.write_cell_partitioned`` is the batch twin).
+
+    Tie-break matches ``ivf_assign``: centroids fold in ascending cid
+    order with strict less-than, so equal distances keep the smaller
+    cid. The fold body is the same strict left-to-right ``dist2``
+    shape every oracle replays.
+
+    ``centroid_rows``: [(cid, [float, ...]), ...] — the collected
+    quantizer (the one legitimate driver-side artifact, exactly like
+    the LSH plane literals)."""
+    cents = sorted((int(c), list(map(float, v))) for c, v in centroid_rows)
+    lits = ", ".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cvec', array(%s))"
+        % (cid, ", ".join(repr(x) + "D" for x in vec))
+        for cid, vec in cents
+    )
+    d2 = (
+        f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> "
+        f"CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v * v)"
+    )
+    assign = (
+        f"aggregate(array({lits}), "
+        f"named_struct('d', CAST('Infinity' AS DOUBLE), 'cid', CAST(-1 AS BIGINT)), "
+        f"(acc, c) -> IF({d2} < acc.d, named_struct('d', {d2}, 'cid', c.cid), acc)"
+        f").cid"
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.expr(assign).alias("cell")
+    )

@@ -688,6 +688,7 @@ _FRONT = [
     "refine_l2_tz_served_topk",       # new: stored-layout serve path
     "ann_pq_index_topk",              # new: stored PQ index serve path
     "ann_ivf_index_topk",             # new: partition-pruned IVF serve path
+    "ivf_ingest_assign",              # new: stateless streaming-ingest assignment
     # -- stale since r02 (26) --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -723,7 +724,6 @@ _FRONT = [
     "dedup_embedding_lsh",
     "dedup_embedding",
     "topk_cosine_exact",
-    "topk_l2_exact",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

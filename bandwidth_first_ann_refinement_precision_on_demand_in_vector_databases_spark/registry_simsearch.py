@@ -859,3 +859,43 @@ SIMSEARCH_QUERIES["ann_ivf_index_topk"] = q_ann_ivf_index_topk
 #: identical results to the in-session builds by construction
 SIMSEARCH_ORACLES["ann_pq_index_topk"] = SQL_ANN_PQ_TOPK
 SIMSEARCH_ORACLES["ann_ivf_index_topk"] = SQL_ANN_IVF_TOPK
+
+
+#: ingest increment for the continuous-maintenance queries: every
+#: 10th vector (residue 3) plays the newly-arriving batch
+INGEST_MOD = 10
+INGEST_RESIDUE = 3
+
+
+def q_ivf_ingest_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous index maintenance: route an arriving batch of
+    vectors to their IVF cells with the STATELESS assignment
+    projection (``simsearch.assign_cells_stateless`` — quantizer as a
+    literal, no join, no aggregation, no state), the exact plan a
+    Structured Streaming micro-batch runs in append mode
+    (``tests/test_streaming.py`` proves the readStream equivalence).
+    The batch twin of appending to the cell-partitioned store."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(corpus)
+    rows = [(r.centroid_id, r.cvec) for r in cents.collect()]
+    batch = corpus.where(F.col("vec_id") % INGEST_MOD == INGEST_RESIDUE)
+    out = S.assign_cells_stateless(batch, rows)
+    return out.select(F.col("id").alias("vec_id"), "cell")
+
+
+SQL_IVF_INGEST_ASSIGN = f"""
+WITH ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+{_IVF_KM_CTES},
+cents AS (SELECT cid AS centroid_id, cvec FROM {_IVF_KM_FINAL}),
+b AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {INGEST_MOD} = {INGEST_RESIDUE})
+SELECT vec_id, cell FROM (
+  SELECT b.vec_id, c.centroid_id AS cell,
+    row_number() OVER (PARTITION BY b.vec_id
+      ORDER BY {_sql_dist2("b.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
+  FROM b CROSS JOIN cents c
+) WHERE r = 1
+"""
+
+SIMSEARCH_QUERIES["ivf_ingest_assign"] = q_ivf_ingest_assign
+SIMSEARCH_ORACLES["ivf_ingest_assign"] = SQL_IVF_INGEST_ASSIGN

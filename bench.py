@@ -76,6 +76,7 @@ def _suite():
         "ann_graph_index_topk",
         "ann_pq_index_topk",
         "ann_ivf_index_topk",
+        "ivf_ingest_assign",
         "ann_graph_recall",
         "ann_ivf_cushion_topk",
         "ann_ivf_cushion_recall",

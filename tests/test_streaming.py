@@ -371,3 +371,46 @@ def test_streaming_ann_topk_converges(spark, sf_small, tmp_path):
         ).collect()
     }
     assert final == batch
+
+
+def test_streaming_ivf_ingest_assign_equals_batch(spark, sf_small, tmp_path):
+    """Continuous index maintenance: the STATELESS cell assignment
+    (quantizer as a literal — no join, no aggregation, no state) run
+    over a multi-batch embedding stream in append mode produces
+    exactly the batch assignment of the same rows. This is the plan a
+    production ingest pipeline runs per micro-batch before appending
+    to the cell-partitioned store."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        assign_cells_stateless,
+        ivf_centroids,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    cents = ivf_centroids(corpus)
+    rows = [(r.centroid_id, r.cvec) for r in cents.collect()]
+    newdir = str(tmp_path / "ingest")
+    batch_src = corpus.where(F.col("vec_id") % 10 == 3)
+    batch_src.repartition(4).write.mode("overwrite").parquet(newdir)
+    schema = spark.read.parquet(newdir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(newdir)
+    )
+    q = (
+        assign_cells_stateless(stream, rows)
+        .writeStream.format("memory")
+        .queryName("mem_ivf_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.id, r.cell) for r in spark.table("mem_ivf_ingest").collect()
+    }
+    expected = {
+        (r.id, r.cell)
+        for r in assign_cells_stateless(spark.read.parquet(newdir), rows).collect()
+    }
+    assert streamed == expected and len(streamed) == batch_src.count()
