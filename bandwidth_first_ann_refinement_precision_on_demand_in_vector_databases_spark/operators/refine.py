@@ -42,6 +42,17 @@ reproduces the reference's evolving-threshold metrics exactly lives in
   every input except an exact raw ``-0.0`` (measure-zero; reference
   ``ANNCode.py:513``).
 
+**Guarantee domain (found by the property tests,**
+``tests/test_refine.py``): the l2 zero-miss theorem holds for ANY
+float32 input — the Δ coupling is direct. The *cosine* zero-miss
+theorem additionally requires each vector to keep at least one
+fp16-normal-scale coordinate: the reduced corpus is renormalized by
+its OWN norm (mirroring the reference, ``ANNCode.py:744/828``), so a
+vector whose coordinates are all subnormal collapses to a different
+direction after truncation and the per-coordinate Δ bound no longer
+covers the normalization drift — a boundary of the reference's own
+math, inherited by design for parity.
+
 **Physical plan** (what Catalyst sees): broadcast queries → cross join
 against the *reduced columns only* (column pruning keeps full
 precision unread) → salted two-phase window for the seed → broadcast

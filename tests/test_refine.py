@@ -161,3 +161,121 @@ def test_cushion_composition_law(spark, sf_small):
         (r.query_id, r.rank, r.neighbor_id) for r in rerank.collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property-based zero-miss: adversarial float corpora
+# ---------------------------------------------------------------------------
+# The fixture corpus is well-behaved Gaussian data; the Δ bound's edge
+# cases live elsewhere — denormals (kept-exponent field 0), exact
+# zeros, coordinates spanning many binades, sign flips. Hypothesis
+# drives random corpora through the full cushion pipeline and checks
+# the paper's theorem directly against the exact fp16 re-rank.
+#
+# Domain finding (discovered BY this test): the l2 zero-miss theorem
+# survives ANY float32 input — its Δ coupling is direct, so the l2
+# generator is fully unconstrained. The COSINE cushions are exact only
+# on the reference's actual domain — row-normalized (unit-scale) data:
+# the reference renormalizes the reduced corpus by ITS OWN norm
+# (``ANNCode.py:744/828``, mirrored in prepare_corpus) while the Δ
+# cushion is expressed in UNNORMALIZED fp16 units, so the bound covers
+# the normalization drift only when ‖x‖ ≈ 1 (where the unnormalized Δ
+# over-covers). Falsifying inputs found outside that domain: a vector
+# of all-subnormal coordinates (direction collapses after truncation),
+# and vectors whose norms span several binades at keep_m=1 (drift of
+# the self-norm denominator outruns the cushion). Both break in the
+# reference itself — the engine inherits the boundary by design for
+# parity, and the cos generator therefore normalizes its rows exactly
+# as the reference CLI normalizes every cosine input (ANNCode.py:826).
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_coord = st.one_of(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+    st.floats(
+        min_value=-9.999999974752427e-07,
+        max_value=9.999999974752427e-07,
+        allow_nan=False,
+        width=32,
+    ),
+    st.sampled_from([0.0, -0.0, 1.0, -1.0, 6.0e-8, -6.0e-8, 65000.0]),
+)
+
+_PROP_D = 6
+_PROP_N = 14
+
+
+@st.composite
+def _corpus(draw, unit_rows: bool):
+    rows = []
+    for _ in range(_PROP_N):
+        row = [draw(_coord) for _ in range(_PROP_D)]
+        if unit_rows:
+            # the reference's cosine domain: rows normalized in
+            # float32 before reduction (ANNCode.py:826). Degenerate
+            # all-tiny rows get one unit coordinate first so the
+            # normalization itself is well-posed.
+            if not any(abs(x) > 1e-6 for x in row):
+                row[draw(st.integers(min_value=0, max_value=_PROP_D - 1))] = 1.0
+            import numpy as np
+
+            arr = np.asarray(row, dtype=np.float32)
+            arr = arr / np.float32(math.sqrt(float(np.dot(arr, arr))))
+            row = [float(x) for x in arr]
+        rows.append(row)
+    return rows
+
+
+def _check_zero_miss(spark, data, mode, keep_m):
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+        _exact_score_expr,
+        is_cosine,
+    )
+
+    k = 3
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = refine_topk(queries, corpus, mode, k, keep_m)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in res.topk.collect()}
+    corp = prepare_corpus(corpus, keep_m, mode)
+    qs = prepare_queries(queries, mode)
+    pairs = (
+        corp.select(F.col("vec_id").alias("neighbor_id"), "full")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _exact_score_expr(is_cosine(mode)).alias("score"),
+        )
+    )
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in topk_per_query(pairs, k, ascending=not is_cosine(mode)).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=_corpus(unit_rows=False), keep_m=st.sampled_from([1, 4]))
+def test_l2_zero_miss_holds_on_adversarial_floats(spark, data, keep_m):
+    """l2-tz never renormalizes — its Δ coupling must survive ANY
+    float32 input, including all-subnormal vectors."""
+    _check_zero_miss(spark, data, "l2-tz", keep_m)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=_corpus(unit_rows=True), keep_m=st.sampled_from([1, 4]))
+def test_cos_zero_miss_holds_on_reference_domain(spark, data, keep_m):
+    """cos-l1 on the reference's domain — row-normalized input, as
+    the reference CLI normalizes every cosine corpus (ANNCode.py:826).
+    Per-coordinate the generator still mixes zeros, denormals, and
+    values across eight binades before normalization."""
+    _check_zero_miss(spark, data, "cos-l1", keep_m)
