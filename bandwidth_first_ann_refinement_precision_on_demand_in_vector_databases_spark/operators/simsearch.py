@@ -105,7 +105,10 @@ def ivf_centroids(
     Memoized per (session, corpus, stride, iters) — every consumer
     (assignment, probes, IVF-PQ) shares one build, exactly as a
     production IVF index is trained once and served many times;
-    released by ``session.clear_caches``."""
+    released by ``session.clear_caches``. The memo entry pins the
+    corpus DataFrame itself, so a recycled ``id()`` from a collected
+    frame can never serve stale centroids (round-4 advisor note, same
+    pattern as ``symmetric_knn_edges``)."""
     from ..session import session_cache
 
     cache = session_cache(corpus.sparkSession, "ivf_centroids")
@@ -117,10 +120,11 @@ def ivf_centroids(
             F.col("embedding").alias("pvec"),
         )
         dim = embedding_dim(corpus) if iters > 0 else None
-        cache[key] = kmeans_centroids(pts, stride, iters, dim=dim).select(
+        cents = kmeans_centroids(pts, stride, iters, dim=dim).select(
             F.col("cid").alias("centroid_id"), F.col("cvec")
         )
-    return cache[key]
+        cache[key] = (corpus, cents)
+    return cache[key][1]
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -822,3 +822,142 @@ VECTORDB_ORACLES["bq_codes"] = SQL_BQ_CODES
 VECTORDB_ORACLES["ann_bq_topk"] = SQL_ANN_BQ_TOPK
 VECTORDB_ORACLES["ann_bq_refined_topk"] = SQL_ANN_BQ_REFINED_TOPK
 VECTORDB_ORACLES["ann_bq_recall"] = SQL_ANN_BQ_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension truncation (operators/mrl.py) — the
+# bandwidth-reduction grid's other axis: fewer coordinates instead of
+# fewer bits per coordinate.
+# ---------------------------------------------------------------------------
+
+from .operators import mrl as MRL  # noqa: E402
+
+#: fixture prefix length (D/4 = 16): the oracle is literal SQL over
+#: the D=64 fixture; the operator derives it from the data.
+_MRL_D = MRL.mrl_dims(_DIM)
+
+
+def _sql_mrl_cos(a: str, b: str) -> str:
+    """Prefix cosine: _sql_cos over list_slice(·, 1, d') both sides."""
+    return _sql_cos(f"list_slice({a}, 1, {_MRL_D})", f"list_slice({b}, 1, {_MRL_D})")
+
+
+_SQL_MRL_CAND = f"""
+q AS ({SQL_Q_CTE}),
+mrl_cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_mrl_cos("q.qe", "e.embedding")} AS score
+  FROM q CROSS JOIN embeddings e
+)
+"""
+
+
+def q_ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = MRL.mrl_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id",
+        F.round("prefix_score", 6).alias("prefix_score"),
+    )
+
+
+SQL_ANN_MRL_TOPK = f"""
+WITH {_SQL_MRL_CAND}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS prefix_score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM mrl_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_mrl_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = MRL.mrl_refined_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_MRL_REFINED_TOPK = f"""
+WITH {_SQL_MRL_CAND},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM mrl_cand
+  ) WHERE r <= {MRL.MRL_REFINE_R * ANN_K}
+)
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT c.query_id, c.neighbor_id,
+    {_sql_cos("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY c.query_id
+      ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the refined prefix path vs the exact cosine top-K.
+    Floor estimate by construction: the fixture is isotropic (every
+    coordinate equally informative), where trained MRL embeddings
+    front-load the prefix — see operators/mrl.py."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = MRL.mrl_refined_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_MRL_RECALL = f"""
+WITH {_SQL_MRL_CAND},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM mrl_cand
+  ) WHERE r <= {MRL.MRL_REFINE_R * ANN_K}
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS rank
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+VECTORDB_QUERIES["ann_mrl_topk"] = q_ann_mrl_topk
+VECTORDB_QUERIES["ann_mrl_refined_topk"] = q_ann_mrl_refined_topk
+VECTORDB_QUERIES["ann_mrl_recall"] = q_ann_mrl_recall
+VECTORDB_ORACLES["ann_mrl_topk"] = SQL_ANN_MRL_TOPK
+VECTORDB_ORACLES["ann_mrl_refined_topk"] = SQL_ANN_MRL_REFINED_TOPK
+VECTORDB_ORACLES["ann_mrl_recall"] = SQL_ANN_MRL_RECALL

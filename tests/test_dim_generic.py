@@ -116,6 +116,16 @@ def test_pq_rejects_indivisible_dim(spark):
         P.pq_subdim(df)
 
 
+def test_mrl_d48(queries48, corpus48):
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        mrl as M,
+    )
+
+    assert M.mrl_dims(DIM) == DIM // M.MRL_DIMS_FRACTION  # 12 at D=48
+    out = M.mrl_refined_topk(queries48, corpus48, 5)
+    assert _self_at_rank1(out)
+
+
 def test_bq_d48(queries48, corpus48):
     from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
         bq as B,

@@ -499,3 +499,76 @@ class TestBinaryQuantization:
         )
         want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
         assert got == want
+
+
+class TestMatryoshka:
+    def test_prefix_is_leading_coordinates(self, spark, sf_small):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            mrl as M,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        vec = corpus.orderBy("vec_id").first()
+        d = M.mrl_dims(len(vec.embedding))
+        pre = M.mrl_prefix(corpus, d).where(F.col("id") == vec.vec_id).first()
+        assert list(pre.prefix) == list(vec.embedding[:d])
+
+    def test_self_query_rank1(self, spark, sf_small):
+        """Query ids ARE corpus ids on the fixtures, so prefix cosine
+        is 1.0 against self and rank 1 must be the query itself."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            mrl as M,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+            queries_view,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        queries = queries_view(spark, sf_small)
+        rows = M.mrl_topk(queries, corpus, 3).where(F.col("rank") == 1).collect()
+        assert rows and all(r.neighbor_id == r.query_id for r in rows)
+
+    def test_refined_rerank_is_exact_over_candidates(self, spark, sf_small):
+        """The refined top-K equals the exact cosine re-rank of the
+        prefix candidate set (zero-miss within candidates)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            mrl as M,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+            cosine,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+            queries_view,
+        )
+        from pyspark.sql.window import Window
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        queries = queries_view(spark, sf_small)
+        k = 5
+        got = {(r.query_id, r.rank): r.neighbor_id
+               for r in M.mrl_refined_topk(queries, corpus, k).collect()}
+        cand = M.mrl_topk(queries, corpus, M.MRL_REFINE_R * k).select(
+            "query_id", "neighbor_id"
+        )
+        qv = queries.select("query_id", F.col("embedding").alias("qv"))
+        cv = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        exact = (
+            cand.join(qv, "query_id").join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id", cosine("qv", "cv").alias("s"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("s").desc(), F.col("neighbor_id")
+                    )
+                ),
+            )
+            .where(F.col("rank") <= k)
+        )
+        want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+        assert got == want
