@@ -961,3 +961,80 @@ VECTORDB_QUERIES["ann_mrl_recall"] = q_ann_mrl_recall
 VECTORDB_ORACLES["ann_mrl_topk"] = SQL_ANN_MRL_TOPK
 VECTORDB_ORACLES["ann_mrl_refined_topk"] = SQL_ANN_MRL_REFINED_TOPK
 VECTORDB_ORACLES["ann_mrl_recall"] = SQL_ANN_MRL_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Vector-store mutation (operators/mutate.py): upsert/delete over an
+# immutable base + IVF compaction stats under the frozen quantizer.
+# ---------------------------------------------------------------------------
+
+from .operators import mutate as MUT  # noqa: E402
+
+#: shared mutation CTEs: the fixture-derived batch (delete-wins on the
+#: mod-143 overlap class) and the live view after the merge.
+_SQL_MUT_LIVE = f"""
+mut_ups AS (
+  SELECT vec_id, list_reverse(embedding) AS embedding FROM embeddings
+  WHERE vec_id % {MUT.UPSERT_MOD} = {MUT.UPSERT_REM}
+    AND vec_id % {MUT.DELETE_MOD} != {MUT.DELETE_REM}
+),
+mut_live AS (
+  SELECT vec_id, embedding, 0 AS is_up FROM embeddings
+  WHERE vec_id % {MUT.UPSERT_MOD} != {MUT.UPSERT_REM}
+    AND vec_id % {MUT.DELETE_MOD} != {MUT.DELETE_REM}
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS is_up FROM mut_ups
+)
+"""
+
+
+def q_ann_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ups, dels = MUT.fixture_mutation(corpus)
+    out = MUT.mutated_topk(queries_view(spark, sf_dir), corpus, ups, dels, ANN_K)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_DELTA_TOPK = f"""
+WITH q AS ({SQL_Q_CTE}),
+{_SQL_MUT_LIVE}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT q.query_id, l.vec_id AS neighbor_id,
+    {_sql_cos("q.qe", "l.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_sql_cos("q.qe", "l.embedding")} DESC, l.vec_id) AS INT) AS rank
+  FROM q CROSS JOIN mut_live l
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ivf_delta_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ups, dels = MUT.fixture_mutation(corpus)
+    return MUT.compact_cells(corpus, ups, dels).orderBy("cell")
+
+
+SQL_IVF_DELTA_COMPACT = f"""
+WITH {SQL_IVF_CTES},
+{_SQL_MUT_LIVE},
+massigned AS (
+  SELECT vec_id, is_up, centroid_id AS cell FROM (
+    SELECT l.vec_id, l.is_up, c.centroid_id,
+      row_number() OVER (PARTITION BY l.vec_id
+        ORDER BY {_sql_dist2("l.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
+    FROM mut_live l CROSS JOIN cents c
+  ) WHERE r = 1
+)
+SELECT cell,
+  count(CASE WHEN is_up = 0 THEN 1 END) AS n_base_live,
+  count(CASE WHEN is_up = 1 THEN 1 END) AS n_upserted,
+  count(*) AS n_total
+FROM massigned GROUP BY cell ORDER BY cell
+"""
+
+VECTORDB_QUERIES["ann_delta_topk"] = q_ann_delta_topk
+VECTORDB_QUERIES["ivf_delta_compact"] = q_ivf_delta_compact
+VECTORDB_ORACLES["ann_delta_topk"] = SQL_ANN_DELTA_TOPK
+VECTORDB_ORACLES["ivf_delta_compact"] = SQL_IVF_DELTA_COMPACT

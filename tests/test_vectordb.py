@@ -501,6 +501,57 @@ class TestBinaryQuantization:
         assert got == want
 
 
+class TestMutation:
+    def _parts(self, spark, sf_small):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            mutate as MU,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        ups, dels = MU.fixture_mutation(corpus)
+        return MU, corpus, ups, dels
+
+    def test_live_view_semantics(self, spark, sf_small):
+        """Deleted ids are gone, upserted ids carry the NEW embedding,
+        ids in both batches obey delete-wins, untouched ids unchanged."""
+        MU, corpus, ups, dels = self._parts(spark, sf_small)
+        live = {r.vec_id: list(r.embedding)
+                for r in MU.mutated_live(corpus, ups, dels).collect()}
+        base = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+        del_ids = {r.vec_id for r in dels.collect()}
+        up_ids = {r.vec_id for r in ups.collect()}
+        assert del_ids and up_ids and (del_ids & {i for i in base if i % MU.UPSERT_MOD == MU.UPSERT_REM})
+        for i, emb in base.items():
+            if i in del_ids:
+                assert i not in live  # delete wins, even over an upsert
+            elif i in up_ids:
+                assert live[i] == emb[::-1]  # replaced by the new embedding
+            else:
+                assert live[i] == emb
+        assert set(live) == (set(base) - del_ids)
+
+    def test_mutated_topk_never_returns_deleted(self, spark, sf_small):
+        MU, corpus, ups, dels = self._parts(spark, sf_small)
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            queries_view,
+        )
+
+        out = MU.mutated_topk(queries_view(spark, sf_small), corpus, ups, dels, 10)
+        del_ids = {r.vec_id for r in dels.collect()}
+        assert out.count() > 0
+        assert not any(r.neighbor_id in del_ids for r in out.collect())
+
+    def test_compaction_counts_cover_live_view(self, spark, sf_small):
+        MU, corpus, ups, dels = self._parts(spark, sf_small)
+        stats = MU.compact_cells(corpus, ups, dels).collect()
+        live_n = MU.mutated_live(corpus, ups, dels).count()
+        assert sum(r.n_total for r in stats) == live_n
+        assert all(r.n_base_live + r.n_upserted == r.n_total for r in stats)
+
+
 class TestMatryoshka:
     def test_prefix_is_leading_coordinates(self, spark, sf_small):
         from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
