@@ -1038,3 +1038,74 @@ VECTORDB_QUERIES["ann_delta_topk"] = q_ann_delta_topk
 VECTORDB_QUERIES["ivf_delta_compact"] = q_ivf_delta_compact
 VECTORDB_ORACLES["ann_delta_topk"] = SQL_ANN_DELTA_TOPK
 VECTORDB_ORACLES["ivf_delta_compact"] = SQL_IVF_DELTA_COMPACT
+
+
+# ---------------------------------------------------------------------------
+# Multi-vector late interaction (operators/multivec.py): ColBERT-style
+# MaxSim re-rank of a single-vector candidate pool.
+# ---------------------------------------------------------------------------
+
+from .operators import multivec as MV  # noqa: E402
+
+_MV_SUB = _DIM // MV.MV_M
+
+
+def _sql_maxsim(qe: str, de: str) -> str:
+    """Σᵢ maxⱼ cos(sliceᵢ(q), sliceⱼ(d)) unrolled — the same M² terms
+    as ``multivec.maxsim_expr`` in DuckDB dialect."""
+    terms = []
+    for i in range(MV.MV_M):
+        qi = f"list_slice({qe}, {i * _MV_SUB + 1}, {(i + 1) * _MV_SUB})"
+        coss = [
+            _sql_cos(qi, f"list_slice({de}, {j * _MV_SUB + 1}, {(j + 1) * _MV_SUB})")
+            for j in range(MV.MV_M)
+        ]
+        terms.append("greatest(" + ", ".join(coss) + ")")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage late interaction: the exact single-vector top-POOL
+    proposes candidates (the memoized ground-truth frame other recall
+    queries share); MaxSim over the M=4 derived sub-vector bags
+    re-ranks only the pool."""
+    pool = exact_topk_fixture_cached(
+        spark, sf_dir, MV.MAXSIM_POOL, "cosine"
+    ).select("query_id", "neighbor_id")
+    out = MV.maxsim_rerank(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        pool,
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
+    )
+
+
+SQL_ANN_MAXSIM_RERANK = f"""
+WITH q AS ({SQL_Q_CTE}),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS r
+    FROM q CROSS JOIN embeddings e
+  ) WHERE r <= {MV.MAXSIM_POOL}
+),
+ms AS (
+  SELECT p.query_id, p.neighbor_id,
+         {_sql_maxsim("q.qe", "e.embedding")} AS maxsim
+  FROM pool p
+  JOIN embeddings e ON e.vec_id = p.neighbor_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, rank, neighbor_id, round(maxsim, 6) AS maxsim FROM (
+  SELECT query_id, neighbor_id, maxsim,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY maxsim DESC, neighbor_id) AS INT) AS rank
+  FROM ms
+) WHERE rank <= {MV.MAXSIM_K}
+"""
+
+VECTORDB_QUERIES["ann_maxsim_rerank"] = q_ann_maxsim_rerank
+VECTORDB_ORACLES["ann_maxsim_rerank"] = SQL_ANN_MAXSIM_RERANK

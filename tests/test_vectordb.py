@@ -501,6 +501,56 @@ class TestBinaryQuantization:
         assert got == want
 
 
+class TestMaxSim:
+    def test_self_maxsim_is_m(self, spark, sf_small):
+        """MaxSim(v, v) = M exactly: every slice best-matches itself
+        at cosine 1, and cosine can never exceed 1."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            multivec as MV,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        corpus = load_table(spark, sf_small, "embeddings")
+        dim = len(corpus.first().embedding)
+        row = corpus.select(
+            MV.maxsim_expr("embedding", "embedding", dim).alias("s")
+        ).first()
+        assert abs(row.s - MV.MV_M) < 1e-9
+
+    def test_rerank_rank1_is_self_for_self_queries(self, spark, sf_small):
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            multivec as MV,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+            exact_topk_fixture_cached,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+            queries_view,
+        )
+
+        pool = exact_topk_fixture_cached(spark, sf_small, 10, "cosine").select(
+            "query_id", "neighbor_id"
+        )
+        out = MV.maxsim_rerank(
+            queries_view(spark, sf_small), load_table(spark, sf_small, "embeddings"), pool, k=5
+        )
+        rows = out.where(F.col("rank") == 1).collect()
+        assert rows and all(r.neighbor_id == r.query_id for r in rows)
+
+    def test_indivisible_dim_raises(self):
+        import pytest as _pytest
+
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+            multivec as MV,
+        )
+
+        with _pytest.raises(ValueError, match="does not divide"):
+            MV.maxsim_expr("a", "b", 50, 4)
+
+
 class TestMutation:
     def _parts(self, spark, sf_small):
         from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
