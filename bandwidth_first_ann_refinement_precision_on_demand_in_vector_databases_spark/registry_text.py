@@ -687,3 +687,137 @@ WHERE {_SQL_MIX_DRAW} < r.rate_pct
 
 TEXT_QUERIES["corpus_mixture"] = q_corpus_mixture
 TEXT_ORACLES["corpus_mixture"] = SQL_CORPUS_MIXTURE
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169 —
+# public method): score each raw document by how much more likely its
+# hashed n-gram features are under a target distribution than under
+# the raw pool. The weights are the resampling input of the
+# data-selection stage ("pick raw web text that looks like the
+# target corpus") every pretraining pipeline runs at scale.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256          #: hashed feature space (uni+bigram buckets)
+DSIR_TARGET_LANG = "en"     #: target distribution = the English slice
+_DSIR_SCALE = 1_000_000     #: ln() micro-unit quantization (bm25 rule)
+
+
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance weight log(p_target/p_raw) under
+    add-one-smoothed hashed unigram+bigram feature models.
+
+    Plan shape: one pass builds the exploded (doc, feature-bucket)
+    frame; the two feature models are wordcount-shape aggregates over
+    it (map-side combine, 256-row outputs); the log-ratio table
+    broadcasts back and scoring is one per-doc aggregation — the
+    whole thing is three aggregates over one exploded frame, no UDFs.
+    Cross-engine: each ln() is floor-quantized to micro-units
+    immediately (Spark Math.log vs DuckDB libm differ at the last
+    ULP), and the per-doc sum runs in BIGINT micro-units."""
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = tokd.select(
+        "doc_id", "lang", F.explode(F.concat(toks, bigrams)).alias("g")
+    )
+    feat = grams.select(
+        "doc_id", "lang", (T.poly_hash(F.col("g")) % DSIR_BUCKETS).alias("f")
+    )
+    raw_c = feat.groupBy("f").agg(F.count("*").alias("c_r"))
+    tgt_c = (
+        feat.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count("*").alias("c_t"))
+    )
+    totals = feat.agg(
+        F.count("*").alias("n_r"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_t"),
+    )
+    lp = lambda c, n: F.floor(  # noqa: E731 — ln quantized at birth
+        F.log((c + 1.0) / (F.col(n) + F.lit(float(DSIR_BUCKETS))))
+        * _DSIR_SCALE
+    ).cast("bigint")
+    model = (
+        raw_c.join(tgt_c, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            (lp(F.coalesce("c_t", F.lit(0)), "n_t") - lp(F.col("c_r"), "n_r")).alias(
+                "lw_micro"
+            ),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lw_micro").alias("__s"))
+    )
+    return (
+        tokd.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+            F.round(
+                F.coalesce(
+                    F.col("__s").cast("double")
+                    / F.col("n_feats")
+                    / F.lit(float(_DSIR_SCALE)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+SQL_CORPUS_DSIR_WEIGHTS = f"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(toks,
+      CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        ELSE CAST([] AS VARCHAR[]) END)
+  ) AS g
+  FROM t
+),
+feat AS (SELECT doc_id, lang, {_sql_poly_hash('g')} % {DSIR_BUCKETS} AS f FROM grams),
+rawc AS (SELECT f, count(*) AS c_r FROM feat GROUP BY f),
+tgtc AS (
+  SELECT f, count(*) AS c_t FROM feat
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+),
+tot AS (
+  SELECT count(*) AS n_r,
+         count(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 END) AS n_t
+  FROM feat
+),
+model AS (
+  SELECT r.f,
+    CAST(floor(ln((coalesce(g.c_t, 0) + 1.0) / (tt.n_t + {DSIR_BUCKETS}.0))
+               * {_DSIR_SCALE}) AS BIGINT)
+  - CAST(floor(ln((r.c_r + 1.0) / (tt.n_r + {DSIR_BUCKETS}.0))
+               * {_DSIR_SCALE}) AS BIGINT) AS lw_micro
+  FROM rawc r LEFT JOIN tgtc g ON g.f = r.f CROSS JOIN tot tt
+),
+scored AS (
+  SELECT feat.doc_id, count(*) AS n_feats,
+         CAST(sum(m.lw_micro) AS BIGINT) AS s
+  FROM feat JOIN model m ON m.f = feat.f GROUP BY feat.doc_id
+)
+SELECT t.doc_id,
+  coalesce(s.n_feats, 0) AS n_feats,
+  round(coalesce(CAST(s.s AS DOUBLE) / s.n_feats / {_DSIR_SCALE}.0, 0.0), 6)
+    AS dsir_weight
+FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
+"""
+
+TEXT_QUERIES["corpus_dsir_weights"] = q_corpus_dsir_weights
+TEXT_ORACLES["corpus_dsir_weights"] = SQL_CORPUS_DSIR_WEIGHTS

@@ -187,3 +187,32 @@ class TestChunkDedup:
         assert sum(g.n_copies for g in groups) == n_chunks
         keys = {(r.doc_id, r.chunk_id) for r in chunks.select("doc_id", "chunk_id").collect()}
         assert all((g.doc_id, g.chunk_id) in keys for g in groups)
+
+
+class TestDsirWeights:
+    def test_weights_favor_target_language(self, spark, sf_small):
+        """The importance weight is log(p_target/p_raw) with the
+        English slice as the target, so English documents must score
+        higher ON AVERAGE than the rest (their features define the
+        target model); and every doc gets 2·n_tokens − 1 features
+        (unigrams + bigrams)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_text import (
+            DSIR_TARGET_LANG,
+            q_corpus_dsir_weights,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_small, "documents")
+        out = q_corpus_dsir_weights(spark, sf_small).join(
+            docs.select("doc_id", "lang", "text"), "doc_id"
+        )
+        rows = out.collect()
+        en = [r.dsir_weight for r in rows if r.lang == DSIR_TARGET_LANG]
+        rest = [r.dsir_weight for r in rows if r.lang != DSIR_TARGET_LANG]
+        assert en and rest
+        assert sum(en) / len(en) > sum(rest) / len(rest)
+        for r in rows[:20]:
+            n_toks = len(r.text.lower().split(" "))
+            assert r.n_feats == (2 * n_toks - 1 if n_toks >= 2 else n_toks)
