@@ -817,3 +817,47 @@ def graph_cushion_topk(
         cache_key=cache_key,
         candidate_ids=visited,
     )
+
+
+def mrl_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    r: int | None = None,
+    d_keep: int | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """Matryoshka prefix candidates × cushioned refinement — the
+    fourth index family behind the same re-scorer, and the one that
+    composes the engine's TWO bandwidth axes: the candidate pass reads
+    d'/D of the coordinates (dimension truncation), and the cushioned
+    re-scoring then reads mantissa-truncated pages plus only the
+    surviving full-precision fetches (per-coordinate truncation).
+    Zero-miss within the candidate stream, as for every composition:
+    the result equals the exact (fp16) re-rank of the prefix pre-
+    rank's R·K admits.
+
+    Cosine modes only — the prefix pre-rank maximizes prefix cosine,
+    the l2 analog would pre-rank by prefix distance lower bound (same
+    composition, omitted)."""
+    from .mrl import MRL_REFINE_R, mrl_topk
+
+    if not is_cosine(mode):
+        raise ValueError("mrl_cushion_topk pre-ranks by prefix cosine; use a cos-* mode")
+    r = MRL_REFINE_R if r is None else r
+    cand = mrl_topk(queries, corpus, r * k, d_keep=d_keep).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=cand,
+    )

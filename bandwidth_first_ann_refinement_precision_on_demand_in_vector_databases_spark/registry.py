@@ -716,14 +716,17 @@ _FRONT = [
     "salted_agg",
     "value_quantiles",
     "approx_count_distinct",
-    # -- oldest r03 rows, de-fixtured code first --
-    "ann_lsh_topk",
-    "ann_lsh_recall",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "dedup_embedding_lsh",
-    "dedup_embedding",
-    "topk_cosine_exact",
+    # -- new in the r05 second session (displacing the r03-era tail:
+    # those seven queries have green r03 rows and de-fixture coverage
+    # in tests/test_dim_generic.py; brand-new queries need their first
+    # driver row more) --
+    "ann_mrl_topk",          # Matryoshka prefix pre-rank
+    "ann_mrl_refined_topk",
+    "ann_mrl_recall",
+    "ann_delta_topk",        # upsert/delete merge-on-read
+    "ivf_delta_compact",     # compaction stats under frozen quantizer
+    "ann_maxsim_rerank",     # ColBERT-style late interaction
+    "corpus_dsir_weights",   # DSIR importance weighting
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
@@ -1111,6 +1114,104 @@ SELECT p.n_pairs, f.n_fetched,
             / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
 FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
 """
+
+# MRL × cushion: the fourth index family behind the candidate-
+# restricted refinement, composing the engine's two bandwidth axes —
+# the prefix pre-rank reads d'/D of the coordinates, the cushioned
+# re-scoring then reads mantissa-truncated pages + surviving full
+# fetches only. Candidate CTE replays operators/mrl.mrl_topk (prefix
+# cosine, top R·K, ties → vec_id).
+from .registry_vectordb import _sql_mrl_cos as _SQL_MRL_COS  # noqa: E402
+from .operators.mrl import MRL_REFINE_R as _MRL_R  # noqa: E402
+
+
+def _mrl_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized MRL×cushion build shared by topk and metrics
+    (cos-l1, keep_m=6 — the corpus-wide default; candidate streams
+    are exactly R·K = 60/query, seed-dominated like IVF's)."""
+    from .operators.refine import mrl_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "mrl_cushion")
+    if sf_dir not in cache:
+        res = mrl_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_mrl_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix candidates × cushioned refinement (cos-l1):
+    dimension truncation generates the candidate stream, mantissa
+    truncation prices its exact re-scoring — both bandwidth axes in
+    one query. Zero-miss within candidates, as for every
+    composition."""
+    return _rounded_topk(_mrl_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_mrl_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the MRL×cushion composition. The stream is
+    R·K = 60 candidates/query — K seeds are a third of it, so like
+    IVF this is the seed-dominated regime (per-candidate save near
+    zero, documented honestly); the end-to-end save composes the
+    prefix scan's d'/D with the cushion."""
+    res = _mrl_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_mrl_cushion_topk"] = q_ann_mrl_cushion_topk
+QUERIES["ann_mrl_cushion_metrics"] = q_ann_mrl_cushion_metrics
+
+_MRL_CUSHION_EXTRA = f"""mrl_ps AS (
+  SELECT q.query_id, e.vec_id, {_SQL_MRL_COS("q.qe", "e.embedding")} AS ps
+  FROM q CROSS JOIN embeddings e
+),
+cand_ids AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, vec_id) AS r
+    FROM mrl_ps
+  ) WHERE r <= {_MRL_R * K_DEFAULT}
+),
+"""
+
+_MRL_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_MRL_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_mrl_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_MRL_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_mrl_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_MRL_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
 
 # apply the correctness-window rotation LAST, after every
 # registration block above has populated QUERIES

@@ -90,6 +90,14 @@ def _suite():
         "quality_gate",
         "dedup_incremental",
         "corpus_mixture",
+        "ann_mrl_refined_topk",
+        "ann_mrl_recall",
+        "ann_mrl_cushion_topk",
+        "ann_mrl_cushion_metrics",
+        "ann_delta_topk",
+        "ivf_delta_compact",
+        "ann_maxsim_rerank",
+        "corpus_dsir_weights",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
@@ -233,6 +241,7 @@ def main() -> None:
         "ann_sq_recall",
         "ann_bq_recall",
         "ann_graph_recall",
+        "ann_mrl_recall",
         "ann_lsh_cushion_tuned_metrics",
         "combined_saving_l2_tz",
         "combined_saving_l2_tz_paper_formula",
@@ -272,6 +281,7 @@ def main() -> None:
         "ann_sq_recall",
         "ann_graph_recall",
         "ann_pq_recall",
+        "ann_mrl_recall",
     )
     _BUDGET = 2250
     if len(line) > _BUDGET:
