@@ -95,3 +95,35 @@ def maxsim_rerank(
     )
     out = topk_per_query(scored, k, ascending=False, salted=False)
     return out.withColumnRenamed("score", "maxsim")
+
+
+def maxsim_topk_exhaustive(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = MAXSIM_K,
+    m: int = MV_M,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exhaustive MaxSim over the whole corpus — the GROUND-TRUTH
+    plan, in the exact-top-K family (q·N·M² slice folds; at scale the
+    table a pipeline materializes once to measure its candidate
+    pool's sufficiency, not a serving path — serving is
+    :func:`maxsim_rerank` over an index's pool)."""
+    if dim is None:
+        from .simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
+    from ..session import ensure_parallelism
+
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    scored = (
+        ensure_parallelism(corpus)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            maxsim_expr("qv", "embedding", dim, m).alias("score"),
+        )
+    )
+    out = topk_per_query(scored, k, ascending=False)
+    return out.withColumnRenamed("score", "maxsim")

@@ -1107,5 +1107,65 @@ SELECT query_id, rank, neighbor_id, round(maxsim, 6) AS maxsim FROM (
 ) WHERE rank <= {MV.MAXSIM_K}
 """
 
+def q_ann_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool-sufficiency of the two-stage MaxSim: Recall@K of the
+    pooled re-rank against EXHAUSTIVE MaxSim over the corpus — the
+    number that says whether the single-vector candidate pool misses
+    documents the late-interaction scorer would have surfaced."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    pool = exact_topk_fixture_cached(
+        spark, sf_dir, MV.MAXSIM_POOL, "cosine"
+    ).select("query_id", "neighbor_id")
+    ann = MV.maxsim_rerank(queries, corpus, pool)
+    exact = MV.maxsim_topk_exhaustive(queries, corpus, MV.MAXSIM_K)
+    return ann_recall(ann, exact, MV.MAXSIM_K)
+
+
+SQL_ANN_MAXSIM_RECALL = f"""
+WITH q AS ({SQL_Q_CTE}),
+pool AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS r
+    FROM q CROSS JOIN embeddings e
+  ) WHERE r <= {MV.MAXSIM_POOL}
+),
+allms AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_sql_maxsim("q.qe", "e.embedding")} AS maxsim
+  FROM q CROSS JOIN embeddings e
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.query_id, a.neighbor_id,
+      row_number() OVER (PARTITION BY a.query_id
+        ORDER BY a.maxsim DESC, a.neighbor_id) AS rank
+    FROM allms a JOIN pool p
+      ON p.query_id = a.query_id AND p.neighbor_id = a.neighbor_id
+  ) WHERE rank <= {MV.MAXSIM_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY maxsim DESC, neighbor_id) AS rank
+    FROM allms
+  ) WHERE rank <= {MV.MAXSIM_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {MV.MAXSIM_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
 VECTORDB_QUERIES["ann_maxsim_rerank"] = q_ann_maxsim_rerank
+VECTORDB_QUERIES["ann_maxsim_recall"] = q_ann_maxsim_recall
 VECTORDB_ORACLES["ann_maxsim_rerank"] = SQL_ANN_MAXSIM_RERANK
+VECTORDB_ORACLES["ann_maxsim_recall"] = SQL_ANN_MAXSIM_RECALL

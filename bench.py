@@ -97,6 +97,7 @@ def _suite():
         "ann_delta_topk",
         "ivf_delta_compact",
         "ann_maxsim_rerank",
+        "ann_maxsim_recall",
         "corpus_dsir_weights",
     ]
     extra = {}
@@ -143,9 +144,17 @@ def main() -> None:
     # such line AFTER the JSON line destroys the bench record. Disable
     # it for the measurement session, and print the JSON only after
     # spark.stop() so nothing can trail it.
+    # 6g driver heap: the single local-mode JVM holds every memoized
+    # index artifact (PQ codebook, graph edges, exact top-K ground
+    # truths) across the ~70-query suite, and the 1g default started
+    # OOMing at sf0.1 once the suite passed ~65 queries (r05). Same
+    # fix as tests/conftest.py; a rounding error on the 128 GiB box.
     spark = get_spark(
         app_name="bfann-bench",
-        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+            "spark.driver.memory": "6g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM/codegen, parquet reader, Arrow channel and the noop

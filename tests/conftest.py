@@ -17,7 +17,18 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    session = get_spark(app_name="bfann-tests", cpus="4", shuffle_partitions=8)
+    # One JVM serves the whole ~330-test session: persisted index
+    # artifacts, broadcasts and codegen caches accumulate across
+    # modules, and the 1g default heap started OOMing once the
+    # registry passed ~135 queries (r05). 6g is still a rounding
+    # error on the 128 GiB box and removes the false-red failure mode
+    # the verify notes warn about.
+    session = get_spark(
+        app_name="bfann-tests",
+        cpus="4",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "6g"},
+    )
     yield session
 
 

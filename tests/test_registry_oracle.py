@@ -23,6 +23,20 @@ def con(sf_small):
     c.close()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_artifacts_after_module(spark):
+    """The gate materializes every memoized index artifact (PQ
+    codebook, graph edges, exact top-K frames, ...) in one JVM;
+    release them when the module ends so later modules don't inherit
+    a heap full of persisted relations (the r05 full-suite OOM)."""
+    yield
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.session import (
+        clear_caches,
+    )
+
+    clear_caches(spark)
+
+
 @pytest.mark.parametrize("name", _ids())
 def test_oracle_match_sf0001(spark, sf_small, con, name):
     df = registry.QUERIES[name](spark, sf_small)
