@@ -821,3 +821,155 @@ FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
 
 TEXT_QUERIES["corpus_dsir_weights"] = q_corpus_dsir_weights
 TEXT_ORACLES["corpus_dsir_weights"] = SQL_CORPUS_DSIR_WEIGHTS
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016, arXiv:1508.07909 — public
+# method): learn the first R byte-pair merges from the corpus. The
+# production shape matters more than the toy size: BPE trainers run on
+# the WORD-FREQUENCY table (one wordcount aggregate over the corpus —
+# the only corpus-sized stage), and every merge round then operates on
+# that broadcast-sized vocabulary, so the loop costs O(R·|vocab|)
+# regardless of corpus bytes.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+BPE_END = "_"  #: end-of-word marker symbol
+
+#: greedy left-to-right pair merge as a string fold over the
+#: space-joined symbol sequence: when the accumulated tail symbol is
+#: `lsym` and the incoming symbol is `rsym`, splice them — the merged
+#: symbol then cannot re-merge with the NEXT occurrence in the same
+#: pass ([a,a,a] + (a,a) → [aa, a]), which is exactly BPE's
+#: non-overlapping scan. Verified character-identical to the DuckDB
+#: list_reduce twin.
+_BPE_MERGE_EXPR = """
+aggregate(split(syms, ' '), '', (acc, s) -> CASE
+  WHEN regexp_extract(acc, '[^ ]+$', 0) = lsym AND s = rsym
+    THEN substring(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]+$', 0))) || lsym || rsym
+  WHEN acc = '' THEN s
+  ELSE acc || ' ' || s END)
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(merge_round, left_sym, right_sym, merged_sym, pair_count):
+    the first ``BPE_ROUNDS`` learned merges. Per round: adjacent
+    symbol pairs explode from the vocab (weighted by word frequency),
+    one TakeOrdered picks the argmax (count desc, pair asc — the
+    deterministic tie-break), and the winning pair broadcast-joins
+    back into the fold that rewrites every word's symbol sequence.
+    Each round's 31-row vocab frame is eagerly checkpointed (the
+    k-means / beam-walk iterative idiom) so lineage stays flat."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.expr(f"concat_ws(' ', split(w, '')) || ' {BPE_END}'").alias("syms"),
+    ).localCheckpoint(eager=True)
+    bests = []
+    for rnd in range(BPE_ROUNDS):
+        sy = F.split("syms", " ")
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(sy, 1, F.size(sy) - 1),
+                    F.slice(sy, 2, F.size(sy) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        counts = pairs.groupBy("pair").agg(F.sum("cnt").alias("c"))
+        best = (
+            counts.orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("merge_round"),
+                F.split("pair", " ").getItem(0).alias("left_sym"),
+                F.split("pair", " ").getItem(1).alias("right_sym"),
+                F.col("c").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bests.append(best)
+        vocab = (
+            vocab.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("left_sym").alias("lsym"),
+                        F.col("right_sym").alias("rsym"),
+                    )
+                )
+            )
+            .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+    res = bests[0]
+    for b in bests[1:]:
+        res = res.unionByName(b)
+    return res.select(
+        "merge_round",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged_sym"),
+        "pair_count",
+    )
+
+
+def _sql_bpe_merges() -> str:
+    """Unrolled DuckDB twin: v{r}/b{r} CTE per round, MATERIALIZED
+    (round r is referenced by both round r+1's pair counts and its
+    merge — default inlining is exponential in R, the SemDeDup
+    lesson)."""
+    parts = [f"""
+WITH tok AS (SELECT unnest({SQL_TOKS}) AS w FROM documents),
+wc AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT w, cnt, array_to_string(string_split(w, ''), ' ') || ' {BPE_END}' AS syms
+  FROM wc
+)"""]
+    for rnd in range(BPE_ROUNDS):
+        parts.append(f""",
+c{rnd} AS (
+  SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+                                      i -> sy[i] || ' ' || sy[i+1])) AS pr
+    FROM (SELECT cnt, string_split(syms, ' ') AS sy FROM v{rnd})
+  ) GROUP BY pr
+),
+b{rnd} AS MATERIALIZED (
+  SELECT {rnd} AS merge_round,
+         string_split(pair, ' ')[1] AS lsym,
+         string_split(pair, ' ')[2] AS rsym,
+         c AS pair_count
+  FROM c{rnd} ORDER BY c DESC, pair ASC LIMIT 1
+),
+v{rnd + 1} AS MATERIALIZED (
+  SELECT v.w, v.cnt,
+    list_reduce(list_prepend('', string_split(v.syms, ' ')), (acc, s) -> CASE
+      WHEN regexp_extract(acc, '[^ ]+$') = b.lsym AND s = b.rsym
+        THEN substr(acc, 1, length(acc) - length(regexp_extract(acc, '[^ ]+$'))) || b.lsym || b.rsym
+      WHEN acc = '' THEN s
+      ELSE acc || ' ' || s END) AS syms
+  FROM v{rnd} v CROSS JOIN b{rnd} b
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_round, lsym AS left_sym, rsym AS right_sym, "
+        f"lsym || rsym AS merged_sym, pair_count FROM b{rnd}"
+        for rnd in range(BPE_ROUNDS)
+    )
+    parts.append(f"\n{union}\n")
+    return "".join(parts)
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+TEXT_QUERIES["bpe_merges"] = q_bpe_merges
+TEXT_ORACLES["bpe_merges"] = SQL_BPE_MERGES

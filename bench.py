@@ -99,6 +99,7 @@ def _suite():
         "ann_maxsim_rerank",
         "ann_maxsim_recall",
         "corpus_dsir_weights",
+        "bpe_merges",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

@@ -216,3 +216,40 @@ class TestDsirWeights:
         for r in rows[:20]:
             n_toks = len(r.text.lower().split(" "))
             assert r.n_feats == (2 * n_toks - 1 if n_toks >= 2 else n_toks)
+
+
+class TestBpeMerges:
+    def test_greedy_fold_semantics(self, spark):
+        """[a,a,a] + merge(a,a) must give [aa, a] — the non-overlapping
+        left-to-right scan of classic BPE (a merged symbol cannot
+        re-merge with the next occurrence in the same pass)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_text import (
+            _BPE_MERGE_EXPR,
+        )
+
+        df = spark.createDataFrame(
+            [("a a a", "a", "a"), ("a a b a a", "a", "a"), ("x y", "a", "a")],
+            ["syms", "lsym", "rsym"],
+        )
+        got = [r.m for r in df.select(F.expr(_BPE_MERGE_EXPR).alias("m")).collect()]
+        assert got == ["aa a", "aa b aa", "x y"]
+
+    def test_merge_table_invariants(self, spark, sf_small):
+        """merged_sym is the concatenation of the pair, and the best
+        pair count is non-increasing across rounds (merging can only
+        shrink existing pair counts, and pairs born from a merge are
+        bounded by the merged pair's count)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_text import (
+            BPE_ROUNDS,
+            q_bpe_merges,
+        )
+
+        rows = sorted(
+            q_bpe_merges(spark, sf_small).collect(), key=lambda r: r.merge_round
+        )
+        assert [r.merge_round for r in rows] == list(range(BPE_ROUNDS))
+        for r in rows:
+            assert r.merged_sym == r.left_sym + r.right_sym
+            assert r.pair_count > 0
+        counts = [r.pair_count for r in rows]
+        assert counts == sorted(counts, reverse=True)
