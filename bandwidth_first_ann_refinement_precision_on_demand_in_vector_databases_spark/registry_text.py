@@ -973,3 +973,96 @@ SQL_BPE_MERGES = _sql_bpe_merges()
 
 TEXT_QUERIES["bpe_merges"] = q_bpe_merges
 TEXT_ORACLES["bpe_merges"] = SQL_BPE_MERGES
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): apply the learned merge table
+    — tokenization under the trained tokenizer. The trainer's final
+    vocabulary frame ALREADY holds every word's merged symbol sequence, so
+    applying BPE to the corpus is one broadcast join of (word →
+    symbol count) onto the exploded document words and a per-doc sum:
+    the segmenter never re-runs the merge loop per document, exactly
+    as production tokenizers apply a frozen merge table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.expr(f"concat_ws(' ', split(w, '')) || ' {BPE_END}'").alias("syms"),
+    ).localCheckpoint(eager=True)
+    for rnd in range(BPE_ROUNDS):
+        sy = F.split("syms", " ")
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(sy, 1, F.size(sy) - 1),
+                    F.slice(sy, 2, F.size(sy) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        counts = pairs.groupBy("pair").agg(F.sum("cnt").alias("c"))
+        best = (
+            counts.orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.split("pair", " ").getItem(0).alias("lsym"),
+                F.split("pair", " ").getItem(1).alias("rsym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms"))
+            .localCheckpoint(eager=True)
+        )
+    per_word = vocab.select(
+        "w", F.size(F.split("syms", " ")).alias("n_syms")
+    )
+    doc_words = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        doc_words.join(F.broadcast(per_word), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _sql_bpe_token_counts() -> str:
+    """Reuses the trainer's unrolled CTE chain up to the final vocab,
+    then joins symbol counts back onto the exploded document words."""
+    body = SQL_BPE_MERGES
+    # the trainer SQL ends with the merge-table UNION; keep only its
+    # CTE chain (everything up to the first top-level SELECT) and
+    # project from the final vocab instead
+    cut = body.index("SELECT merge_round,")
+    ctes = body[:cut].rstrip().rstrip("\n")
+    return f"""{ctes}
+, per_word AS (
+  SELECT w, len(string_split(syms, ' ')) AS n_syms FROM v{BPE_ROUNDS}
+),
+doc_words AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS w FROM documents
+)
+SELECT d.doc_id, count(*) AS n_words,
+       CAST(sum(p.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM doc_words d JOIN per_word p ON p.w = d.w
+WHERE d.w <> ''
+GROUP BY d.doc_id
+"""
+
+
+SQL_BPE_TOKEN_COUNTS = _sql_bpe_token_counts()
+
+TEXT_QUERIES["bpe_token_counts"] = q_bpe_token_counts
+TEXT_ORACLES["bpe_token_counts"] = SQL_BPE_TOKEN_COUNTS

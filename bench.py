@@ -100,6 +100,7 @@ def _suite():
         "ann_maxsim_recall",
         "corpus_dsir_weights",
         "bpe_merges",
+        "bpe_token_counts",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

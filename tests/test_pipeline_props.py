@@ -253,3 +253,24 @@ class TestBpeMerges:
             assert r.pair_count > 0
         counts = [r.pair_count for r in rows]
         assert counts == sorted(counts, reverse=True)
+
+    def test_token_counts_sandwich(self, spark, sf_small):
+        """Per doc: n_words ≤ n_bpe_tokens ≤ n_chars + n_words (fully
+        merged floor vs the unmerged char+endmarker ceiling — six
+        merges can only shrink the sequence)."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_text import (
+            q_bpe_token_counts,
+        )
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+            load_table,
+        )
+
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_small, "documents").collect()
+        }
+        for r in q_bpe_token_counts(spark, sf_small).collect():
+            words = [w for w in docs[r.doc_id].lower().split() if w]
+            n_chars = sum(len(w) for w in words)
+            assert r.n_words == len(words)
+            assert r.n_words <= r.n_bpe_tokens <= n_chars + r.n_words
