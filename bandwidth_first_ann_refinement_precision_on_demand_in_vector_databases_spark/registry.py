@@ -1115,6 +1115,89 @@ SELECT p.n_pairs, f.n_fetched,
 FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
 """
 
+# Embedding covariance: the d×d second-moment diagnostic feeding
+# whitening / OPQ-style rotation decisions and embedding-drift
+# monitoring. Scale shape: the pair explode is N·d² rows but the
+# aggregate is map-side-combined down to d² partials per partition —
+# the shuffle moves matrices, not data. Cross-row float sums are NOT
+# order-deterministic, so coordinates quantize to micro-unit BIGINTs
+# BEFORE summing (the `embedding_dim_stats` rule): integer products
+# (≤1.6e13 each; BIGINT-safe to ~500k rows at these magnitudes, and
+# HUGEINT in the DuckDB twin) make both engines bit-identical.
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "embedding", F.posexplode("embedding").alias("i", "xi")
+    ).select(
+        "embedding",
+        "i",
+        F.floor(F.col("xi").cast("double") * 1_000_000).cast("bigint").alias("qi"),
+    )
+    pairs = ex.select(
+        "i", "qi", F.posexplode("embedding").alias("j", "xj")
+    ).select(
+        "i",
+        "qi",
+        "j",
+        F.floor(F.col("xj").cast("double") * 1_000_000).cast("bigint").alias("qj"),
+    )
+    mom = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("qi") * F.col("qj")).alias("s"), F.count("*").alias("n")
+    )
+    means = ex.groupBy("i").agg(
+        (F.sum("qi").cast("double") / F.count("*") / F.lit(1e6)).alias("mean")
+    )
+    mi = F.broadcast(means.select(F.col("i"), F.col("mean").alias("mi")))
+    mj = F.broadcast(means.select(F.col("i").alias("j"), F.col("mean").alias("mj")))
+    return (
+        mom.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("s").cast("double") / F.lit(1e12) / F.col("n")
+                    - F.col("mi") * F.col("mj"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+
+ORACLES["embedding_covariance"] = """
+WITH ex AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qi,
+         embedding
+  FROM embeddings
+),
+pr AS (
+  SELECT i, qi,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qj
+  FROM ex
+),
+mom AS (
+  SELECT i, j, CAST(sum(qi * qj) AS BIGINT) AS s, count(*) AS n
+  FROM pr GROUP BY i, j
+),
+mean AS (
+  SELECT i, CAST(sum(qi) AS DOUBLE) / count(*) / 1000000 AS m
+  FROM ex GROUP BY i
+)
+SELECT mom.i, mom.j,
+  round(CAST(mom.s AS DOUBLE) / 1e12 / mom.n - a.m * b.m, 6) + 0.0 AS cov
+FROM mom JOIN mean a ON a.i = mom.i JOIN mean b ON b.i = mom.j
+"""
+
+
 # MRL × cushion: the fourth index family behind the candidate-
 # restricted refinement, composing the engine's two bandwidth axes —
 # the prefix pre-rank reads d'/D of the coordinates, the cushioned

@@ -101,6 +101,7 @@ def _suite():
         "corpus_dsir_weights",
         "bpe_merges",
         "bpe_token_counts",
+        "embedding_covariance",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

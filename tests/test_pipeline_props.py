@@ -274,3 +274,24 @@ class TestBpeMerges:
             n_chars = sum(len(w) for w in words)
             assert r.n_words == len(words)
             assert r.n_words <= r.n_bpe_tokens <= n_chars + r.n_words
+
+
+def test_embedding_covariance_symmetric_psd_diagonal(spark, sf_small):
+    """Covariance must be symmetric with strictly positive diagonal
+    (real data, no constant coordinate); off-diagonals bounded by the
+    Cauchy-Schwarz product of the diagonals."""
+    import math
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry import (
+        q_embedding_covariance,
+    )
+
+    c = {(r.i, r.j): r.cov for r in q_embedding_covariance(spark, sf_small).collect()}
+    d = max(i for (i, _j) in c) + 1
+    assert len(c) == d * d
+    for i in range(d):
+        assert c[(i, i)] > 0
+        for j in range(i + 1, d):
+            assert c[(i, j)] == c[(j, i)]
+            # rounding to 1e-6 can push a tight product over by an ulp
+            assert abs(c[(i, j)]) <= math.sqrt(c[(i, i)] * c[(j, j)]) + 2e-6
