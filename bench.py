@@ -282,8 +282,11 @@ def main() -> None:
     }
     line = json.dumps(compact, separators=(",", ":"))
     # hard guard on the driver's ~2.3 KB capture window, degrading
-    # gracefully: shrink the headline to the BASELINE-core scalars
-    # first, then drop it, then halve the timing map — never truncate.
+    # gracefully. The quality headline is the BASELINE.md evidence —
+    # it outranks per-query timings (which live in full in reports/),
+    # so the order is: shrink the headline to the core scalars, then
+    # halve the timing map (keeping the slowest — the ones a reader
+    # asks about), and drop the headline only as a last resort.
     _HL_CORE = (
         "refine_l2_tz_tuned_metrics",
         "refine_cos_hoeff_tuned_metrics",
@@ -300,14 +303,17 @@ def main() -> None:
         compact["hl"] = {k: hl_compact[k] for k in _HL_CORE if k in hl_compact}
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > _BUDGET:
-        compact.pop("hl", None)
-        line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > _BUDGET and len(compact["queries"]) > 8:
+        # keep the LONGEST slowest-first prefix of timings that fits
+        # (the fast tail is the least informative; the full map is in
+        # reports/bench_full_latest.json)
         slowest = sorted(timings, key=timings.get, reverse=True)
-        compact["queries"] = {
-            k: round(timings[k], 2)
-            for k in slowest[: len(compact["queries"]) // 2]
-        }
+        for n in range(len(slowest), 7, -1):
+            compact["queries"] = {k: round(timings[k], 2) for k in slowest[:n]}
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= _BUDGET:
+                break
+    if len(line) > _BUDGET:
+        compact.pop("hl", None)
         line = json.dumps(compact, separators=(",", ":"))
     # stop the JVM first: its async stdout forwarding must not emit
     # anything after the line the driver parses
