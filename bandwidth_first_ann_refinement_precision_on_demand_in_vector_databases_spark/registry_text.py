@@ -703,9 +703,10 @@ DSIR_TARGET_LANG = "en"     #: target distribution = the English slice
 _DSIR_SCALE = 1_000_000     #: ln() micro-unit quantization (bm25 rule)
 
 
-def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document importance weight log(p_target/p_raw) under
-    add-one-smoothed hashed unigram+bigram feature models.
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, __s): per-document feature count and total
+    log-likelihood-ratio in BIGINT micro-units — the shared core of
+    the weights query and the Gumbel-top-k selector.
 
     Plan shape: one pass builds the exploded (doc, feature-bucket)
     frame; the two feature models are wordcount-shape aggregates over
@@ -758,27 +759,77 @@ def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_feats"), F.sum("lw_micro").alias("__s"))
     )
-    return (
-        tokd.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
-            F.round(
-                F.coalesce(
-                    F.col("__s").cast("double")
-                    / F.col("n_feats")
-                    / F.lit(float(_DSIR_SCALE)),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("dsir_weight"),
-        )
+    return tokd.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce("__s", F.lit(0).cast("long")).alias("__s"),
     )
 
 
-SQL_CORPUS_DSIR_WEIGHTS = f"""
-WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance weight log(p_target/p_raw): the scored
+    frame's micro-unit total, length-normalized per feature (see
+    :func:`_dsir_scored` for the plan shape and the ln discipline)."""
+    return _dsir_scored(spark, sf_dir).select(
+        "doc_id",
+        "n_feats",
+        F.round(
+            F.when(
+                F.col("n_feats") > 0,
+                F.col("__s").cast("double")
+                / F.col("n_feats")
+                / F.lit(float(_DSIR_SCALE)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dsir_weight"),
+    )
+
+
+#: Gumbel-top-k selection (the paper's resampling mechanism, made
+#: deterministic): key = total log-weight + Gumbel noise, noise drawn
+#: from the salted rolling hash instead of an RNG. Fraction kept:
+DSIR_KEEP_FRAC = 0.4
+_DSIR_GUMBEL_SALT = "dsir-gumbel:"
+
+
+def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sel_rank, doc_id, key_micro, w_micro): the documents DSIR
+    actually keeps — Gumbel-top-k over exp(weight), i.e. top
+    ⌊frac·N⌋ by (w + g) where g = −ln(−ln u) and u is the salted
+    rolling-hash draw (RNG-free, like every sampler here). Both ln's
+    floor-quantize to micro-units at birth, so the key is an exact
+    BIGINT on both engines. The global rank is a single window over
+    N rows — at scale this is a TakeOrdered of ⌊frac·N⌋ keys, not a
+    full sort."""
+    scored = _dsir_scored(spark, sf_dir)
+    h = (
+        T.poly_hash(
+            F.concat(F.lit(_DSIR_GUMBEL_SALT), F.col("doc_id").cast("string"))
+        )
+        % 1_000_000
+    )
+    u = (h * 2 + 1).cast("double") / F.lit(2_000_000.0)
+    ln1 = F.floor(F.log(u) * _DSIR_SCALE).cast("bigint")
+    inner = (-ln1).cast("double") / F.lit(float(_DSIR_SCALE))
+    g_micro = -F.floor(F.log(inner) * _DSIR_SCALE).cast("bigint")
+    keyed = scored.select(
+        "doc_id",
+        F.col("__s").alias("w_micro"),
+        (F.col("__s") + g_micro).alias("key_micro"),
+    )
+    total = keyed.agg(F.count("*").alias("n_total"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("sel_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("sel_rank") <= F.floor(F.lit(DSIR_KEEP_FRAC) * F.col("n_total")))
+        .select("sel_rank", "doc_id", "key_micro", "w_micro")
+    )
+
+
+_SQL_DSIR_CTES = f"""t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
 grams AS (
   SELECT doc_id, lang, unnest(
     list_concat(toks,
@@ -811,7 +862,10 @@ scored AS (
   SELECT feat.doc_id, count(*) AS n_feats,
          CAST(sum(m.lw_micro) AS BIGINT) AS s
   FROM feat JOIN model m ON m.f = feat.f GROUP BY feat.doc_id
-)
+)"""
+
+SQL_CORPUS_DSIR_WEIGHTS = f"""
+WITH {_SQL_DSIR_CTES}
 SELECT t.doc_id,
   coalesce(s.n_feats, 0) AS n_feats,
   round(coalesce(CAST(s.s AS DOUBLE) / s.n_feats / {_DSIR_SCALE}.0, 0.0), 6)
@@ -819,8 +873,43 @@ SELECT t.doc_id,
 FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
 """
 
+_SQL_GUMBEL_DRAW = (
+    _sql_poly_hash(f"'{_DSIR_GUMBEL_SALT}' || CAST(doc_id AS VARCHAR)")
+    + " % 1000000"
+)
+
+SQL_CORPUS_DSIR_SELECT = f"""
+WITH {_SQL_DSIR_CTES},
+base AS (
+  SELECT t.doc_id, coalesce(CAST(s.s AS BIGINT), 0) AS w_micro
+  FROM t LEFT JOIN scored s ON s.doc_id = t.doc_id
+),
+keyed AS (
+  SELECT doc_id, w_micro,
+    w_micro + (
+      - CAST(floor(ln(
+          CAST(- CAST(floor(ln(
+            CAST(({_SQL_GUMBEL_DRAW}) * 2 + 1 AS DOUBLE) / 2000000.0
+          ) * {_DSIR_SCALE}) AS BIGINT) AS DOUBLE) / {_DSIR_SCALE}.0
+        ) * {_DSIR_SCALE}) AS BIGINT)
+    ) AS key_micro
+  FROM base
+),
+sel AS (
+  SELECT doc_id, w_micro, key_micro,
+    CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS INT)
+      AS sel_rank,
+    count(*) OVER () AS n_total
+  FROM keyed
+)
+SELECT sel_rank, doc_id, key_micro, w_micro FROM sel
+WHERE sel_rank <= floor({DSIR_KEEP_FRAC} * n_total)
+"""
+
 TEXT_QUERIES["corpus_dsir_weights"] = q_corpus_dsir_weights
+TEXT_QUERIES["corpus_dsir_select"] = q_corpus_dsir_select
 TEXT_ORACLES["corpus_dsir_weights"] = SQL_CORPUS_DSIR_WEIGHTS
+TEXT_ORACLES["corpus_dsir_select"] = SQL_CORPUS_DSIR_SELECT
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,7 @@ def _suite():
         "ann_maxsim_rerank",
         "ann_maxsim_recall",
         "corpus_dsir_weights",
+        "corpus_dsir_select",
         "bpe_merges",
         "bpe_token_counts",
         "embedding_covariance",

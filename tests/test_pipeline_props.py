@@ -295,3 +295,24 @@ def test_embedding_covariance_symmetric_psd_diagonal(spark, sf_small):
             assert c[(i, j)] == c[(j, i)]
             # rounding to 1e-6 can push a tight product over by an ulp
             assert abs(c[(i, j)]) <= math.sqrt(c[(i, i)] * c[(j, j)]) + 2e-6
+
+
+class TestDsirSelect:
+    def test_selection_size_and_enrichment(self, spark, sf_small):
+        """Exactly ⌊frac·N⌋ documents survive, ranks are 1..k, and the
+        Gumbel-perturbed selection is still weight-enriched: the mean
+        log-weight of the kept set must exceed the corpus mean."""
+        from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_text import (
+            DSIR_KEEP_FRAC,
+            _dsir_scored,
+            q_corpus_dsir_select,
+        )
+
+        sel = q_corpus_dsir_select(spark, sf_small).collect()
+        scored = _dsir_scored(spark, sf_small).collect()
+        n = len(scored)
+        assert len(sel) == int(DSIR_KEEP_FRAC * n)
+        assert sorted(r.sel_rank for r in sel) == list(range(1, len(sel) + 1))
+        kept_mean = sum(r.w_micro for r in sel) / len(sel)
+        all_mean = sum(r["__s"] for r in scored) / n
+        assert kept_mean > all_mean
