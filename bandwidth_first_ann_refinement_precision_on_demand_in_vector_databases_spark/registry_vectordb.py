@@ -836,20 +836,30 @@ from .operators import mrl as MRL  # noqa: E402
 #: the D=64 fixture; the operator derives it from the data.
 _MRL_D = MRL.mrl_dims(_DIM)
 
+#: tuned operating point from the swept frontier
+#: (reports/sweep_mrl_frontier.csv): d'=32, R=5 → recall@20 0.651 at
+#: sf0.1 vs 0.30 at the (16, 3) default — the best honest point on
+#: the isotropic fixture, at 0.45 bytes saving.
+MRL_D_TUNED, MRL_R_TUNED = 32, 5
 
-def _sql_mrl_cos(a: str, b: str) -> str:
+
+def _sql_mrl_cos(a: str, b: str, d: int = _MRL_D) -> str:
     """Prefix cosine: _sql_cos over list_slice(·, 1, d') both sides."""
-    return _sql_cos(f"list_slice({a}, 1, {_MRL_D})", f"list_slice({b}, 1, {_MRL_D})")
+    return _sql_cos(f"list_slice({a}, 1, {d})", f"list_slice({b}, 1, {d})")
 
 
-_SQL_MRL_CAND = f"""
+def _sql_mrl_cand(d: int = _MRL_D) -> str:
+    return f"""
 q AS ({SQL_Q_CTE}),
 mrl_cand AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         {_sql_mrl_cos("q.qe", "e.embedding")} AS score
+         {_sql_mrl_cos("q.qe", "e.embedding", d)} AS score
   FROM q CROSS JOIN embeddings e
 )
 """
+
+
+_SQL_MRL_CAND = _sql_mrl_cand()
 
 
 def q_ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,12 +965,66 @@ per_q AS (
 SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 """
 
+def q_ann_mrl_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K at the swept (d', R) optimum — the registered tuned
+    point of the dimension-truncation frontier, mirroring the
+    refine-family `*_tuned_metrics` convention."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = MRL.mrl_refined_topk(
+        queries, corpus, ANN_K, r=MRL_R_TUNED, d_keep=MRL_D_TUNED
+    )
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_MRL_RECALL_TUNED = f"""
+WITH {_sql_mrl_cand(MRL_D_TUNED)},
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM mrl_cand
+  ) WHERE r <= {MRL_R_TUNED * ANN_K}
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS rank
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
 VECTORDB_QUERIES["ann_mrl_topk"] = q_ann_mrl_topk
 VECTORDB_QUERIES["ann_mrl_refined_topk"] = q_ann_mrl_refined_topk
 VECTORDB_QUERIES["ann_mrl_recall"] = q_ann_mrl_recall
+VECTORDB_QUERIES["ann_mrl_recall_tuned"] = q_ann_mrl_recall_tuned
 VECTORDB_ORACLES["ann_mrl_topk"] = SQL_ANN_MRL_TOPK
 VECTORDB_ORACLES["ann_mrl_refined_topk"] = SQL_ANN_MRL_REFINED_TOPK
 VECTORDB_ORACLES["ann_mrl_recall"] = SQL_ANN_MRL_RECALL
+VECTORDB_ORACLES["ann_mrl_recall_tuned"] = SQL_ANN_MRL_RECALL_TUNED
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,7 @@ def _suite():
         "corpus_mixture",
         "ann_mrl_refined_topk",
         "ann_mrl_recall",
+        "ann_mrl_recall_tuned",
         "ann_mrl_cushion_topk",
         "ann_mrl_cushion_metrics",
         "ann_delta_topk",
@@ -255,6 +256,7 @@ def main() -> None:
         "ann_bq_recall",
         "ann_graph_recall",
         "ann_mrl_recall",
+        "ann_mrl_recall_tuned",
         "ann_lsh_cushion_tuned_metrics",
         "combined_saving_l2_tz",
         "combined_saving_l2_tz_paper_formula",
@@ -297,7 +299,7 @@ def main() -> None:
         "ann_sq_recall",
         "ann_graph_recall",
         "ann_pq_recall",
-        "ann_mrl_recall",
+        "ann_mrl_recall_tuned",
     )
     _BUDGET = 2250
     if len(line) > _BUDGET:
