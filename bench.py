@@ -184,8 +184,7 @@ def main() -> None:
         # BASELINE.md targets (saving / recall / FPR, compression
         # ratio) land in the bench record next to the timings
         if (
-            name.endswith("_metrics")
-            or name.endswith("_recall")
+            name.endswith(("_metrics", "_recall", "_tuned"))
             or name.startswith("compression_model")
         ):
             rows = df.collect()
