@@ -664,69 +664,52 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r05 rotation. Policy unchanged: (1) queries whose semantics or
-    # oracle CHANGED this round lead — they need a fresh driver row;
-    # (2) the oldest-checked queries follow (the 26 still sitting on
-    # r02 rows — round 3 and 4 both owed this rotation); (3) the
-    # remaining slots go to the oldest r03 rows, preferring families
-    # whose code the r05 de-fixturing touched (LSH planes / PQ subdim
-    # / IVF dim threading).
-    # -- changed in r05 --
-    "bm25_topn",                      # r04's one red row: oracle dtype fixed
-    "refine_cos_hoeff_tuned_metrics", # new: swept Hoeffding frontier
-    "ann_graph_index_topk",           # new: stored-index serve path
-    "ann_graph_topk",                 # new operating point (deg 16/4 rounds)
-    "ann_graph_recall",
-    "ann_graph_cushion_topk",
-    "ann_graph_cushion_metrics",
-    "bq_codes",                       # new: 1-bit sign quantization family
-    "ann_bq_topk",
-    "ann_bq_refined_topk",
-    "ann_bq_recall",
-    "doc_packing",                    # new: concat-and-chunk packing
-    "dedup_chunks",                   # new: paragraph-level dedup
-    "refine_l2_tz_served_topk",       # new: stored-layout serve path
-    "ann_pq_index_topk",              # new: stored PQ index serve path
-    "ann_ivf_index_topk",             # new: partition-pruned IVF serve path
-    "ivf_ingest_assign",              # new: stateless streaming-ingest assignment
-    # -- stale since r02 (26) --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "simhash_sketch",
-    "dedup_simhash",
-    "lang_id",
-    "fingerprint",
-    "rollup_lineitem",
-    "cube_orders",
-    "count_distinct",
-    "region_revenue",
-    "top_orders",
-    "semi_join",
-    "anti_join",
-    "asof_join",
-    "range_join",
-    "window_running",
-    "window_rank",
-    "set_ops",
-    "scalar_text",
-    "scalar_datetime",
-    "scalar_json",
-    "salted_agg",
-    "value_quantiles",
-    "approx_count_distinct",
-    # -- new in the r05 second session (displacing the r03-era tail:
-    # those seven queries have green r03 rows and de-fixture coverage
-    # in tests/test_dim_generic.py; brand-new queries need their first
-    # driver row more) --
-    "ann_mrl_topk",          # Matryoshka prefix pre-rank
-    "ann_mrl_refined_topk",
-    "ann_mrl_recall",
-    "ann_delta_topk",        # upsert/delete merge-on-read
-    "ivf_delta_compact",     # compaction stats under frozen quantizer
-    "ann_maxsim_rerank",     # ColBERT-style late interaction
-    "corpus_dsir_weights",   # DSIR importance weighting
+    # r06 rotation. Policy unchanged: (1) queries with NO driver row yet
+    # (the 8 r05-late registrations — locally oracle-green but
+    # self-reported until the driver hashes them); (2) queries whose
+    # semantics or plan CHANGED this round (corpus_dsir_select's
+    # quantile-threshold rewrite, the MaxSim adaptive pool); (3) the
+    # oldest green rows — the r03-era refine_*/topk_* families (the §2
+    # heart, three rounds stale by r06).
+    # -- never driver-checked (r05-late) --
+    "ann_maxsim_recall",       # pool-sufficiency measurement (+ r06 adaptive pool)
+    "ann_mrl_cushion_topk",    # MRL × cushion composition
+    "ann_mrl_cushion_metrics",
+    "ann_mrl_recall_tuned",    # tuned Matryoshka operating point
+    "bpe_merges",              # BPE merge training
+    "bpe_token_counts",        # BPE apply + token counting
+    "corpus_dsir_select",      # CHANGED r06: quantile-threshold plan
+    "embedding_covariance",    # d² map-side partial covariance
+    # -- r03-era rows, three rounds stale (§2 core refinement path) --
+    "refine_cos_hoeff_topk",
+    "refine_cos_l1_topk",
+    "refine_cos_l2_topk",
+    "refine_l2_sym_topk",
+    "refine_l2_tz_topk",
+    "refine_l2_hoeff_topk",
+    "topk_cosine_exact",
+    "topk_l2_exact",
+    # -- r03-era metrics twins (same staleness) --
+    "refine_cos_hoeff_metrics",
+    "refine_cos_l1_metrics",
+    "refine_cos_l2_metrics",
+    "refine_l2_sym_metrics",
+    "refine_l2_tz_metrics",
+    "refine_l2_hoeff_metrics",
+    "refine_l2_tz_tuned_metrics",
+    "refine_cos_l1_tuned_metrics",
+    "refine_l2_tz_ekeep_metrics",
+    "refine_l2_tz_compressed_metrics",
+    "rownorm_unit",
+    # -- r03-era ANN ladder rows not refreshed since --
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_sq_topk",
+    "ann_sq_recall",
+    "ann_pq_topk",
+    "ann_pq_recall",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

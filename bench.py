@@ -300,7 +300,10 @@ def main() -> None:
         "ann_pq_recall",
         "ann_mrl_recall_tuned",
     )
-    _BUDGET = 2250
+    # the driver's capture window is exactly 2000 bytes (measured:
+    # len(tail) in BENCH_r04.json and BENCH_r05.json is 2000 in both);
+    # 1800 leaves margin for the trailing newline / stray JVM bytes.
+    _BUDGET = 1800
     if len(line) > _BUDGET:
         compact["hl"] = {k: hl_compact[k] for k in _HL_CORE if k in hl_compact}
         line = json.dumps(compact, separators=(",", ":"))
