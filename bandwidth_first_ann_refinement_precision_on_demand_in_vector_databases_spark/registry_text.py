@@ -792,15 +792,32 @@ DSIR_KEEP_FRAC = 0.4
 _DSIR_GUMBEL_SALT = "dsir-gumbel:"
 
 
+#: number of range buckets the parallel exact-rank decomposes into —
+#: sized to the shuffle parallelism, NOT to N (each bucket holds ~N/B
+#: rows, ranked independently).
+DSIR_RANK_BUCKETS = 32
+
+
 def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sel_rank, doc_id, key_micro, w_micro): the documents DSIR
     actually keeps — Gumbel-top-k over exp(weight), i.e. top
     ⌊frac·N⌋ by (w + g) where g = −ln(−ln u) and u is the salted
     rolling-hash draw (RNG-free, like every sampler here). Both ln's
     floor-quantize to micro-units at birth, so the key is an exact
-    BIGINT on both engines. The global rank is a single window over
-    N rows — at scale this is a TakeOrdered of ⌊frac·N⌋ keys, not a
-    full sort."""
+    BIGINT on both engines.
+
+    The global rank is computed WITHOUT a single-partition window
+    (the r05 plan's one scale-killer): ``approx_percentile`` split
+    points on ``key_micro`` define range buckets that are strictly
+    monotone in the sort key (bucket(k) = #splits > k, so bucket a <
+    bucket b ⟹ every key in a > every key in b — exact cross-bucket
+    order regardless of percentile error, which only skews bucket
+    SIZES). Ranks are then per-bucket ``row_number`` windows (parallel
+    across buckets), stitched into the exact global rank by a
+    broadcast B-row offset frame (B=``DSIR_RANK_BUCKETS``, built with
+    a B×B broadcast triangular sum — no SinglePartition exchange
+    anywhere in the plan). Keeps exactly ⌊frac·N⌋ rows, identical to
+    the DuckDB full-window twin."""
     scored = _dsir_scored(spark, sf_dir)
     h = (
         T.poly_hash(
@@ -816,14 +833,43 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("__s").alias("w_micro"),
         (F.col("__s") + g_micro).alias("key_micro"),
+    ).persist()  # three consumers: stats agg, bucket counts, final rank
+    # one pass computes both the keep budget and the bucket split
+    # points (a tiny 2-column aggregate, broadcast back map-side)
+    pcts = [i / DSIR_RANK_BUCKETS for i in range(1, DSIR_RANK_BUCKETS)]
+    stats = keyed.agg(
+        F.count("*").alias("n_total"),
+        F.percentile_approx("key_micro", pcts, 10_000).alias("splits"),
     )
-    total = keyed.agg(F.count("*").alias("n_total"))
+    bucketed = keyed.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.size(F.filter("splits", lambda s: s > F.col("key_micro"))),
+    )
+    # exact per-bucket offsets: B rows, broadcast triangular sum —
+    # offset(b) = Σ count(b') over b' < b
+    bc = bucketed.groupBy("bucket").agg(F.count("*").alias("bcnt"))
+    offsets = (
+        bc.alias("a")
+        .crossJoin(F.broadcast(bc.alias("b")))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.bucket") < F.col("a.bucket"), F.col("b.bcnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("boffset")
+        )
+    )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("key_micro").desc(), F.col("doc_id").asc()
+    )
     return (
-        keyed.withColumn("sel_rank", F.row_number().over(w))
-        .crossJoin(F.broadcast(total))
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "sel_rank", (F.col("boffset") + F.row_number().over(w)).cast("int")
+        )
         .where(F.col("sel_rank") <= F.floor(F.lit(DSIR_KEEP_FRAC) * F.col("n_total")))
         .select("sel_rank", "doc_id", "key_micro", "w_micro")
     )
