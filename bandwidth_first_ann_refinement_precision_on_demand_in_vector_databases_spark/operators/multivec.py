@@ -38,10 +38,31 @@ from .topk import topk_per_query
 
 #: sub-vectors per bag (slices of the stored single vector).
 MV_M = 4
-#: stage-1 single-vector candidate pool per query.
-MAXSIM_POOL = 50
+#: stage-1 pool floor — the r04/r05 absolute constant, kept as the
+#: minimum so tiny fixtures still pool meaningfully.
+MAXSIM_POOL_MIN = 50
+#: stage-1 pool as a fraction of the corpus: pool = ⌈N/DEN⌉ (exact
+#: integer ceil-division so the DuckDB twin reproduces it bit-for-bit).
+#: Swept at sf0.1 (reports/sweep_maxsim_pool.csv, n=2000): sufficiency
+#: is near-LINEAR in the pool fraction on the isotropic fixture
+#: (whole-vector cosine is only weakly predictive of the 4-slice
+#: MaxSim order for random unit vectors — frac 0.025→0.4 gives recall
+#: 0.2475→0.6575), so a fixed-recall target prescribes a fixed
+#: FRACTION here, not the r05 absolute pool whose sufficiency decayed
+#: 0.46→0.2475 from sf0.01→sf0.1. Operating point DEN=5 (20% of N):
+#: recall 0.51 at sf0.1 — doubled from the fixed-50 0.2475. On real
+#: (clustered) embeddings stage 1 is far more predictive and the
+#: needed fraction falls with N; the fraction is the honest upper
+#: bound the isotropic fixture demands.
+MAXSIM_POOL_DEN = 5
 #: re-ranked results kept per query.
 MAXSIM_K = 10
+
+
+def maxsim_pool_size(n: int) -> int:
+    """Stage-1 candidate-pool size for a corpus of ``n`` vectors:
+    max(MAXSIM_POOL_MIN, ⌈n / MAXSIM_POOL_DEN⌉), integer-exact."""
+    return max(MAXSIM_POOL_MIN, -(-int(n) // MAXSIM_POOL_DEN))
 
 
 def maxsim_expr(qcol: str, dcol: str, dim: int, m: int = MV_M) -> Column:

@@ -1128,19 +1128,28 @@ def _sql_maxsim(qe: str, de: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: DuckDB twin of ``multivec.maxsim_pool_size`` — integer-exact
+#: greatest(MIN, ⌈N/DEN⌉) as a scalar subquery.
+_SQL_MAXSIM_POOL = (
+    f"(SELECT greatest({MV.MAXSIM_POOL_MIN},"
+    f" (count(*) + {MV.MAXSIM_POOL_DEN - 1}) // {MV.MAXSIM_POOL_DEN})"
+    " FROM embeddings)"
+)
+
+
 def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage late interaction: the exact single-vector top-POOL
     proposes candidates (the memoized ground-truth frame other recall
     queries share); MaxSim over the M=4 derived sub-vector bags
-    re-ranks only the pool."""
-    pool = exact_topk_fixture_cached(
-        spark, sf_dir, MV.MAXSIM_POOL, "cosine"
-    ).select("query_id", "neighbor_id")
-    out = MV.maxsim_rerank(
-        queries_view(spark, sf_dir),
-        load_table(spark, sf_dir, "embeddings"),
-        pool,
+    re-ranks only the pool. The pool is sized relative to the corpus
+    (``multivec.maxsim_pool_size`` — the r05 fixed-50 pool's measured
+    sufficiency decayed with N; reports/sweep_maxsim_pool.csv)."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    pool_k = MV.maxsim_pool_size(corpus.count())
+    pool = exact_topk_fixture_cached(spark, sf_dir, pool_k, "cosine").select(
+        "query_id", "neighbor_id"
     )
+    out = MV.maxsim_rerank(queries_view(spark, sf_dir), corpus, pool)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
     )
@@ -1154,7 +1163,7 @@ pool AS (
       row_number() OVER (PARTITION BY q.query_id
         ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS r
     FROM q CROSS JOIN embeddings e
-  ) WHERE r <= {MV.MAXSIM_POOL}
+  ) WHERE r <= {_SQL_MAXSIM_POOL}
 ),
 ms AS (
   SELECT p.query_id, p.neighbor_id,
@@ -1175,12 +1184,16 @@ def q_ann_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pool-sufficiency of the two-stage MaxSim: Recall@K of the
     pooled re-rank against EXHAUSTIVE MaxSim over the corpus — the
     number that says whether the single-vector candidate pool misses
-    documents the late-interaction scorer would have surfaced."""
+    documents the late-interaction scorer would have surfaced. Pool
+    sized by ``multivec.maxsim_pool_size`` (⌈N/5⌉, min 50): 0.51 at
+    sf0.1 vs the fixed-50 pool's 0.2475 (reports/sweep_maxsim_pool.csv
+    — near-linear in pool fraction on the isotropic fixture)."""
     queries = queries_view(spark, sf_dir)
     corpus = load_table(spark, sf_dir, "embeddings")
-    pool = exact_topk_fixture_cached(
-        spark, sf_dir, MV.MAXSIM_POOL, "cosine"
-    ).select("query_id", "neighbor_id")
+    pool_k = MV.maxsim_pool_size(corpus.count())
+    pool = exact_topk_fixture_cached(spark, sf_dir, pool_k, "cosine").select(
+        "query_id", "neighbor_id"
+    )
     ann = MV.maxsim_rerank(queries, corpus, pool)
     exact = MV.maxsim_topk_exhaustive(queries, corpus, MV.MAXSIM_K)
     return ann_recall(ann, exact, MV.MAXSIM_K)
@@ -1194,7 +1207,7 @@ pool AS (
       row_number() OVER (PARTITION BY q.query_id
         ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS r
     FROM q CROSS JOIN embeddings e
-  ) WHERE r <= {MV.MAXSIM_POOL}
+  ) WHERE r <= {_SQL_MAXSIM_POOL}
 ),
 allms AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -174,6 +174,22 @@ def main() -> None:
     spark.range(0, 64, numPartitions=64).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # heap discipline (r05 verdict #8): the single local JVM accretes
+    # every memoized artifact across the suite; instead of a blind
+    # clear between families (which would force ground-truth rebuilds
+    # and skew timings), watch the driver heap after every query and
+    # release the memo caches only when usage crosses the threshold.
+    # Peak heap + release count land in reports/bench_full_latest.json.
+    _rt = spark._jvm.java.lang.Runtime.getRuntime()
+    _heap_max_mb = _rt.maxMemory() / 1e6
+
+    def _heap_used_mb() -> float:
+        return (_rt.totalMemory() - _rt.freeMemory()) / 1e6
+
+    _HEAP_RELEASE_FRAC = 0.70
+    peak_heap_mb = 0.0
+    n_cache_releases = 0
+
     timings: dict[str, float] = {}
     headline: dict[str, dict] = {}
     suite = _suite()
@@ -196,6 +212,16 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        used = _heap_used_mb()
+        peak_heap_mb = max(peak_heap_mb, used)
+        if used > _HEAP_RELEASE_FRAC * _heap_max_mb:
+            from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.session import (
+                clear_caches,
+            )
+
+            clear_caches(spark)
+            _rt.gc()
+            n_cache_releases += 1
     total = round(sum(timings.values()), 3)
     # paper §4.3 combined saving: measured compressed bytes/vec feed
     # the byte accounting as red_bytes_override (ANNCode.py:831-833) —
@@ -226,6 +252,9 @@ def main() -> None:
         "queries": timings,
         "headline": headline,
         "sf": float(sf),
+        "peak_heap_mb": round(peak_heap_mb, 1),
+        "heap_max_mb": round(_heap_max_mb, 1),
+        "n_cache_releases": n_cache_releases,
     }
     # full record to disk — the driver's stdout tail-capture window is
     # ~2.3 KB, and r04's single line (~5 KB) overflowed it, leaving
