@@ -285,6 +285,7 @@ def main() -> None:
         "ann_graph_recall",
         "ann_mrl_recall",
         "ann_mrl_recall_tuned",
+        "ann_maxsim_recall",
         "ann_lsh_cushion_tuned_metrics",
         "combined_saving_l2_tz",
         "combined_saving_l2_tz_paper_formula",
@@ -328,6 +329,7 @@ def main() -> None:
         "ann_graph_recall",
         "ann_pq_recall",
         "ann_mrl_recall_tuned",
+        "ann_maxsim_recall",
     )
     # the driver's capture window is exactly 2000 bytes (measured:
     # len(tail) in BENCH_r04.json and BENCH_r05.json is 2000 in both);
