@@ -181,3 +181,35 @@ def predicted_lang(text: Column | str) -> Column:
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(scores[lang] == mx, F.lit(lang)).otherwise(pred)
     return F.when(mx > 0, pred).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (curation-stage redaction). The patterns are the
+# Java-regex ∩ RE2 common subset, so Spark (java.util.regex) and the
+# DuckDB oracle (RE2) match byte-identically; kept deliberately simple
+# — production scrubbers layer many more patterns on the same
+# map-side regexp_replace shape.
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+#: replacement order matters: emails first (their local parts contain
+#: digits an IP pattern could graze), then IPs, then phones — the
+#: redaction markers themselves contain no digits so later passes
+#: cannot re-match earlier replacements.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Apply every ``PII_RULES`` pattern in order — one map-side
+    codegen'd regexp_replace chain, no shuffle, no Python."""
+    out = _c(text)
+    for pat, marker in PII_RULES:
+        out = F.regexp_replace(out, pat, marker)
+    return out

@@ -680,6 +680,7 @@ _FRONT = [
     "bpe_token_counts",        # BPE apply + token counting
     "corpus_dsir_select",      # CHANGED r06: quantile-threshold plan
     "embedding_covariance",    # d² map-side partial covariance
+    "pii_redact",              # NEW r06: curation-stage PII scrubbing
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

@@ -1201,3 +1201,101 @@ SQL_BPE_TOKEN_COUNTS = _sql_bpe_token_counts()
 
 TEXT_QUERIES["bpe_token_counts"] = q_bpe_token_counts
 TEXT_ORACLES["bpe_token_counts"] = SQL_BPE_TOKEN_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (curation-stage scrubbing). The fixture text is
+# synthetic word-salad with no PII, so the query first APPENDS
+# deterministic PII-shaped tokens derived from doc_id (identical
+# derivation on both engines — the same idiom as the embedding-derived
+# query sets) and then exercises the real scrubbing machinery
+# (``functions.text.PII_RULES``) on the augmented column: per-pattern
+# match counts + the md5 of the redacted text. Plan: one map-side
+# projection, regexes inside whole-stage codegen — no shuffle, scales
+# as a pure scan at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _pii_aug_col() -> "F.Column":
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact doc"), did.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" tel 555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+    )
+    ip1 = F.concat(
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+    ip2 = F.concat(
+        F.lit(" via 192.168."), ((did * 3) % 256).cast("string"), F.lit(".1")
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 > 0, email).otherwise(F.lit("")),
+        F.when(did % 2 == 0, phone).otherwise(F.lit("")),
+        ip1,
+        F.when(did % 5 == 0, ip2).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, red_md5, n_chars_red):
+    per-document PII match counts on the augmented text and the md5 +
+    length of the fully redacted output (the value a downstream
+    pipeline would store). Counts are measured on the pre-redaction
+    text; redaction applies ``PII_RULES`` in declared order."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _pii_aug_col().alias("aug"))
+    red = T.pii_redact(F.col("aug"))
+    return t.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(T.PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("aug", F.lit(T.PII_IPV4_RE)).cast("int").alias("n_ips"),
+        F.regexp_count("aug", F.lit(T.PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(red).alias("red_md5"),
+        F.length(red).cast("int").alias("n_chars_red"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 3 > 0 THEN ' contact doc' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' via 192.168.'"
+        " || CAST((doc_id * 3) % 256 AS VARCHAR) || '.1' ELSE '' END"
+    )
+    red = "aug"
+    for pat, marker in T.PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{marker}', 'g')"
+    counts = {
+        "n_emails": T.PII_EMAIL_RE,
+        "n_ips": T.PII_IPV4_RE,
+        "n_phones": T.PII_PHONE_RE,
+    }
+    count_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(aug, '{pat}')) AS INT) AS {name}"
+        for name, pat in counts.items()
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id,
+  {count_cols},
+  md5({red}) AS red_md5,
+  CAST(length({red}) AS INT) AS n_chars_red
+FROM aug
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+TEXT_QUERIES["pii_redact"] = q_pii_redact
+TEXT_ORACLES["pii_redact"] = SQL_PII_REDACT

@@ -104,6 +104,7 @@ def _suite():
         "bpe_merges",
         "bpe_token_counts",
         "embedding_covariance",
+        "pii_redact",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

@@ -316,3 +316,27 @@ class TestDsirSelect:
         kept_mean = sum(r.w_micro for r in sel) / len(sel)
         all_mean = sum(r["__s"] for r in scored) / n
         assert kept_mean > all_mean
+
+
+def test_pii_redaction_rules_and_order(spark):
+    """Redaction invariants on crafted literals: every pattern class is
+    caught, markers are not re-matched by later rules, and untouched
+    text passes through byte-identical."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.text import (
+        pii_redact,
+    )
+
+    rows = [
+        ("write a.b-c_9@sub.example.org now", "write <EMAIL> now"),
+        ("host 192.168.0.1 and 10.0.0.255 up", "host <IP> and <IP> up"),
+        ("call 555-0199 today", "call <PHONE> today"),
+        # an email whose local part contains digits must redact as ONE
+        # email — not leave fragments an IP/phone pass could graze
+        ("mix d123@ex.io at 1.2.3.4 tel 555-0000", "mix <EMAIL> at <IP> tel <PHONE>"),
+        ("no pii here at all", "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["raw", "want"]).select(
+        "want", pii_redact(F.col("raw")).alias("got")
+    )
+    for r in df.collect():
+        assert r.got == r.want, f"{r.got!r} != {r.want!r}"
