@@ -681,6 +681,8 @@ _FRONT = [
     "corpus_dsir_select",      # CHANGED r06: quantile-threshold plan
     "embedding_covariance",    # d² map-side partial covariance
     "pii_redact",              # NEW r06: curation-stage PII scrubbing
+    "embedding_pca_top",       # NEW r06: power-iteration PCA component
+    "embedding_pca_project",   # NEW r06: map-side PCA projection
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",
@@ -1179,6 +1181,136 @@ mean AS (
 SELECT mom.i, mom.j,
   round(CAST(mom.s AS DOUBLE) / 1e12 / mom.n - a.m * b.m, 6) + 0.0 AS cov
 FROM mom JOIN mean a ON a.i = mom.i JOIN mean b ON b.i = mom.j
+"""
+
+
+# PCA top component (operators/pca.py): the R-round power iterate of
+# the micro-quantized covariance, plus the map-side projection every
+# vector takes along it — whitening/OPQ preprocessing and
+# embedding-drift monitoring as registered, oracle-replayable
+# operators. The DuckDB twin unrolls the rounds (the k-means / beam /
+# BPE replay idiom); every cross-row sum is BIGINT, the only float
+# reductions are pos-ordered list folds.
+
+
+def q_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pca import PCA_ROUNDS, covariance_micro, power_iteration
+    from .operators.simsearch import embedding_dim
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cov = covariance_micro(corpus)
+    return power_iteration(cov, embedding_dim(corpus), PCA_ROUNDS)
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pca import PCA_ROUNDS, covariance_micro, pca_project, power_iteration
+    from .operators.simsearch import embedding_dim
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    comp = power_iteration(covariance_micro(corpus), embedding_dim(corpus), PCA_ROUNDS)
+    return pca_project(corpus, comp)
+
+
+QUERIES["embedding_pca_top"] = q_embedding_pca_top
+QUERIES["embedding_pca_project"] = q_embedding_pca_project
+
+
+def _sql_pca_ctes() -> str:
+    """The covariance-micro + unrolled power-iteration CTE chain
+    shared by both PCA oracles; ends at v{R} (pos, v) and wfin."""
+    from .operators.pca import PCA_ROUNDS, PCA_SCALE
+    from .sources.fixtures import FIXTURE_EMBED_DIM as _D
+
+    import math as _math
+
+    v0 = _math.floor(PCA_SCALE / _math.sqrt(_D))
+    ctes = [
+        f"""ex AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PCA_SCALE}) AS BIGINT) AS qi,
+         embedding
+  FROM embeddings
+),
+pr AS (
+  SELECT i, qi,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PCA_SCALE}) AS BIGINT) AS qj
+  FROM ex
+),
+mom AS (
+  SELECT i, j, CAST(sum(qi * qj) AS BIGINT) AS s, count(*) AS n
+  FROM pr GROUP BY i, j
+),
+mean AS (
+  SELECT i, CAST(sum(qi) AS DOUBLE) / count(*) / {PCA_SCALE} AS m
+  FROM ex GROUP BY i
+),
+cov AS MATERIALIZED (
+  SELECT mom.i, mom.j,
+    CAST(floor((CAST(mom.s AS DOUBLE) / 1e12 / mom.n - a.m * b.m) * {PCA_SCALE})
+      AS BIGINT) AS c
+  FROM mom JOIN mean a ON a.i = mom.i JOIN mean b ON b.i = mom.j
+),
+v0 AS (SELECT CAST(range AS INT) AS pos, CAST({v0} AS BIGINT) AS v
+       FROM range(0, {_D}))"""
+    ]
+    for t in range(1, PCA_ROUNDS + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT cov.i AS pos, CAST(sum(cov.c * v{t - 1}.v) AS BIGINT) AS w
+  FROM cov JOIN v{t - 1} ON v{t - 1}.pos = cov.j GROUP BY cov.i
+),
+n{t} AS (
+  SELECT sqrt(greatest(list_sum(list_transform(
+    list(CAST(w AS DOUBLE) ORDER BY pos), x -> x * x)), 1e-24)) AS nrm
+  FROM w{t}
+),
+v{t} AS (
+  SELECT pos, CAST(floor(CAST(w AS DOUBLE) / (SELECT nrm FROM n{t})
+    * {PCA_SCALE}) AS BIGINT) AS v
+  FROM w{t}
+)"""
+        )
+    r = PCA_ROUNDS
+    ctes.append(
+        f"""wfin AS (
+  SELECT cov.i AS pos, CAST(sum(cov.c * v{r}.v) AS BIGINT) AS w
+  FROM cov JOIN v{r} ON v{r}.pos = cov.j GROUP BY cov.i
+),
+lam AS (
+  SELECT CAST(floor(sqrt(greatest(list_sum(list_transform(
+    list(CAST(w AS DOUBLE) ORDER BY pos), x -> x * x)), 1e-24))
+    / {PCA_SCALE}) AS BIGINT) AS lam
+  FROM wfin
+)"""
+    )
+    return ",\n".join(ctes), r
+
+
+_PCA_CTES, _PCA_R = _sql_pca_ctes()
+
+ORACLES["embedding_pca_top"] = f"""
+WITH {_PCA_CTES}
+SELECT pos, v, (SELECT lam FROM lam) AS lam FROM v{_PCA_R}
+"""
+
+ORACLES["embedding_pca_project"] = f"""
+WITH {_PCA_CTES},
+exq AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+mq AS (
+  SELECT pos, CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM exq GROUP BY pos
+)
+SELECT e.vec_id,
+  round(CAST(CAST(sum((e.q - mq.m) * vv.v) AS BIGINT) AS DOUBLE) / 1e12, 6) + 0.0
+    AS comp
+FROM exq e JOIN mq ON mq.pos = e.pos JOIN v{_PCA_R} vv ON vv.pos = e.pos
+GROUP BY e.vec_id
 """
 
 

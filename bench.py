@@ -105,6 +105,8 @@ def _suite():
         "bpe_token_counts",
         "embedding_covariance",
         "pii_redact",
+        "embedding_pca_top",
+        "embedding_pca_project",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
