@@ -174,3 +174,67 @@ def salted_agg_sum_count(
             "n_rows",
         )
     )
+
+
+def parallel_global_rank(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    rank_name: str = "rnk",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact dense global rank by (``key_col`` DESC, ``tiebreak_col``
+    ASC) with NO single-partition window — the scale-safe replacement
+    for ``row_number() OVER (ORDER BY ...)`` (which funnels every row
+    through one task; the r05 ``corpus_dsir_select`` defect).
+
+    Decomposition: ``percentile_approx`` split points on ``key_col``
+    define range buckets ``bucket(k) = #splits > k``. Monotonicity
+    argument making the rank EXACT despite approximate percentiles:
+    if bucket(a) < bucket(b) there is a split s with s > key_b and
+    s ≤ key_a, hence key_a > key_b strictly — so cross-bucket order
+    is total and correct regardless of percentile error, which only
+    skews bucket SIZES. Within a bucket, a ``row_number`` window
+    partitioned BY bucket ranks in parallel; a B-row broadcast offset
+    frame (B×B triangular sum, no SinglePartition exchange anywhere)
+    stitches the exact global rank.
+
+    Output: the input columns + ``bucket`` dropped, ``rank_name``
+    (INT, 1-based) added. Requires (key, tiebreak) to totally order
+    the rows (ties across both columns get nondeterministic ranks,
+    same as the window form).
+    """
+    pcts = [i / n_buckets for i in range(1, n_buckets)]
+    if pcts:
+        stats = df.agg(
+            F.percentile_approx(key_col, pcts, 10_000).alias("__splits")
+        )
+        bucketed = df.crossJoin(F.broadcast(stats)).withColumn(
+            "__bucket",
+            F.size(F.filter("__splits", lambda s: s > F.col(key_col))),
+        ).drop("__splits")
+    else:  # n_buckets=1 degenerates to one bucket (the plain window)
+        bucketed = df.withColumn("__bucket", F.lit(0))
+    bc = bucketed.groupBy("__bucket").agg(F.count("*").alias("__bcnt"))
+    offsets = (
+        bc.alias("a")
+        .crossJoin(F.broadcast(bc.alias("b")))
+        .groupBy(F.col("a.__bucket").alias("__bucket"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.__bucket") < F.col("a.__bucket"), F.col("b.__bcnt")
+                ).otherwise(F.lit(0))
+            ).alias("__boffset")
+        )
+    )
+    w = Window.partitionBy("__bucket").orderBy(
+        F.col(key_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            rank_name, (F.col("__boffset") + F.row_number().over(w)).cast("int")
+        )
+        .drop("__bucket", "__boffset")
+    )

@@ -833,43 +833,15 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("__s").alias("w_micro"),
         (F.col("__s") + g_micro).alias("key_micro"),
-    ).persist()  # three consumers: stats agg, bucket counts, final rank
-    # one pass computes both the keep budget and the bucket split
-    # points (a tiny 2-column aggregate, broadcast back map-side)
-    pcts = [i / DSIR_RANK_BUCKETS for i in range(1, DSIR_RANK_BUCKETS)]
-    stats = keyed.agg(
-        F.count("*").alias("n_total"),
-        F.percentile_approx("key_micro", pcts, 10_000).alias("splits"),
-    )
-    bucketed = keyed.crossJoin(F.broadcast(stats)).withColumn(
-        "bucket",
-        F.size(F.filter("splits", lambda s: s > F.col("key_micro"))),
-    )
-    # exact per-bucket offsets: B rows, broadcast triangular sum —
-    # offset(b) = Σ count(b') over b' < b
-    bc = bucketed.groupBy("bucket").agg(F.count("*").alias("bcnt"))
-    offsets = (
-        bc.alias("a")
-        .crossJoin(F.broadcast(bc.alias("b")))
-        .groupBy(F.col("a.bucket").alias("bucket"))
-        .agg(
-            F.sum(
-                F.when(F.col("b.bucket") < F.col("a.bucket"), F.col("b.bcnt")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("boffset")
-        )
-    )
-    from pyspark.sql.window import Window
+    ).persist()  # three consumers: total agg, bucket counts, final rank
+    from .operators.relational import parallel_global_rank
 
-    w = Window.partitionBy("bucket").orderBy(
-        F.col("key_micro").desc(), F.col("doc_id").asc()
+    total = keyed.agg(F.count("*").alias("n_total"))
+    ranked = parallel_global_rank(
+        keyed, "key_micro", "doc_id", "sel_rank", DSIR_RANK_BUCKETS
     )
     return (
-        bucketed.join(F.broadcast(offsets), "bucket")
-        .withColumn(
-            "sel_rank", (F.col("boffset") + F.row_number().over(w)).cast("int")
-        )
+        ranked.crossJoin(F.broadcast(total))
         .where(F.col("sel_rank") <= F.floor(F.lit(DSIR_KEEP_FRAC) * F.col("n_total")))
         .select("sel_rank", "doc_id", "key_micro", "w_micro")
     )

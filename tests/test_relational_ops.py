@@ -86,3 +86,34 @@ def test_refine_replica_collected_guards_oversized_corpus(spark):
         refine_replica_collected(
             queries, corpus, "cos-l1", 5, keep_m=6, max_corpus_rows=10
         )
+
+
+def test_parallel_global_rank_equals_window_rank(spark):
+    """The bucket-decomposed exact rank (operators/relational.
+    parallel_global_rank) must equal the single-partition window form
+    on adversarial keys: duplicates, negatives, a heavy mode (every
+    row in one percentile bucket), and bucket counts that don't divide
+    the row count."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.relational import (
+        parallel_global_rank,
+    )
+
+    rng = random.Random(1234)
+    rows = [(i, rng.choice([rng.randint(-50, 50), 7, 7, 7])) for i in range(997)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    for buckets in (1, 4, 32):
+        got = {
+            r.id: r.rnk
+            for r in parallel_global_rank(df, "key", "id", "rnk", buckets).collect()
+        }
+        w = Window.orderBy(F.col("key").desc(), F.col("id").asc())
+        want = {
+            r.id: r.rnk
+            for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+        }
+        assert got == want, f"buckets={buckets}: mismatch"
