@@ -683,6 +683,7 @@ _FRONT = [
     "pii_redact",              # NEW r06: curation-stage PII scrubbing
     "embedding_pca_top",       # NEW r06: power-iteration PCA component
     "embedding_pca_project",   # NEW r06: map-side PCA projection
+    "global_rank_events",      # NEW r06: parallel exact global rank
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

@@ -588,6 +588,35 @@ FROM events GROUP BY user_id
 """
 
 
+
+def q_global_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL rank of every event by (value DESC, event_id) —
+    the classic OLAP "rank the whole table" ask, planned WITHOUT the
+    single-partition window `row_number() OVER (ORDER BY ...)` compiles
+    to: `operators/relational.parallel_global_rank` decomposes into
+    percentile-split range buckets ranked in parallel and stitched by a
+    broadcast offset frame (exactness argument in the operator
+    docstring; property-tested against the window form over ties and
+    degenerate bucket counts). The DuckDB twin IS the plain window —
+    the oracle check proves the decomposition exact on real data."""
+    from .operators.relational import parallel_global_rank
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return parallel_global_rank(ev, "value", "event_id", "grnk").select(
+        "grnk",
+        "event_id",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
+SQL_GLOBAL_RANK_EVENTS = """
+SELECT CAST(row_number() OVER (ORDER BY value DESC NULLS LAST, event_id) AS INT)
+         AS grnk,
+       event_id, round(value, 6) + 0.0 AS value
+FROM events
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "rollup_lineitem": q_rollup_lineitem,
@@ -611,6 +640,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_orders": q_grouping_sets_orders,
     "window_range_frame": q_window_range_frame,
     "pivot_events": q_pivot_events,
+    "global_rank_events": q_global_rank_events,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -636,4 +666,5 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
     "window_range_frame": SQL_WINDOW_RANGE_FRAME,
     "pivot_events": SQL_PIVOT_EVENTS,
+    "global_rank_events": SQL_GLOBAL_RANK_EVENTS,
 }

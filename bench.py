@@ -107,6 +107,7 @@ def _suite():
         "pii_redact",
         "embedding_pca_top",
         "embedding_pca_project",
+        "global_rank_events",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
