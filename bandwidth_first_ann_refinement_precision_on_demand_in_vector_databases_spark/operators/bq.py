@@ -146,3 +146,67 @@ def bq_refined_topk(
         .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
     )
     return topk_per_query(exact, k, ascending=False, salted=False)
+
+
+def ivfbq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    r: int = BQ_REFINE_R,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF × binary quantization (cosine end-to-end) — the memory-lean
+    sibling of ``pq.ivfpq_topk`` and the composition binary-vector
+    indexes actually serve: coarse cells prune the scan, 1-bit
+    signatures price the candidates, full precision refines.
+
+    1. probe the ``IVF_NPROBE`` nearest cells per query (broadcast
+       quantizer);
+    2. Hamming-score ONLY vectors in probed cells from the signature
+       table (at scale: a partition-pruned scan of D/8-byte words —
+       integer xor/popcount in codegen, no training artifact at all);
+    3. exact cosine re-rank of the top r·K Hamming candidates (late
+       materialization).
+
+    Bytes touched per query: nprobe/n_cells of the D/8-byte signature
+    table + r·K full vectors — the cheapest serve path on the ladder.
+    """
+    from .simsearch import IVF_NPROBE, ivf_assign, ivf_centroids, ivf_probes
+
+    if dim is None:
+        from .simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
+    cents = ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents).select("vec_id", "cell")
+    probed = ivf_probes(queries, cents, IVF_NPROBE).select("query_id", "cell")
+    cw = bq_encode(corpus, "embedding", "vec_id", dim=dim).select(
+        F.col("id").alias("vec_id"), F.col("words").alias("cwords")
+    )
+    qw = F.broadcast(
+        bq_encode(queries, "embedding", "query_id", dim=dim).select(
+            F.col("id").alias("query_id"), F.col("words").alias("qwords")
+        )
+    )
+    ham = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .join(cw, "vec_id")
+        .join(qw, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _hamming("qwords", "cwords").alias("score"),
+        )
+    )
+    cand_ids = topk_per_query(ham, r * k, ascending=True, salted=False).select(
+        "query_id", "neighbor_id"
+    )
+    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    exact = (
+        cand_ids.join(full, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
+    )
+    return topk_per_query(exact, k, ascending=False, salted=False)

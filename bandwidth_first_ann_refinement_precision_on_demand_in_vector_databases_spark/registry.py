@@ -684,6 +684,8 @@ _FRONT = [
     "embedding_pca_top",       # NEW r06: power-iteration PCA component
     "embedding_pca_project",   # NEW r06: map-side PCA projection
     "global_rank_events",      # NEW r06: parallel exact global rank
+    "ann_ivfbq_topk",          # NEW r06: IVF x 1-bit composition
+    "ann_ivfbq_recall",
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

@@ -814,14 +814,110 @@ per_q AS (
 SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 """
 
+def q_ann_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × 1-bit composition (operators/bq.ivfbq_topk): cell pruning
+    × Hamming pricing on D/8-byte signatures × exact cosine
+    refinement — the memory-lean sibling of ``ann_ivfpq_topk`` that
+    needs NO trained codebook."""
+    out = BQ.ivfbq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_ivfbq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = BQ.ivfbq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+from .registry_simsearch import SQL_IVF_BODY as _SQL_IVF_BODY  # noqa: E402
+
+_SQL_IVFBQ_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{_SQL_IVF_BODY},
+{_sql_bq_words("q", "query_id", "qe", "bq_qw")},
+{_sql_bq_words("embeddings", "vec_id", "embedding", "bq_cw")},
+ivfbq_ham AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(sum(bit_count(xor(qw.wcode, cw.wcode))) AS INT) AS hscore
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN bq_cw cw ON cw.id = a.vec_id
+  JOIN bq_qw qw ON qw.id = p.query_id AND qw.w = cw.w
+  GROUP BY p.query_id, a.vec_id
+),
+ivfbq_ids AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY hscore ASC, neighbor_id) AS r
+    FROM ivfbq_ham
+  ) WHERE r <= {BQ.BQ_REFINE_R * ANN_K}
+),
+ivfbq_cand AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_cos("q.qe", "e.embedding")} AS score
+  FROM ivfbq_ids c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)
+"""
+
+SQL_ANN_IVFBQ_TOPK = f"""
+WITH {_SQL_IVFBQ_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM ivfbq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_IVFBQ_RECALL = f"""
+WITH {_SQL_IVFBQ_CTES},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rank
+    FROM ivfbq_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
 VECTORDB_QUERIES["bq_codes"] = q_bq_codes
 VECTORDB_QUERIES["ann_bq_topk"] = q_ann_bq_topk
 VECTORDB_QUERIES["ann_bq_refined_topk"] = q_ann_bq_refined_topk
 VECTORDB_QUERIES["ann_bq_recall"] = q_ann_bq_recall
+VECTORDB_QUERIES["ann_ivfbq_topk"] = q_ann_ivfbq_topk
+VECTORDB_QUERIES["ann_ivfbq_recall"] = q_ann_ivfbq_recall
 VECTORDB_ORACLES["bq_codes"] = SQL_BQ_CODES
 VECTORDB_ORACLES["ann_bq_topk"] = SQL_ANN_BQ_TOPK
 VECTORDB_ORACLES["ann_bq_refined_topk"] = SQL_ANN_BQ_REFINED_TOPK
 VECTORDB_ORACLES["ann_bq_recall"] = SQL_ANN_BQ_RECALL
+VECTORDB_ORACLES["ann_ivfbq_topk"] = SQL_ANN_IVFBQ_TOPK
+VECTORDB_ORACLES["ann_ivfbq_recall"] = SQL_ANN_IVFBQ_RECALL
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,8 @@ def _suite():
         "embedding_pca_top",
         "embedding_pca_project",
         "global_rank_events",
+        "ann_ivfbq_topk",
+        "ann_ivfbq_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
@@ -286,6 +288,7 @@ def main() -> None:
         "ann_ivfpq_recall",
         "ann_sq_recall",
         "ann_bq_recall",
+        "ann_ivfbq_recall",
         "ann_graph_recall",
         "ann_mrl_recall",
         "ann_mrl_recall_tuned",
