@@ -211,6 +211,30 @@ def load_ivecs(
     return ranked.orderBy("__h").limit(max_rows).drop("__h")
 
 
+def _decode_bvecs(data: bytes) -> np.ndarray:
+    """``.bvecs`` decode — the uint8 sibling of ``.fvecs`` and the
+    format the billion-scale ANN benchmarks (bigann/SIFT1B) ship
+    their corpora in: records ``[int32 dim][dim×uint8]``. Values are
+    widened to float32 (the engine's value space; the 0..255 codes
+    are exactly representable)."""
+    if len(data) < 4:
+        raise ValueError("bad bvecs")
+    dim = int(np.frombuffer(data, dtype=np.int32, count=1)[0])
+    rec = 4 + dim
+    if dim <= 0 or len(data) % rec != 0:
+        raise ValueError("size mismatch")
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, rec)
+    dims = raw[:, :4].copy().view(np.int32).ravel()
+    if not (dims == dim).all():
+        raise ValueError("bad bvecs (ragged dim)")
+    return np.ascontiguousarray(raw[:, 4:]).astype(np.float32)
+
+
+def load_bvecs(spark: SparkSession, path: str, max_rows: int | None = DEFAULT_MAX_ROWS) -> DataFrame:
+    """S3 sibling: FAISS/bigann ``.bvecs`` (uint8 vectors)."""
+    return _binary_records_df(spark, path, _decode_bvecs, max_rows)
+
+
 def _decode_int_header(data: bytes) -> np.ndarray:
     """S4 fallback: ``[int32 L][int32 D]`` header binary (``ANNCode.py:150-158``)."""
     rows, dim = np.frombuffer(data, dtype=np.int32, count=2)
@@ -227,6 +251,8 @@ def load_matrix(spark: SparkSession, path: str, max_rows: int | None = DEFAULT_M
         return load_fvecs(spark, path, max_rows)
     if lowered.endswith(".ivecs"):
         return load_ivecs(spark, path, max_rows)
+    if lowered.endswith(".bvecs"):
+        return load_bvecs(spark, path, max_rows)
     if lowered.endswith(".parquet"):
         return _subsample(spark.read.parquet(path), max_rows)
     try:

@@ -143,3 +143,27 @@ def test_ann_recall_from_ivecs_groundtruth(spark, tmp_path):
     row = ann_recall_from_groundtruth(ann, gt_df, k=2).collect()[0]
     assert row.n_queries == 2
     assert abs(row.recall_at_k - 0.75) < 1e-9
+
+
+def test_load_bvecs(spark, tmp_path):
+    """bigann/SIFT1B uint8 records round-trip, widened to float32."""
+    import struct
+
+    import numpy as np
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+        load_bvecs,
+        load_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.integers(0, 256, size=(9, 12), dtype=np.uint8)
+    path = tmp_path / "toy.bvecs"
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", mat.shape[1]))
+            f.write(row.tobytes())
+    got = _collect(load_bvecs(spark, str(path), max_rows=None))
+    np.testing.assert_array_equal(got, mat.astype(np.float32))
+    via_dispatch = _collect(load_matrix(spark, str(path), max_rows=None))
+    np.testing.assert_array_equal(via_dispatch, mat.astype(np.float32))
