@@ -686,6 +686,7 @@ _FRONT = [
     "global_rank_events",      # NEW r06: parallel exact global rank
     "ann_ivfbq_topk",          # NEW r06: IVF x 1-bit composition
     "ann_ivfbq_recall",
+    "corpus_token_budget",     # NEW r06: quality-gated token accounting
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

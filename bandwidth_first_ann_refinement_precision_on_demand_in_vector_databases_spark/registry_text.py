@@ -1271,3 +1271,69 @@ SQL_PII_REDACT = _sql_pii_redact()
 
 TEXT_QUERIES["pii_redact"] = q_pii_redact
 TEXT_ORACLES["pii_redact"] = SQL_PII_REDACT
+
+
+# ---------------------------------------------------------------------------
+# Token-budget report: tokens surviving the quality gates, by source —
+# the capacity-planning aggregate a training-data pipeline computes
+# before every mixing decision ("how many keep-grade tokens does each
+# source actually contribute?"). One groupBy over per-doc scalars +
+# a broadcast total; the share division is BIGINT/BIGINT → double,
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bucket, n_docs, n_tokens, token_share): document and
+    whitespace-token counts per (source × quality bucket), with each
+    cell's share of the whole corpus's tokens. Buckets are
+    ``text_quality``'s keep/borderline/drop thresholds."""
+    d = load_table(spark, sf_dir, "documents")
+    score = T.quality_score(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.when(score >= 0.8, "keep")
+        .when(score >= 0.5, "borderline")
+        .otherwise("drop")
+        .alias("bucket"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("ntoks"),
+    )
+    per = per_doc.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("ntoks").alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        (
+            F.round(F.col("n_tokens").cast("double") / F.col("__tot"), 6)
+            + F.lit(0.0)
+        ).alias("token_share"),
+    )
+
+
+SQL_CORPUS_TOKEN_BUDGET = f"""
+WITH t AS (SELECT source, text, {SQL_TOKS} AS toks FROM documents),
+pd AS (
+  SELECT source,
+    CASE WHEN {_SQL_QUALITY} >= 0.8 THEN 'keep'
+         WHEN {_SQL_QUALITY} >= 0.5 THEN 'borderline'
+         ELSE 'drop' END AS bucket,
+    CAST(len(toks) AS BIGINT) AS ntoks
+  FROM t
+),
+per AS (
+  SELECT source, bucket, count(*) AS n_docs,
+         CAST(sum(ntoks) AS BIGINT) AS n_tokens
+  FROM pd GROUP BY source, bucket
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+SELECT source, bucket, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tt, 6) + 0.0 AS token_share
+FROM per CROSS JOIN tot
+"""
+
+TEXT_QUERIES["corpus_token_budget"] = q_corpus_token_budget
+TEXT_ORACLES["corpus_token_budget"] = SQL_CORPUS_TOKEN_BUDGET

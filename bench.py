@@ -110,6 +110,7 @@ def _suite():
         "global_rank_events",
         "ann_ivfbq_topk",
         "ann_ivfbq_recall",
+        "corpus_token_budget",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
