@@ -601,3 +601,42 @@ def assign_cells_stateless(
     return df.select(
         F.col(id_col).alias("id"), F.expr(assign).alias("cell")
     )
+
+
+def graph_delta_edges(
+    delta: DataFrame,
+    corpus: DataFrame,
+    edges: DataFrame,
+    graph_k: int = GRAPH_DEGREE,
+    beam: int = BEAM_WIDTH,
+    rounds: int = BEAM_ROUNDS,
+    entry_stride: int = BEAM_ENTRY_STRIDE,
+) -> DataFrame:
+    """Incremental graph-index maintenance (the NSW/HNSW insert,
+    Malkov & Yashunin 2016 §4 — public method): each incoming vector
+    beam-searches the EXISTING graph for its ``graph_k`` nearest
+    resident nodes and links to them symmetrically. The index never
+    rebuilds — the walk is the same ``beam_candidates`` serve-path
+    core, so insertion cost per vector equals one query, and the
+    emitted ``(src, dst)`` rows simply append to the stored edge
+    table (``sources/layout.write_graph_index`` shape).
+
+    Self-links are excluded: an upsert reuses its id, and the new
+    edges must point at OTHER residents, not the node's own stale
+    version."""
+    q = delta.select(F.col("vec_id").alias("query_id"), "embedding")
+    cand = beam_candidates(q, corpus, edges, beam, rounds, entry_stride)
+    cand = cand.where(F.col("vec_id") != F.col("query_id"))
+    nn = topk_per_query(
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), "score"),
+        graph_k,
+        ascending=False,
+        salted=False,
+    ).select("query_id", "neighbor_id")
+    fwd = nn.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    bwd = nn.select(
+        F.col("neighbor_id").alias("src"), F.col("query_id").alias("dst")
+    )
+    return fwd.unionByName(bwd).distinct()

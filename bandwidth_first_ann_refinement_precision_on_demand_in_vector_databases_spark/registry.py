@@ -687,6 +687,7 @@ _FRONT = [
     "ann_ivfbq_topk",          # NEW r06: IVF x 1-bit composition
     "ann_ivfbq_recall",
     "corpus_token_budget",     # NEW r06: quality-gated token accounting
+    "ann_graph_delta_edges",   # NEW r06: incremental graph-index insert
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

@@ -663,15 +663,17 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_graph_beam_ctes() -> tuple[str, str]:
+def _sql_graph_beam_ctes(q_cte: str = SQL_Q_CTE) -> tuple[str, str]:
     """CTE chain replaying ``graph_beam_search``; returns
     ``(ctes, final_candidate_cte)`` where the final CTE has columns
     (query_id, neighbor_id, score). Heavy CTEs are MATERIALIZED —
     the round chain references them once per level and DuckDB's
     default inlining re-evaluates exponentially otherwise (same
-    lesson as the semantic-dedup oracle)."""
+    lesson as the semantic-dedup oracle). ``q_cte`` parameterizes the
+    walker set — the fixture queries by default, the incoming upsert
+    batch for the delta-insert oracle."""
     parts = [
-        f"q AS ({SQL_Q_CTE})",
+        f"q AS ({q_cte})",
         f"cb AS ({_sql_bands('embeddings', 'vec_id', 'embedding')})",
         f"""gscored AS (
   SELECT node_id, neighbor_id, {_sql_cos("qvec", "cvec")} AS score FROM (
@@ -760,6 +762,50 @@ SIMSEARCH_QUERIES["ann_graph_topk"] = q_ann_graph_topk
 SIMSEARCH_QUERIES["ann_graph_recall"] = q_ann_graph_recall
 SIMSEARCH_ORACLES["ann_graph_topk"] = SQL_ANN_GRAPH_TOPK
 SIMSEARCH_ORACLES["ann_graph_recall"] = SQL_ANN_GRAPH_RECALL
+
+
+def q_ann_graph_delta_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): incremental graph-index maintenance — the mutation
+    fixture's upsert batch (vec_id % 11 = 5, REVERSED embeddings: new
+    content under existing ids) beam-searches the existing graph and
+    links symmetrically to its ``GRAPH_BEAM_K`` nearest residents
+    (``operators/simsearch.graph_delta_edges``). The index never
+    rebuilds; insert cost per vector = one query walk. The oracle
+    replays the same walk with the upsert batch as the ``q`` CTE."""
+    from .operators.mutate import fixture_mutation
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    upserts, _ = fixture_mutation(corpus)
+    edges = S.symmetric_knn_edges(corpus, GRAPH_BEAM_K)
+    return S.graph_delta_edges(upserts, corpus, edges, graph_k=GRAPH_BEAM_K)
+
+
+_DELTA_Q_CTE = (
+    "SELECT vec_id AS query_id, list_reverse(embedding) AS qe "
+    "FROM embeddings WHERE vec_id % 11 = 5"
+)
+_DELTA_BEAM_CTES, _DELTA_BEAM_FINAL = _sql_graph_beam_ctes(_DELTA_Q_CTE)
+
+SQL_ANN_GRAPH_DELTA_EDGES = f"""
+WITH {_DELTA_BEAM_CTES},
+nn AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM {_DELTA_BEAM_FINAL}
+    WHERE neighbor_id != query_id
+  ) WHERE r <= {GRAPH_BEAM_K}
+)
+SELECT DISTINCT src, dst FROM (
+  SELECT query_id AS src, neighbor_id AS dst FROM nn
+  UNION ALL
+  SELECT neighbor_id AS src, query_id AS dst FROM nn
+)
+"""
+
+SIMSEARCH_QUERIES["ann_graph_delta_edges"] = q_ann_graph_delta_edges
+SIMSEARCH_ORACLES["ann_graph_delta_edges"] = SQL_ANN_GRAPH_DELTA_EDGES
 
 
 def q_ann_graph_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,6 +111,7 @@ def _suite():
         "ann_ivfbq_topk",
         "ann_ivfbq_recall",
         "corpus_token_budget",
+        "ann_graph_delta_edges",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
