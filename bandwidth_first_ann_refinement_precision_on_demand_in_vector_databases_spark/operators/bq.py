@@ -135,17 +135,12 @@ def bq_refined_topk(
     only they — fetch full precision for the exact cosine re-rank
     (late materialization; reference phase-2 shape). Bytes touched:
     N·D/8 signature bytes + r·K full vectors per query."""
+    from .topk import exact_cosine_rerank
+
     cand_ids = bq_topk(queries, corpus, r * k, dim=dim).select(
         "query_id", "neighbor_id"
     )
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        cand_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=False, salted=False)
+    return exact_cosine_rerank(cand_ids, corpus, queries, k)
 
 
 def ivfbq_topk(
@@ -199,14 +194,9 @@ def ivfbq_topk(
             _hamming("qwords", "cwords").alias("score"),
         )
     )
+    from .topk import exact_cosine_rerank
+
     cand_ids = topk_per_query(ham, r * k, ascending=True, salted=False).select(
         "query_id", "neighbor_id"
     )
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        cand_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=False, salted=False)
+    return exact_cosine_rerank(cand_ids, corpus, queries, k)

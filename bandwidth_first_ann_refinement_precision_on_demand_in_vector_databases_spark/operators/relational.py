@@ -202,16 +202,27 @@ def parallel_global_rank(
     Output: the input columns + ``bucket`` dropped, ``rank_name``
     (INT, 1-based) added. Requires (key, tiebreak) to totally order
     the rows (ties across both columns get nondeterministic ranks,
-    same as the window form).
+    same as the window form). NULL keys rank LAST (the window form's
+    ``DESC NULLS LAST``): they are routed to the lowest bucket
+    explicitly — the split comparisons would otherwise evaluate NULL
+    and silently drop them into bucket 0, the top of the order.
     """
     pcts = [i / n_buckets for i in range(1, n_buckets)]
     if pcts:
+        # the 1-row split frame is pinned with an eager checkpoint:
+        # it feeds TWO plan branches (bucket counts and the final
+        # rank), and exactness requires both to see the identical
+        # split array — approx-percentile sketch merges are
+        # fetch-order sensitive, so two independent evaluations
+        # (exchange reuse off, an AQE replan) need not agree.
         stats = df.agg(
             F.percentile_approx(key_col, pcts, 10_000).alias("__splits")
-        )
+        ).localCheckpoint(eager=True)
         bucketed = df.crossJoin(F.broadcast(stats)).withColumn(
             "__bucket",
-            F.size(F.filter("__splits", lambda s: s > F.col(key_col))),
+            F.when(F.col(key_col).isNull(), F.lit(len(pcts))).otherwise(
+                F.size(F.filter("__splits", lambda s: s > F.col(key_col)))
+            ),
         ).drop("__splits")
     else:  # n_buckets=1 degenerates to one bucket (the plain window)
         bucketed = df.withColumn("__bucket", F.lit(0))

@@ -297,3 +297,24 @@ def exact_topk_fast(
         local_topk, schema="query_id bigint, neighbor_id bigint, score double"
     )
     return topk_per_query(candidates, k, ascending=ascending, salted=False)
+
+
+def exact_cosine_rerank(
+    cand_ids: DataFrame, corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """The shared phase-2 tail of every two-stage family (BQ, IVF-BQ,
+    PQ, SQ, MRL, MaxSim candidates): late-materialize full precision
+    for a per-query candidate id stream and return the exact cosine
+    top-K (descending, ties → neighbor_id). One contract, one place —
+    the tie-break / rounding / column conventions of the re-rank must
+    never diverge between families, because every family's DuckDB
+    twin replays exactly this block."""
+    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    exact = (
+        cand_ids.select("query_id", "neighbor_id")
+        .join(full, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
+    )
+    return topk_per_query(exact, k, ascending=False, salted=False)

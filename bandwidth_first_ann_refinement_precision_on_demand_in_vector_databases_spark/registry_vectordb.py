@@ -1233,6 +1233,20 @@ _SQL_MAXSIM_POOL = (
 )
 
 
+def _corpus_count_cached(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> int:
+    """Memoized corpus row count per (session, fixture dir) — both
+    MaxSim queries size their pool from it, and the scale-guard /
+    every-query sweeps build each plan several times per session; an
+    unmemoized count() would run a fresh Spark job on every plan
+    construction."""
+    from .session import session_cache
+
+    cache = session_cache(spark, "corpus_count")
+    if sf_dir not in cache:
+        cache[sf_dir] = corpus.count()
+    return cache[sf_dir]
+
+
 def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage late interaction: the exact single-vector top-POOL
     proposes candidates (the memoized ground-truth frame other recall
@@ -1241,7 +1255,7 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``multivec.maxsim_pool_size`` — the r05 fixed-50 pool's measured
     sufficiency decayed with N; reports/sweep_maxsim_pool.csv)."""
     corpus = load_table(spark, sf_dir, "embeddings")
-    pool_k = MV.maxsim_pool_size(corpus.count())
+    pool_k = MV.maxsim_pool_size(_corpus_count_cached(spark, sf_dir, corpus))
     pool = exact_topk_fixture_cached(spark, sf_dir, pool_k, "cosine").select(
         "query_id", "neighbor_id"
     )
@@ -1286,7 +1300,7 @@ def q_ann_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     — near-linear in pool fraction on the isotropic fixture)."""
     queries = queries_view(spark, sf_dir)
     corpus = load_table(spark, sf_dir, "embeddings")
-    pool_k = MV.maxsim_pool_size(corpus.count())
+    pool_k = MV.maxsim_pool_size(_corpus_count_cached(spark, sf_dir, corpus))
     pool = exact_topk_fixture_cached(spark, sf_dir, pool_k, "cosine").select(
         "query_id", "neighbor_id"
     )

@@ -104,7 +104,10 @@ def test_parallel_global_rank_equals_window_rank(spark):
     )
 
     rng = random.Random(1234)
-    rows = [(i, rng.choice([rng.randint(-50, 50), 7, 7, 7])) for i in range(997)]
+    rows = [
+        (i, rng.choice([rng.randint(-50, 50), 7, 7, 7, None]))
+        for i in range(997)
+    ]  # duplicates, a heavy mode, AND NULL keys (must rank last)
     df = spark.createDataFrame(rows, ["id", "key"])
     for buckets in (1, 4, 32):
         got = {

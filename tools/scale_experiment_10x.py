@@ -135,17 +135,26 @@ def main() -> None:
         plans[rep] = normalize_plan(
             res.topk._jdf.queryExecution().executedPlan().toString()
         )
-        # first execution warms codegen/readers and populates the
-        # persisted phase-1 frame; the reported serve time is the
-        # steady-state second run (same discipline as bench.py's
-        # session warm-up, but per-store here since each store is new)
+        # warm-up run (codegen, readers, shuffle buffers), then
+        # release its cached phase-1 frame and time a FRESH
+        # refine_topk: the timed run executes the registered plan
+        # semantics exactly — persist marker active, scored computed
+        # once and consumed twice from cache — with a cold cache.
+        # (Timing a second run of the SAME res would read scored from
+        # the warm cache and skip phase 1; unpersisting the same res
+        # before re-running would drop the persist MARKER and compute
+        # phase 1 twice in the timed plan. Both mismeasure.)
         res.topk.write.format("noop").mode("overwrite").save()
         res.scored.unpersist()
+        timed = refine_topk(
+            queries, corpus, MODE, K_DEFAULT, KEEP_M_DEFAULT, None,
+            prepared_corpus=prepared,
+        )
         t0 = time.perf_counter()
-        res.topk.write.format("noop").mode("overwrite").save()
+        timed.topk.write.format("noop").mode("overwrite").save()
         serve_s = round(time.perf_counter() - t0, 2)
-        n_rows = res.topk.count()
-        res.scored.unpersist()
+        n_rows = timed.topk.count()
+        timed.scored.unpersist()
 
         cb = column_bytes(store)
         phase1 = sum(cb.get(c, 0) for c in PHASE1_COLS)

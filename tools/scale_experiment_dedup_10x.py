@@ -45,6 +45,10 @@ REPS = [1, 10]
 
 
 def normalize_plan(plan: str) -> str:
+    """Expression/stat id normalization only — full plans still differ
+    across reps in their INPUT construction (the 10× side adds a
+    Union of per-replica scans + a RoundRobin spread below the
+    operator), so shape comparison uses :func:`spine`, not this."""
     s = re.sub(r"#\d+[L]?", "#x", plan)
     s = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_n", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
@@ -52,9 +56,23 @@ def normalize_plan(plan: str) -> str:
     s = re.sub(r"InMemoryFileIndex\[[^\]]*\]", "InMemoryFileIndex[x]", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", s)
     s = re.sub(r"rows=\d+", "rows=x", s)
-    # replication changes only the Union fan-in under the scan; fold
-    # consecutive identical branches so 1× and 10× compare by shape
     return s
+
+
+#: the operator's shuffle/aggregate SKELETON — what must be identical
+#: across reps (the input-prep Union/RoundRobin below it may differ)
+_SKEL = re.compile(
+    r"HashAggregate|Exchange hashpartitioning|SortMergeJoin"
+    r"|BroadcastHashJoin|BroadcastExchange|Generate|Window|\bSort\b"
+)
+
+
+def spine(p: str) -> str:
+    return "\n".join(
+        re.sub(r"^[\s:+\-]*", "", ln).split("[")[0].strip()
+        for ln in p.splitlines()
+        if _SKEL.search(ln)
+    )
 
 
 def main() -> None:
@@ -123,24 +141,6 @@ of scope by design.
         for name in stages:
             r1 = results[REPS[0]][name]
             r10 = results[REPS[-1]][name]
-            # the 10× input is a Union of per-replica projections over
-            # the same scan plus a RoundRobin spread — input-prep, not
-            # the operator. What must be identical is the operator's
-            # shuffle/aggregate SKELETON: the sequence of hash
-            # exchanges, aggregates, joins, broadcasts, generates,
-            # windows, and sorts above the scans.
-            _SKEL = re.compile(
-                r"HashAggregate|Exchange hashpartitioning|SortMergeJoin"
-                r"|BroadcastHashJoin|BroadcastExchange|Generate|Window|\bSort\b"
-            )
-
-            def spine(p: str) -> str:
-                return "\n".join(
-                    re.sub(r"^[\s:+\-]*", "", ln).split("[")[0].strip()
-                    for ln in p.splitlines()
-                    if _SKEL.search(ln)
-                )
-
             same = spine(plans[REPS[0]][name]) == spine(plans[REPS[-1]][name])
             fh.write(
                 f"| {name} | {r1} | {r10} | {round(r10 / r1, 2)}× |"
