@@ -107,14 +107,9 @@ def mrl_refined_topk(
     r·K candidates per query; they — and only they — fetch the full
     vector for the exact cosine re-rank (late materialization). Bytes
     touched: N·4·d' prefix bytes + r·K full vectors per query."""
+    from .topk import exact_cosine_rerank
+
     cand_ids = mrl_topk(queries, corpus, r * k, d_keep=d_keep).select(
         "query_id", "neighbor_id"
     )
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        cand_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=False, salted=False)
+    return exact_cosine_rerank(cand_ids, corpus, queries, k)
