@@ -143,6 +143,67 @@ def bq_refined_topk(
     return exact_cosine_rerank(cand_ids, corpus, queries, k)
 
 
+#: three-stage cascade pools. Stage 1 (1-bit Hamming over ALL N)
+#: admits R2·K candidates; stage 2 (int8 recon cosine over the
+#: shortlist) narrows to R1·K; stage 3 fetches full precision for the
+#: exact re-rank. R2 rides the measured BQ frontier (recall@20 0.654
+#: at R=8, 0.749 at R=12 → R2=10 sits near 0.70) while the expensive
+#: full-precision pool stays at the SQ/PQ convention R1=3.
+CASCADE_R1 = 3
+CASCADE_R2 = 10
+
+
+def cascade_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    r1: int = CASCADE_R1,
+    r2: int = CASCADE_R2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Three-stage precision-on-demand cascade — the reference's
+    bandwidth thesis (paper §3, phase loop ``ANNCode.py:354-363``)
+    composed across the WHOLE precision ladder instead of one rung:
+
+    1. **1 bit/coord** — Hamming pre-rank on the packed sign
+       signatures over all N (⌈D/8⌉ bytes/vector, integer
+       xor/popcount in codegen) admits r2·k candidates per query;
+    2. **8 bits/coord** — the shortlist alone is priced by cosine on
+       the int8 SQ reconstruction (D+8 bytes/candidate, row-local
+       decode, no training artifact) and narrowed to r1·k;
+    3. **32 bits/coord** — only r1·k survivors late-materialize full
+       precision for the exact cosine top-K (the shared
+       ``exact_cosine_rerank`` tail).
+
+    Bytes touched per query: N·⌈D/8⌉ + r2·k·(D+8) + r1·k·4D versus
+    4·N·D for the flat scan — each stage spends more bytes per
+    candidate on geometrically fewer candidates, which is the
+    "precision on demand" contract end-to-end. Every stage is a
+    bounded per-query pool (no q×N float work after stage 1), the
+    stage-2/3 joins key on neighbor_id against broadcast-query sides,
+    and nothing here trains: at 100 TB both sketch tables are single
+    streaming passes over the corpus."""
+    from .sq import sq_reconstruct
+    from .topk import exact_cosine_rerank
+
+    cand2 = bq_topk(queries, corpus, r2 * k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+    recon = sq_reconstruct(corpus).select(
+        F.col("vec_id").alias("neighbor_id"), "recon"
+    )
+    qv = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    scored = (
+        cand2.join(recon, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", cosine("qv", "recon").alias("score"))
+    )
+    cand1 = topk_per_query(scored, r1 * k, ascending=False, salted=False).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_cosine_rerank(cand1, corpus, queries, k)
+
+
 def ivfbq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -224,6 +224,69 @@ def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+def tfidf_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
+    """(query_id, rank, doc_id, score_micro): per-query top-N by
+    TF-IDF — the SMART ``ltn``-style pre-BM25 ranking a retrieval
+    stack keeps as its simplest lexical scorer. Smooth idf
+    (sklearn convention): idf = ln((N+1)/(df+1)) + 1, never negative
+    and defined for df = N; score = Σ_{t ∈ distinct query tokens}
+    tf(t, d) · idf(t)². Length normalization is deliberately NOT
+    applied — ``bm25_topn`` is the length-normalized ranking; this is
+    the raw-weight variant, and keeping both shows the saturation/
+    normalization effect on the same fixture.
+
+    Cross-engine determinism: same discipline as ``bm25_topn`` —
+    the idf is quantized to micro-units immediately after the only
+    ``ln()``, and per-(q,d) term scores are floored to BIGINT
+    micro-units before summation (order-independent, hash-exact).
+
+    Plan shape: tf/df are the one-scan posting aggregates; idf joins
+    tf on the token key (shuffle moves the posting file once); the
+    query side is broadcast; the per-(q,d) sum combines map-side.
+    No q×N comparison anywhere."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    nstat = docs.agg(F.count("*").alias("n"))
+    dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = dfs.crossJoin(F.broadcast(nstat)).select(
+        "tok",
+        (
+            F.floor(
+                F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) * BM25_SCALE
+            )
+            / F.lit(float(BM25_SCALE))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    qt = F.broadcast(
+        query_docs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_doc_tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    term6 = F.floor(
+        F.col("tf").cast("double") * F.col("idf") * F.col("idf") * BM25_SCALE
+    ).cast("bigint")
+    terms = (
+        tf.join(qt, "tok")
+        .join(F.broadcast(idf), "tok")
+        .select("query_id", "doc_id", term6.alias("t6"))
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum("t6").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
 MMR_LAMBDA = 0.7   #: relevance weight (1−λ penalizes redundancy)
 MMR_TOPN = 10      #: candidate pool per query
 MMR_K = 5          #: diversified results kept

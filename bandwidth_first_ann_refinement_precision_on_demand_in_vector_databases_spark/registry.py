@@ -688,6 +688,10 @@ _FRONT = [
     "ann_ivfbq_recall",
     "corpus_token_budget",     # NEW r06: quality-gated token accounting
     "ann_graph_delta_edges",   # NEW r06: incremental graph-index insert
+    "ann_cascade_topk",        # NEW r06: 1bit -> int8 -> exact cascade
+    "ann_cascade_metrics",     # NEW r06: cascade recall + byte model
+    "tfidf_topn",              # NEW r06: un-normalized lexical scorer
+    "sessionize",              # NEW r06: batch gap sessionization
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

@@ -668,3 +668,97 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "global_rank_events": SQL_GLOBAL_RANK_EVENTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap-based) — the classic clickstream shape
+# ---------------------------------------------------------------------------
+
+#: inactivity gap that closes a session (the streaming twin
+#: ``stream_session_windows`` uses the engine's session window with
+#: its own gap; this is the BATCH replay shape over the same events)
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: per-user event streams split where
+    the inter-event gap exceeds ``SESSION_GAP_S``, then one row per
+    session with start/end/count/value. The two-window idiom (lag →
+    new-session flag → running sum) keys every window on ``user_id``
+    — fully partition-parallel, no global sort, the batch complement
+    of the Structured Streaming session-window query.
+
+    Timestamps are compared in epoch seconds (``unix_timestamp``;
+    session TZ pinned UTC by the harness ↔ DuckDB ``floor(epoch())``
+    — the proven interval-join idiom)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp(F.col("ts")).alias("tsec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    gap = F.col("tsec") - F.lag("tsec", 1).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("tsec").alias("start_sec"),
+            F.max("tsec").alias("end_sec"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "start_sec",
+            "end_sec",
+            (F.col("end_sec") - F.col("start_sec")).alias("duration_sec"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(tsec) OVER w IS NULL
+              OR tsec - lag(tsec) OVER w > {SESSION_GAP_S}
+         THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+),
+sess AS (
+  SELECT *,
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  min(tsec) AS start_sec,
+  max(tsec) AS end_sec,
+  max(tsec) - min(tsec) AS duration_sec,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+RELATIONAL_QUERIES["sessionize"] = q_sessionize
+RELATIONAL_ORACLES["sessionize"] = SQL_SESSIONIZE

@@ -1356,3 +1356,208 @@ VECTORDB_QUERIES["ann_maxsim_rerank"] = q_ann_maxsim_rerank
 VECTORDB_QUERIES["ann_maxsim_recall"] = q_ann_maxsim_recall
 VECTORDB_ORACLES["ann_maxsim_rerank"] = SQL_ANN_MAXSIM_RERANK
 VECTORDB_ORACLES["ann_maxsim_recall"] = SQL_ANN_MAXSIM_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Three-stage cascade: 1-bit Hamming -> int8 cosine -> exact re-rank
+# (operators/bq.cascade_topk — the precision ladder composed end-to-end)
+# ---------------------------------------------------------------------------
+
+#: per-query candidate pools at each rung (K=20: 200 -> 60 -> 20)
+_CASC_POOL2 = BQ.CASCADE_R2 * ANN_K
+_CASC_POOL1 = BQ.CASCADE_R1 * ANN_K
+
+#: byte model per query, from the fixture dim (the Spark side derives
+#: D from data; the oracle replays the same arithmetic on the fixture
+#: constant, exactly like the BQ word CTEs above): stage 1 scans the
+#: whole signature table, stages 2/3 touch only their bounded pools.
+_CASC_SIG_B = (_DIM + 7) // 8     # 1-bit signature bytes/vector
+_CASC_SQ_B = _DIM + 8             # int8 codes + one float64 scale
+_CASC_FULL_B = 4 * _DIM           # fp32 vector
+
+
+def q_ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = BQ.cascade_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+#: stages 1+2 as CTEs: Hamming pool over bq_cand, then int8-recon
+#: cosine narrowing — same tie-breaks (score, neighbor_id) as the
+#: Spark topk_per_query calls they replay.
+_SQL_CASCADE_CAND = f"""
+casc2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS r
+    FROM bq_cand
+  ) WHERE r <= {_CASC_POOL2}
+),
+casc1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_cos("q.qe", "r.recon")} DESC, c.neighbor_id) AS r
+    FROM casc2 c
+    JOIN recon r ON r.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE r <= {_CASC_POOL1}
+)
+"""
+
+SQL_ANN_CASCADE_TOPK = f"""
+WITH {_SQL_BQ_CTES},
+{_SQL_SQ_RECON},
+{_SQL_CASCADE_CAND}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT c.query_id, c.neighbor_id,
+    {_sql_cos("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY c.query_id
+      ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS INT) AS rank
+  FROM casc1 c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_cascade_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the full cascade plus its per-query byte model —
+    the reference's bandwidth-saving headline (paper §4.3) stated for
+    the composed ladder: stage-1 signature scan + bounded stage-2/3
+    pools against the flat 4·N·D scan."""
+    from .operators.simsearch import embedding_dim
+
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = BQ.cascade_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    rec = ann_recall(ann, exact, ANN_K)
+    d = embedding_dim(corpus)
+    sig_b, sq_b, full_b = (d + 7) // 8, d + 8, 4 * d
+    stats = corpus.agg(F.count("*").alias("n"))
+    s1 = (F.col("n") * sig_b).cast("bigint")
+    s2 = F.lit(_CASC_POOL2 * sq_b).cast("bigint")
+    s3 = F.lit(_CASC_POOL1 * full_b).cast("bigint")
+    full = (F.col("n") * full_b).cast("bigint")
+    return rec.crossJoin(F.broadcast(stats)).select(
+        "recall_at_k",
+        "n_queries",
+        s1.alias("stage1_bytes"),
+        s2.alias("stage2_bytes"),
+        s3.alias("stage3_bytes"),
+        full.alias("full_scan_bytes"),
+        F.round(
+            F.lit(1.0) - (s1 + s2 + s3).cast("double") / full.cast("double"), 6
+        ).alias("bytes_saving"),
+    )
+
+
+SQL_ANN_CASCADE_METRICS = f"""
+WITH {_SQL_BQ_CTES},
+{_SQL_SQ_RECON},
+{_SQL_CASCADE_CAND},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, c.neighbor_id) AS rank
+    FROM casc1 c
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+),
+rec AS (
+  SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+),
+stats AS (SELECT count(*) AS n FROM embeddings)
+SELECT recall_at_k, n_queries,
+  CAST(n * {_CASC_SIG_B} AS BIGINT) AS stage1_bytes,
+  CAST({_CASC_POOL2 * _CASC_SQ_B} AS BIGINT) AS stage2_bytes,
+  CAST({_CASC_POOL1 * _CASC_FULL_B} AS BIGINT) AS stage3_bytes,
+  CAST(n * {_CASC_FULL_B} AS BIGINT) AS full_scan_bytes,
+  round(1.0 - CAST(n * {_CASC_SIG_B} + {_CASC_POOL2 * _CASC_SQ_B}
+                   + {_CASC_POOL1 * _CASC_FULL_B} AS DOUBLE)
+            / CAST(n * {_CASC_FULL_B} AS DOUBLE), 6) AS bytes_saving
+FROM rec CROSS JOIN stats
+"""
+
+VECTORDB_QUERIES["ann_cascade_topk"] = q_ann_cascade_topk
+VECTORDB_QUERIES["ann_cascade_metrics"] = q_ann_cascade_metrics
+VECTORDB_ORACLES["ann_cascade_topk"] = SQL_ANN_CASCADE_TOPK
+VECTORDB_ORACLES["ann_cascade_metrics"] = SQL_ANN_CASCADE_METRICS
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF ranked retrieval (operators/vectordb.tfidf_topn — the
+# un-normalized lexical scorer beside BM25)
+# ---------------------------------------------------------------------------
+
+def q_tfidf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    query_docs = docs.where(F.col("doc_id") % QUERY_STRIDE == 0)
+    return V.tfidf_topn(query_docs, docs, BM25_TOPN)
+
+
+#: exact SQL replay of operators/vectordb.tfidf_topn — smooth idf
+#: quantized to micro-units right after the only ln(), BIGINT
+#: micro-unit term sums, same tie-breaks.
+SQL_TFIDF_TOPN = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+nstat AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+    floor(ln((n + 1.0) / (df + 1.0)) * {V.BM25_SCALE})
+      / {float(V.BM25_SCALE)} + 1.0 AS idf
+  FROM dfs CROSS JOIN nstat
+),
+qt AS (
+  SELECT query_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM (SELECT doc_id AS query_id, text FROM documents
+        WHERE doc_id % {QUERY_STRIDE} = 0)
+),
+terms AS (
+  SELECT qt.query_id, tf.doc_id,
+    CAST(floor(CAST(tf.tf AS DOUBLE) * idf.idf * idf.idf * {V.BM25_SCALE})
+         AS BIGINT) AS t6
+  FROM tf
+  JOIN qt ON qt.tok = tf.tok
+  JOIN idf ON idf.tok = tf.tok
+)
+SELECT query_id, rank, doc_id, score_micro FROM (
+  SELECT query_id, doc_id, score_micro,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+  FROM (
+    SELECT query_id, doc_id, CAST(sum(t6) AS BIGINT) AS score_micro
+    FROM terms GROUP BY query_id, doc_id
+  )
+) WHERE rank <= {BM25_TOPN}
+"""
+
+VECTORDB_QUERIES["tfidf_topn"] = q_tfidf_topn
+VECTORDB_ORACLES["tfidf_topn"] = SQL_TFIDF_TOPN

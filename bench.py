@@ -112,6 +112,10 @@ def _suite():
         "ann_ivfbq_recall",
         "corpus_token_budget",
         "ann_graph_delta_edges",
+        "ann_cascade_topk",
+        "ann_cascade_metrics",
+        "tfidf_topn",
+        "sessionize",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
