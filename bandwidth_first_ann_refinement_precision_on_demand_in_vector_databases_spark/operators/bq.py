@@ -146,10 +146,14 @@ def bq_refined_topk(
 #: three-stage cascade pools. Stage 1 (1-bit Hamming over ALL N)
 #: admits R2·K candidates; stage 2 (int8 recon cosine over the
 #: shortlist) narrows to R1·K; stage 3 fetches full precision for the
-#: exact re-rank. R2 rides the measured BQ frontier (recall@20 0.654
-#: at R=8, 0.749 at R=12 → R2=10 sits near 0.70) while the expensive
-#: full-precision pool stays at the SQ/PQ convention R1=3.
-CASCADE_R1 = 3
+#: exact re-rank. Swept at sf0.1 (tools/sweep_cascade.py,
+#: reports/sweep_cascade.csv): recall@20 is set ENTIRELY by the
+#: stage-1 pool (0.574/0.654/0.701/0.749/0.806 at R2 = 5/8/10/12/15)
+#: — r1 ∈ {2,3,5} at R2=10 all give 0.70125, i.e. the int8 stage-2
+#: cosine already picks the exact final K on this fixture. So R1=2
+#: dominates the R=3 convention (same recall, bytes saving 0.9106 →
+#: 0.9206) and R2=10 matches the graph index's recall with no build.
+CASCADE_R1 = 2
 CASCADE_R2 = 10
 
 
