@@ -187,8 +187,26 @@ def cascade_topk(
     stage-2/3 joins key on neighbor_id against broadcast-query sides,
     and nothing here trains: at 100 TB both sketch tables are single
     streaming passes over the corpus."""
-    from .sq import sq_reconstruct
     from .topk import exact_cosine_rerank
+
+    cand1 = cascade_candidates(queries, corpus, k, r1=r1, r2=r2, dim=dim)
+    return exact_cosine_rerank(cand1, corpus, queries, k)
+
+
+def cascade_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    r1: int = CASCADE_R1,
+    r2: int = CASCADE_R2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Stages 1+2 of the cascade as a reusable per-query candidate
+    stream (query_id, neighbor_id) of r1·k ids — the shape every
+    phase-2 consumer takes (``exact_cosine_rerank`` for the plain
+    cascade, ``refine.cascade_cushion_topk`` for the cushioned
+    composition)."""
+    from .sq import sq_reconstruct
 
     cand2 = bq_topk(queries, corpus, r2 * k, dim=dim).select(
         "query_id", "neighbor_id"
@@ -202,10 +220,9 @@ def cascade_topk(
         .join(qv, "query_id")
         .select("query_id", "neighbor_id", cosine("qv", "recon").alias("score"))
     )
-    cand1 = topk_per_query(scored, r1 * k, ascending=False, salted=False).select(
+    return topk_per_query(scored, r1 * k, ascending=False, salted=False).select(
         "query_id", "neighbor_id"
     )
-    return exact_cosine_rerank(cand1, corpus, queries, k)
 
 
 def ivfbq_topk(

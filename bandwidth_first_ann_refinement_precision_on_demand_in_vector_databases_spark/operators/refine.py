@@ -819,6 +819,50 @@ def graph_cushion_topk(
     )
 
 
+def cascade_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    r1: int | None = None,
+    r2: int | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """Cascade candidates × cushioned refinement — the fifth index
+    family behind the shared re-scorer, and the cheapest candidate
+    generator of them all: stage 1 reads 1 bit/coordinate, stage 2
+    int8, and the cushioned re-scoring then reads mantissa-truncated
+    pages plus only the surviving full-precision fetches. Zero-miss
+    within the candidate stream, as for every composition.
+
+    Cosine modes only — the cascade's stage-2 narrows by recon
+    cosine, so an l2 cushion would re-rank a differently-ordered
+    admit set."""
+    from .bq import CASCADE_R1, CASCADE_R2, cascade_candidates
+
+    if not is_cosine(mode):
+        raise ValueError(
+            "cascade_cushion_topk pre-ranks by recon cosine; use a cos-* mode"
+        )
+    r1 = CASCADE_R1 if r1 is None else r1
+    r2 = CASCADE_R2 if r2 is None else r2
+    cand = cascade_candidates(queries, corpus, k, r1=r1, r2=r2).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=cand,
+    )
+
+
 def mrl_cushion_topk(
     queries: DataFrame,
     corpus: DataFrame,

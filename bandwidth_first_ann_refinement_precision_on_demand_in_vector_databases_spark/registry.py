@@ -692,6 +692,8 @@ _FRONT = [
     "ann_cascade_metrics",     # NEW r06: cascade recall + byte model
     "tfidf_topn",              # NEW r06: un-normalized lexical scorer
     "sessionize",              # NEW r06: batch gap sessionization
+    "ann_cascade_cushion_topk",    # NEW r06: cascade x cushion composition
+    "ann_cascade_cushion_metrics",
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",
@@ -1419,6 +1421,124 @@ FROM final WHERE rank <= {K_DEFAULT}
 ORACLES["ann_mrl_cushion_metrics"] = f"""
 WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
 {_MRL_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+
+# --- cascade × cushion: the fifth index family behind the shared
+# cushioned re-scorer; the candidate pass costs 1 bit/coord (stage 1)
+# + int8 (stage 2), the cushioned re-scoring then reads mantissa-
+# truncated pages + surviving full fetches only. Candidate CTEs
+# replay operators/bq.cascade_candidates exactly (Hamming admit,
+# recon-cosine narrow, same tie-breaks).
+from .registry_vectordb import (  # noqa: E402
+    _CASC_POOL1,
+    _CASC_POOL2,
+    _SQL_SQ_RECON as _SQL_SQ_RECON_FRAG,
+    _sql_bq_words,
+)
+
+
+def _cascade_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized cascade×cushion build shared by topk and metrics
+    (cos-l1, keep_m=6 — the corpus-wide default; candidate streams
+    are exactly R1·K = 40/query, seed-dominated like IVF's and
+    MRL's)."""
+    from .operators.refine import cascade_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "cascade_cushion")
+    if sf_dir not in cache:
+        res = cascade_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_cascade_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage-cascade candidates × cushioned refinement
+    (cos-l1): sign bits admit, int8 narrows, the cushion prices the
+    exact re-scoring — every precision rung of the engine in one
+    query. Zero-miss within candidates, as for every composition."""
+    return _rounded_topk(_cascade_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_cascade_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the cascade×cushion composition. The stream
+    is R1·K = 40 candidates/query — K seeds are half of it, so the
+    per-candidate save is the seed-dominated regime (documented
+    honestly, like IVF/MRL); the end-to-end save composes the 1-bit
+    scan with the cushion."""
+    res = _cascade_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_cascade_cushion_topk"] = q_ann_cascade_cushion_topk
+QUERIES["ann_cascade_cushion_metrics"] = q_ann_cascade_cushion_metrics
+
+_CASCADE_CUSHION_EXTRA = f"""{_sql_bq_words("q", "query_id", "qe", "bq_qw")},
+{_sql_bq_words("embeddings", "vec_id", "embedding", "bq_cw")},
+bq_cand AS (
+  SELECT qw.id AS query_id, cw.id AS neighbor_id,
+         CAST(sum(bit_count(xor(qw.wcode, cw.wcode))) AS INT) AS score
+  FROM bq_qw qw JOIN bq_cw cw ON qw.w = cw.w
+  GROUP BY qw.id, cw.id
+),
+{_SQL_SQ_RECON_FRAG},
+casc2 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score ASC, neighbor_id) AS r
+    FROM bq_cand
+  ) WHERE r <= {_CASC_POOL2}
+),
+cand_ids AS MATERIALIZED (
+  SELECT query_id, neighbor_id AS vec_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {_sql_cosine("q.qe", "r.recon")} DESC, c.neighbor_id) AS r
+    FROM casc2 c
+    JOIN recon r ON r.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+  ) WHERE r <= {_CASC_POOL1}
+),
+"""
+
+_CASCADE_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_CASCADE_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_cascade_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_CASCADE_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_cascade_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_CASCADE_CUSHION_BODY},
 pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
 fetch_n AS (
   SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched

@@ -116,6 +116,8 @@ def _suite():
         "ann_cascade_metrics",
         "tfidf_topn",
         "sessionize",
+        "ann_cascade_cushion_topk",
+        "ann_cascade_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

@@ -213,6 +213,55 @@ def test_mrl_cushion_composition_law(spark, sf_small):
     assert got == want
 
 
+def test_cascade_cushion_composition_law(spark, sf_small):
+    """The cascade composition obeys the same law: the cushioned
+    refinement over the 1-bit→int8 cascade's R1·K candidates equals
+    the exact (fp16) re-rank of those candidates."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+        dot,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.bq import (
+        cascade_candidates,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+        cascade_cushion_topk,
+        prepare_corpus,
+        prepare_queries,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        topk_per_query,
+    )
+
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    mode, keep_m = "cos-l1", 4
+
+    res = cascade_cushion_topk(queries, corpus, mode, K, keep_m)
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in res.topk.collect()}
+
+    cand = cascade_candidates(queries, corpus, K).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    corp = prepare_corpus(corpus, keep_m, mode)
+    qs = prepare_queries(queries, mode)
+    rerank = topk_per_query(
+        cand.join(corp.select("vec_id", "full"), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("full", "q").alias("score"),
+        ),
+        K,
+        ascending=False,
+        salted=False,
+    )
+    want = {(r.query_id, r.rank, r.neighbor_id) for r in rerank.collect()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Property-based zero-miss: adversarial float corpora
 # ---------------------------------------------------------------------------
