@@ -252,14 +252,9 @@ def ivfpq_topk(
     adc_ids = topk_per_query(cand, r * k, ascending=True).select(
         "query_id", "neighbor_id"
     )
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        adc_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=True, salted=False)
+    from .topk import exact_l2_rerank
+
+    return exact_l2_rerank(adc_ids, corpus, queries, k)
 
 
 def pq_refined_topk(
@@ -274,11 +269,6 @@ def pq_refined_topk(
     cand_ids = pq_topk(queries, corpus, r * k).select(
         "query_id", "neighbor_id"
     )
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        cand_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=True, salted=False)
+    from .topk import exact_l2_rerank
+
+    return exact_l2_rerank(cand_ids, corpus, queries, k)

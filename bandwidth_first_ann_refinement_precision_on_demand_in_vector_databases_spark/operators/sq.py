@@ -130,14 +130,9 @@ def ivfsq_topk(
     adc_ids = topk_per_query(cand, r * k, ascending=True).select(
         "query_id", "neighbor_id"
     )
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        adc_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=True, salted=False)
+    from .topk import exact_l2_rerank
+
+    return exact_l2_rerank(adc_ids, corpus, queries, k)
 
 
 def sq_refined_topk(
@@ -148,11 +143,6 @@ def sq_refined_topk(
     precision for the exact re-rank. Bytes touched: N/4 + r·K full
     vectors per query, vs N full vectors for brute force."""
     cand_ids = sq_topk(queries, corpus, r * k).select("query_id", "neighbor_id")
-    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
-    exact = (
-        cand_ids.join(full, "neighbor_id")
-        .join(q, "query_id")
-        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
-    )
-    return topk_per_query(exact, k, ascending=True, salted=False)
+    from .topk import exact_l2_rerank
+
+    return exact_l2_rerank(cand_ids, corpus, queries, k)

@@ -318,3 +318,23 @@ def exact_cosine_rerank(
         .select("query_id", "neighbor_id", cosine("qv", "embedding").alias("score"))
     )
     return topk_per_query(exact, k, ascending=False, salted=False)
+
+
+def exact_l2_rerank(
+    cand_ids: DataFrame, corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """The L2 twin of ``exact_cosine_rerank`` — the shared phase-2
+    tail of the distance-metric families (PQ, SQ, IVF-PQ, IVF-SQ):
+    squared-L2 top-K (ascending, ties → neighbor_id) over a per-query
+    candidate id stream, full precision fetched late."""
+    from ..functions.vector import dist2
+
+    full = corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    exact = (
+        cand_ids.select("query_id", "neighbor_id")
+        .join(full, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", dist2("qv", "embedding").alias("score"))
+    )
+    return topk_per_query(exact, k, ascending=True, salted=False)
