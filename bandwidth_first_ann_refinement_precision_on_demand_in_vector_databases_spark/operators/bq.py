@@ -225,6 +225,62 @@ def cascade_candidates(
     )
 
 
+def cascade_topk_from_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    signatures: DataFrame,
+    codes: DataFrame,
+    k: int,
+    r1: int = CASCADE_R1,
+    r2: int = CASCADE_R2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Serve-path twin of ``cascade_topk``: stages 1 and 2 read the
+    STORED sketch tables (``sources/layout.write_cascade_index``) —
+    the signature scan touches ⌈D/8⌉ bytes/vector and the code fetch
+    is a bounded r2·k pool — and only stage 3 late-materializes full
+    precision from the base corpus. Results are identical to the
+    in-query encode by construction (the stored tables ARE
+    ``bq_encode``/``sq_encode`` outputs), so the oracle is shared."""
+    from .sq import SQ_LEVELS
+    from .topk import exact_cosine_rerank
+
+    if dim is None:
+        from .simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
+    qw = F.broadcast(
+        bq_encode(queries, "embedding", "query_id", dim=dim).select(
+            F.col("id").alias("query_id"), F.col("words").alias("qwords")
+        )
+    )
+    cw = signatures.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("words").alias("cwords")
+    )
+    ham = cw.crossJoin(qw).select(
+        "query_id", "neighbor_id", _hamming("qwords", "cwords").alias("score")
+    )
+    cand2 = topk_per_query(ham, r2 * k, ascending=True).select(
+        "query_id", "neighbor_id"
+    )
+    recon = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(
+            "codes", lambda c: c.cast("double") * F.col("s") / F.lit(float(SQ_LEVELS))
+        ).alias("recon"),
+    )
+    qv = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    scored = (
+        cand2.join(recon, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", cosine("qv", "recon").alias("score"))
+    )
+    cand1 = topk_per_query(scored, r1 * k, ascending=False, salted=False).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_cosine_rerank(cand1, corpus, queries, k)
+
+
 def ivfbq_topk(
     queries: DataFrame,
     corpus: DataFrame,

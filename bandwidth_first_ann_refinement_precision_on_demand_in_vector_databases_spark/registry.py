@@ -694,6 +694,7 @@ _FRONT = [
     "sessionize",              # NEW r06: batch gap sessionization
     "ann_cascade_cushion_topk",    # NEW r06: cascade x cushion composition
     "ann_cascade_cushion_metrics",
+    "ann_cascade_index_topk",      # NEW r06: cascade served from stored sketches
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

@@ -1561,3 +1561,38 @@ SELECT query_id, rank, doc_id, score_micro FROM (
 
 VECTORDB_QUERIES["tfidf_topn"] = q_tfidf_topn
 VECTORDB_ORACLES["tfidf_topn"] = SQL_TFIDF_TOPN
+
+
+# ---------------------------------------------------------------------------
+# Cascade serve path from stored sketch tables
+# ---------------------------------------------------------------------------
+
+def q_ann_cascade_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_cascade_topk``: the 1-bit signature
+    table and the int8 code table are WRITTEN once per (session,
+    fixture dir) as parquet index artifacts (``sources/layout.
+    write_cascade_index``) and the query plan scans the STORED
+    sketches — the offline-encode/online-serve split of a production
+    deployment, with zero training in the offline half. Results are
+    identical to the in-query encode, so the oracle is shared;
+    ``tests/test_layout.py`` asserts neither sketch scan reads a raw
+    vector column."""
+    from .registry_simsearch import _index_store_path
+    from .sources.layout import read_cascade_index, write_cascade_index
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "cascade-index", lambda p: write_cascade_index(corpus, p)
+    )
+    sigs, codes = read_cascade_index(spark, path)
+    out = BQ.cascade_topk_from_index(
+        queries_view(spark, sf_dir), corpus, sigs, codes, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+VECTORDB_QUERIES["ann_cascade_index_topk"] = q_ann_cascade_index_topk
+#: same result as the in-query encode by construction
+VECTORDB_ORACLES["ann_cascade_index_topk"] = SQL_ANN_CASCADE_TOPK

@@ -159,3 +159,39 @@ def ivf_topk_from_store(
         cosine("qvec", "embedding").alias("score"),
     )
     return topk_per_query(cand, k, ascending=False, salted=False)
+
+
+def write_cascade_index(corpus: DataFrame, out_path: str) -> None:
+    """Materialize the cascade's two sketch tables — the offline half
+    of the three-stage serve path (``operators/bq.cascade_topk_from_
+    index``). Both are pure-map encodes (no training, no shuffle):
+
+    * ``{out}/signatures`` — (vec_id, words array<bigint>): the packed
+      1-bit sign signature, ⌈D/8⌉ logical bytes/vector — the stage-1
+      scan target;
+    * ``{out}/codes`` — (vec_id, s, codes array<int>): the int8 SQ
+      sketch + per-row scale — the stage-2 fetch target.
+
+    Stage 3 late-materializes full precision from the base corpus
+    table, so the index stores no fp32 vector bytes at all."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bq import bq_encode
+    from ..operators.sq import sq_encode
+
+    bq_encode(corpus, "embedding", "vec_id").select(
+        F.col("id").alias("vec_id"), "words"
+    ).write.mode("overwrite").parquet(f"{out_path}/signatures")
+    sq_encode(corpus).write.mode("overwrite").parquet(f"{out_path}/codes")
+
+
+def read_cascade_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(signatures, codes) scans of a stored cascade index. Neither
+    scan touches a raw vector column — `ReadSchema` shows only the
+    sketch columns (asserted in ``tests/test_layout.py``)."""
+    return (
+        spark.read.parquet(f"{path}/signatures"),
+        spark.read.parquet(f"{path}/codes"),
+    )

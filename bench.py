@@ -118,6 +118,7 @@ def _suite():
         "sessionize",
         "ann_cascade_cushion_topk",
         "ann_cascade_cushion_metrics",
+        "ann_cascade_index_topk",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

@@ -252,3 +252,43 @@ def test_ivf_serve_path_prunes_partitions(spark, sf_small):
         for r in ivf_topk(queries_view(spark, sf_small), corpus, ANN_K).collect()
     }
     assert served == live
+
+
+def test_cascade_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """Offline-encode/online-serve: the cascade served from the stored
+    signature + code tables equals the live in-query cascade, and
+    neither sketch scan reads a raw vector column (ReadSchema) —
+    stage 3 alone late-materializes `embedding`."""
+    import re
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.bq import (
+        cascade_topk,
+        cascade_topk_from_index,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        read_cascade_index,
+        write_cascade_index,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "cascade-index")
+    write_cascade_index(corpus, out)
+    sigs, codes = read_cascade_index(spark, out)
+    served = cascade_topk_from_index(queries, corpus, sigs, codes, 10)
+    live = cascade_topk(queries, corpus, 10)
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in served.collect()}
+    want = {(r.query_id, r.rank, r.neighbor_id) for r in live.collect()}
+    assert got == want
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    sketch_scans = 0
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        schema = m.group(1)
+        if "words" in schema or "codes" in schema:
+            sketch_scans += 1
+            assert "embedding" not in schema, schema
+    assert sketch_scans >= 2, plan
