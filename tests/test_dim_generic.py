@@ -136,3 +136,12 @@ def test_bq_d48(queries48, corpus48):
     assert len(row.words) == (DIM + B.BQ_WORD - 1) // B.BQ_WORD  # 2 words at D=48
     out = B.bq_refined_topk(queries48, corpus48, 5)
     assert _self_at_rank1(out)
+
+
+def test_cascade_d48(queries48, corpus48):
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        bq as B,
+    )
+
+    out = B.cascade_topk(queries48, corpus48, 5)
+    assert _self_at_rank1(out)
