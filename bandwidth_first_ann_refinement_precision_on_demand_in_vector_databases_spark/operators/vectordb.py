@@ -168,10 +168,13 @@ def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     aggregations of the posting file; idf and the corpus stats are
     broadcast-sized; the query side is broadcast; the per-(q,d) sum
     combines map-side. No q×N comparison anywhere."""
+    # the exploded posting file feeds tf AND dl, and tf feeds dfs AND
+    # the term join — persist both or Spark re-runs the full
+    # scan+explode lineage per consumer (the repo-wide ≥2-consumer rule)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    ).persist()
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     nstat = docs.agg(F.count("*").alias("n"))
     avgstat = dl.agg(
@@ -247,7 +250,8 @@ def tfidf_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds dfs AND the term join (≥2-consumer persist rule)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
     nstat = docs.agg(F.count("*").alias("n"))
     dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = dfs.crossJoin(F.broadcast(nstat)).select(
