@@ -1337,3 +1337,112 @@ FROM per CROSS JOIN tot
 
 TEXT_QUERIES["corpus_token_budget"] = q_corpus_token_budget
 TEXT_ORACLES["corpus_token_budget"] = SQL_CORPUS_TOKEN_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — bounded-memory frequency estimation
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: DEPTH independent affine rows over the shared
+#: polynomial token hash, W counters each — 2048 BIGINT counters total
+#: regardless of corpus size, which is the whole point: at 100 TB the
+#: sketch build is one map-side-combining aggregate into a
+#: fixed-width table, where the exact vocabulary count would shuffle
+#: a corpus-scale token table. The affine family is the MinHash
+#: permutation trick (operators/dedup.MINHASH_A/B) with its own
+#: constants.
+CMS_W = 512
+CMS_DEPTH = 4
+CMS_A = (37, 101, 193, 389)
+CMS_B = (11, 29, 59, 97)
+CMS_TOPN = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, exact_count, cms_est) for the exact top-N tokens: the
+    count-min estimate beside the truth, demonstrating the sketch's
+    one-sided guarantee (est ≥ exact; overestimate = bucket
+    collisions). Integer end-to-end — hash, buckets, counters — so
+    the DuckDB twin is bit-identical with no float discipline needed.
+
+    Plan shape: ONE token explode feeds both the sketch build
+    (DEPTH·occurrences rows → 2048-group aggregate, pure map-side
+    combine) and the exact counts; the top-N selection is a bounded-K
+    ``TakeOrderedAndProject`` (never a global window); estimates join
+    the broadcast-sized per-depth sketch rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .select("tok", T.poly_hash(F.col("tok")).alias("h"))
+        .persist()
+    )
+    bucket_rows = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            (F.lit(CMS_A[d]) * F.col("h") + F.lit(CMS_B[d]))
+                            % F.lit(T.HASH_P)
+                            % F.lit(CMS_W)
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    sketch = bucket_rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    top = (
+        hashed.groupBy("tok", "h")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(CMS_TOPN)
+    )
+    for d in range(CMS_DEPTH):
+        sd = sketch.where(F.col("d") == d).select(
+            F.col("bucket").alias(f"b{d}"), F.col("c").alias(f"c{d}")
+        )
+        top = top.withColumn(
+            f"b{d}",
+            (F.lit(CMS_A[d]) * F.col("h") + F.lit(CMS_B[d]))
+            % F.lit(T.HASH_P)
+            % F.lit(CMS_W),
+        ).join(F.broadcast(sd), f"b{d}")
+    return top.select(
+        "tok",
+        "exact_count",
+        F.least(*[F.col(f"c{d}") for d in range(CMS_DEPTH)]).alias("cms_est"),
+    )
+
+
+_CMS_BUCKET_UNION = "\nUNION ALL\n".join(
+    f"SELECT {d} AS d, (({CMS_A[d]} * h + {CMS_B[d]}) % {T.HASH_P}) % {CMS_W} AS bucket FROM th"
+    for d in range(CMS_DEPTH)
+)
+_CMS_EST_JOINS = "\n".join(
+    f"JOIN sketch s{d} ON s{d}.d = {d} AND s{d}.bucket = "
+    f"(({CMS_A[d]} * t.h + {CMS_B[d]}) % {T.HASH_P}) % {CMS_W}"
+    for d in range(CMS_DEPTH)
+)
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH ex AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT tok, {_sql_poly_hash('tok')} AS h FROM ex),
+buckets AS ({_CMS_BUCKET_UNION}),
+sketch AS (
+  SELECT d, bucket, count(*) AS c FROM buckets GROUP BY d, bucket
+),
+top AS (
+  SELECT tok, h, count(*) AS exact_count FROM th GROUP BY tok, h
+  ORDER BY exact_count DESC, tok LIMIT {CMS_TOPN}
+)
+SELECT t.tok, t.exact_count,
+       least({", ".join(f"s{d}.c" for d in range(CMS_DEPTH))}) AS cms_est
+FROM top t
+{_CMS_EST_JOINS}
+"""
+
+TEXT_QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+TEXT_ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS

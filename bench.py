@@ -119,6 +119,7 @@ def _suite():
         "ann_cascade_cushion_topk",
         "ann_cascade_cushion_metrics",
         "ann_cascade_index_topk",
+        "cms_heavy_hitters",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
