@@ -1446,3 +1446,119 @@ FROM top t
 
 TEXT_QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
 TEXT_ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count — the oracled sketch twin of
+# approx_count_distinct (which is engine-specific and rows-only)
+# ---------------------------------------------------------------------------
+
+#: HLL geometry over the 31-bit polynomial hash: b=8 → m=256
+#: registers; the remaining field is exactly 23 bits ((P−1)//256 =
+#: 2²³−1), so rank ρ = 24 − bit_length(rest) ∈ [1, 24]. The harmonic
+#: sum Σ 2^(−M_j) is computed as the INTEGER Σ 2^(24−M_j) (≤ 2³¹ —
+#: BIGINT-safe), making it order-free and bit-identical cross-engine;
+#: the only float ops are the final α·m²·2²⁴ / Σv division — IEEE-
+#: identical everywhere. Raw Flajolet estimator, no small/large-range
+#: correction (documented; both engines replay the same formula, so
+#: parity holds regardless).
+HLL_M = 256
+HLL_RHO_MAX = 24
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: α·m²·2²⁴ folded into ONE double in Python so both engines divide
+#: the identical numerator (DuckDB parses bare decimal literals as
+#: DECIMAL, not DOUBLE — a pure-literal product overflows DECIMAL(18))
+HLL_NUM = HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << HLL_RHO_MAX)
+
+
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_exact, hll_est, rel_err): the 256-register HyperLogLog
+    estimate of the distinct-token count beside the exact count. The
+    sketch build is one map-side-combining max-aggregate into ≤256
+    rows — bounded memory regardless of corpus size, like
+    ``cms_heavy_hitters`` (the two classic sketches, both oracled).
+    Duplicates need no pre-distinct: register max is idempotent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).persist()
+    h = T.poly_hash(F.col("tok"))
+    hashed = toks.select(
+        (h % F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(h, 8).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("rest")))
+    )
+    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m")
+    )
+    zs = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")
+        ).alias("sv"),
+        F.count("*").alias("nb"),
+    )
+    exact = toks.agg(F.countDistinct("tok").alias("n_exact"))
+    zint = (
+        F.col("sv")
+        + (F.lit(HLL_M) - F.col("nb")) * F.lit(1 << HLL_RHO_MAX).cast("bigint")
+    ).cast("double")
+    raw = F.lit(HLL_NUM) / zint
+    # small-range (linear-counting) correction — the standard HLL
+    # branch for E ≤ 2.5m with empty registers, and the regime the
+    # 31-word fixture vocabulary actually sits in. ln() is the one
+    # cross-engine ULP hazard → floor-quantized to micro-units (the
+    # bm25 rule); m/V is a ratio of small ints, exact in double.
+    v = (F.lit(HLL_M) - F.col("nb")).cast("double")
+    lin = F.lit(float(HLL_M)) * (
+        F.floor(F.log(F.lit(float(HLL_M)) / v) * F.lit(1000000.0))
+        / F.lit(1000000.0)
+    )
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (v > 0), lin).otherwise(raw)
+    return exact.crossJoin(F.broadcast(zs)).select(
+        "n_exact",
+        F.round(est, 6).alias("hll_est"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+SQL_HLL_DISTINCT_TOKENS = f"""
+WITH ex AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT {_sql_poly_hash('tok')} AS h FROM ex),
+hb AS (SELECT h % {HLL_M} AS bucket, h >> 8 AS rest FROM th),
+regs AS (
+  SELECT bucket,
+    max(CASE WHEN rest = 0 THEN {HLL_RHO_MAX}
+             ELSE {HLL_RHO_MAX} - length(bin(rest)) END) AS m
+  FROM hb GROUP BY bucket
+),
+zs AS (
+  SELECT CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - m)) AS BIGINT) AS sv,
+         count(*) AS nb
+  FROM regs
+),
+exact AS (SELECT count(DISTINCT tok) AS n_exact FROM ex),
+est AS (
+  SELECT
+    CAST({HLL_NUM!r} AS DOUBLE)
+      / CAST(sv + ({HLL_M} - nb) * CAST({1 << HLL_RHO_MAX} AS BIGINT) AS DOUBLE)
+      AS raw,
+    CAST({HLL_M} - nb AS DOUBLE) AS v
+  FROM zs
+),
+corrected AS (
+  SELECT CASE WHEN raw <= CAST({int(2.5 * HLL_M)} AS DOUBLE) AND v > 0
+              THEN CAST({HLL_M} AS DOUBLE)
+                   * (floor(ln(CAST({HLL_M} AS DOUBLE) / v) * 1000000) / 1000000)
+              ELSE raw END AS e
+  FROM est
+)
+SELECT n_exact,
+  round(e, 6) AS hll_est,
+  round((e - n_exact) / n_exact, 6) AS rel_err
+FROM exact CROSS JOIN corrected
+"""
+
+TEXT_QUERIES["hll_distinct_tokens"] = q_hll_distinct_tokens
+TEXT_ORACLES["hll_distinct_tokens"] = SQL_HLL_DISTINCT_TOKENS

@@ -120,6 +120,7 @@ def _suite():
         "ann_cascade_cushion_metrics",
         "ann_cascade_index_topk",
         "cms_heavy_hitters",
+        "hll_distinct_tokens",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
