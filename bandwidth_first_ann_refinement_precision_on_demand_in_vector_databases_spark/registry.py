@@ -697,6 +697,7 @@ _FRONT = [
     "ann_cascade_index_topk",      # NEW r06: cascade served from stored sketches
     "cms_heavy_hitters",           # NEW r06: count-min sketch frequency estimates
     "hll_distinct_tokens",         # NEW r06: oracled HyperLogLog distinct count
+    "bloom_decontaminate",         # NEW r06: Bloom pre-filter + exact FPR truth
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

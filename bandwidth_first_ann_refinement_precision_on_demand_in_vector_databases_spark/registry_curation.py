@@ -245,3 +245,82 @@ CURATION_QUERIES["doc_packing"] = q_doc_packing
 CURATION_QUERIES["dedup_chunks"] = q_dedup_chunks
 CURATION_ORACLES["doc_packing"] = _sql_doc_packing()
 CURATION_ORACLES["dedup_chunks"] = _sql_dedup_chunks()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter (operators/curation.
+# bloom_decontaminate — broadcast bitmap probe beside the exact truth)
+# ---------------------------------------------------------------------------
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.curation import bloom_decontaminate
+
+    return bloom_decontaminate(
+        load_table(spark, sf_dir, "documents"),
+        F.col("doc_id") % DECON_MOD == 1,
+        n=SHINGLE_N,
+    )
+
+
+def _sql_bloom_decontaminate() -> str:
+    from .operators.curation import BLOOM_A, BLOOM_B, BLOOM_BITS, BLOOM_WORD
+    from .registry_dedup import sql_shingle_ctes
+    from .registry_text import _sql_poly_hash
+    from .functions.text import HASH_P
+
+    pos_union = "\nUNION ALL\n".join(
+        f"SELECT (({BLOOM_A[k]} * h + {BLOOM_B[k]}) % {HASH_P}) % {BLOOM_BITS} AS p FROM bhash"
+        for k in range(len(BLOOM_A))
+    )
+    joins, tests = [], []
+    for k in range(len(BLOOM_A)):
+        pk = f"(({BLOOM_A[k]} * pr.h + {BLOOM_B[k]}) % {HASH_P}) % {BLOOM_BITS}"
+        joins.append(
+            f"LEFT JOIN bitmap b{k} ON b{k}.word = CAST(({pk}) // {BLOOM_WORD} AS INT)"
+        )
+        tests.append(
+            f"(coalesce(b{k}.wbits, 0) & (CAST(1 AS BIGINT) << CAST(({pk}) % {BLOOM_WORD} AS INT)))"
+            f" = (CAST(1 AS BIGINT) << CAST(({pk}) % {BLOOM_WORD} AS INT))"
+        )
+    return f"""
+WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} != 1),
+hold AS (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 1),
+{sql_shingle_ctes("corp")},
+{sql_shingle_ctes("hold", prefix="h")},
+ex AS (SELECT id, unnest(shs) AS s FROM sh),
+bench AS (SELECT DISTINCT unnest(shs) AS s FROM hsh),
+bhash AS (SELECT {_sql_poly_hash('s')} AS h FROM bench),
+pos AS ({pos_union}),
+bitmap AS (
+  SELECT CAST(p // {BLOOM_WORD} AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD} AS INT)) AS wbits
+  FROM pos GROUP BY 1
+),
+pr AS (SELECT id, s, {_sql_poly_hash('s')} AS h FROM ex),
+marked AS (
+  SELECT pr.id,
+    CASE WHEN {" AND ".join(tests)} THEN 1 ELSE 0 END AS is_cand,
+    CASE WHEN bench.s IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pr
+  {chr(10).join(joins)}
+  LEFT JOIN bench ON bench.s = pr.s
+),
+per_doc AS (
+  SELECT id, count(*) AS n_shingles,
+         CAST(sum(is_cand) AS BIGINT) AS n_bloom_hits,
+         CAST(sum(is_true) AS BIGINT) AS n_true_hits
+  FROM marked GROUP BY id
+)
+SELECT c.doc_id,
+  coalesce(p.n_shingles, 0) AS n_shingles,
+  coalesce(p.n_bloom_hits, 0) AS n_bloom_hits,
+  coalesce(p.n_true_hits, 0) AS n_true_hits,
+  coalesce(p.n_bloom_hits, 0) - coalesce(p.n_true_hits, 0) AS n_false_pos
+FROM corp c LEFT JOIN per_doc p ON p.id = c.doc_id
+"""
+
+
+CURATION_QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+CURATION_ORACLES["bloom_decontaminate"] = _sql_bloom_decontaminate()

@@ -121,6 +121,7 @@ def _suite():
         "ann_cascade_index_topk",
         "cms_heavy_hitters",
         "hll_distinct_tokens",
+        "bloom_decontaminate",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
