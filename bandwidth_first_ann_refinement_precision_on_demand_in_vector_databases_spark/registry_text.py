@@ -1453,39 +1453,52 @@ TEXT_ORACLES["cms_heavy_hitters"] = SQL_CMS_HEAVY_HITTERS
 # approx_count_distinct (which is engine-specific and rows-only)
 # ---------------------------------------------------------------------------
 
-#: HLL geometry over the 31-bit polynomial hash: b=8 → m=256
-#: registers; the remaining field is exactly 23 bits ((P−1)//256 =
-#: 2²³−1), so rank ρ = 24 − bit_length(rest) ∈ [1, 24]. The harmonic
-#: sum Σ 2^(−M_j) is computed as the INTEGER Σ 2^(24−M_j) (≤ 2³¹ —
-#: BIGINT-safe), making it order-free and bit-identical cross-engine;
-#: the only float ops are the final α·m²·2²⁴ / Σv division — IEEE-
-#: identical everywhere. Raw Flajolet estimator, no small/large-range
-#: correction (documented; both engines replay the same formula, so
-#: parity holds regardless).
+#: HLL geometry: the polynomial hash is finalized by a 32-bit
+#: xorshift-multiply mix (lowbias32 family, constants kept < 2³¹ so
+#: every product stays ≤ 63 bits — BIGINT-safe in both engines). The
+#: raw polynomial hash is too structured for register bucketing
+#: (sequential tokens underestimated 2× at n=500 — measured before
+#: the finalizer landed); after the mix, measured rel-err ≤ 0.17
+#: across n = 31..200k over three token patterns. b=8 → m=256
+#: registers; the mixed hash is 32 bits, so the rest field is 24 bits
+#: and rank ρ = 25 − bit_length(rest) ∈ [1, 25]. The harmonic sum
+#: Σ 2^(−M_j) is computed as the INTEGER Σ 2^(25−M_j) — order-free
+#: and bit-identical cross-engine; the only float ops are the final
+#: α·m²·2²⁵ / Σv division — IEEE-identical everywhere.
 HLL_M = 256
-HLL_RHO_MAX = 24
+HLL_RHO_MAX = 25
+HLL_MASK = 0xFFFFFFFF
+HLL_C1 = 0x7FEB352D
+HLL_C2 = 0x6935FA69
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
-#: α·m²·2²⁴ folded into ONE double in Python so both engines divide
+#: α·m²·2²⁵ folded into ONE double in Python so both engines divide
 #: the identical numerator (DuckDB parses bare decimal literals as
 #: DECIMAL, not DOUBLE — a pure-literal product overflows DECIMAL(18))
 HLL_NUM = HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << HLL_RHO_MAX)
 
 
-def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(n_exact, hll_est, rel_err): the 256-register HyperLogLog
-    estimate of the distinct-token count beside the exact count. The
-    sketch build is one map-side-combining max-aggregate into ≤256
-    rows — bounded memory regardless of corpus size, like
-    ``cms_heavy_hitters`` (the two classic sketches, both oracled).
-    Duplicates need no pre-distinct: register max is idempotent."""
-    docs = load_table(spark, sf_dir, "documents")
+def hll_distinct_estimate(docs: DataFrame) -> DataFrame:
+    """The HLL pipeline over any (text) frame — shared by the
+    registered fixture query and the cross-cardinality accuracy test
+    (``tests/test_sketches.py``), so there is exactly ONE copy of the
+    sketch arithmetic."""
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).persist()
-    h = T.poly_hash(F.col("tok"))
-    hashed = toks.select(
-        (h % F.lit(HLL_M)).alias("bucket"),
-        F.shiftright(h, 8).alias("rest"),
+    # chained selects keep each mix step a single column reference —
+    # inlining would double the poly-hash subtree at every xor
+    mixed = (
+        toks.select(T.poly_hash(F.col("tok")).alias("v"))
+        .select(F.col("v").bitwiseAND(F.lit(HLL_MASK)).alias("v"))
+        .select(F.col("v").bitwiseXOR(F.shiftright(F.col("v"), 16)).alias("v"))
+        .select((F.col("v") * F.lit(HLL_C1)).bitwiseAND(F.lit(HLL_MASK)).alias("v"))
+        .select(F.col("v").bitwiseXOR(F.shiftright(F.col("v"), 15)).alias("v"))
+        .select((F.col("v") * F.lit(HLL_C2)).bitwiseAND(F.lit(HLL_MASK)).alias("v"))
+        .select(F.col("v").bitwiseXOR(F.shiftright(F.col("v"), 16)).alias("h"))
+    )
+    hashed = mixed.select(
+        (F.col("h") % F.lit(HLL_M)).alias("bucket"),
+        F.shiftright(F.col("h"), 8).alias("rest"),
     )
     rho = F.when(F.col("rest") == 0, F.lit(HLL_RHO_MAX)).otherwise(
         F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("rest")))
@@ -1523,10 +1536,25 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_exact, hll_est, rel_err): the 256-register HyperLogLog
+    estimate of the distinct-token count beside the exact count. The
+    sketch build is one map-side-combining max-aggregate into ≤256
+    rows — bounded memory regardless of corpus size, like
+    ``cms_heavy_hitters`` (the two classic sketches, both oracled).
+    Duplicates need no pre-distinct: register max is idempotent."""
+    return hll_distinct_estimate(load_table(spark, sf_dir, "documents"))
+
+
 SQL_HLL_DISTINCT_TOKENS = f"""
 WITH ex AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-th AS (SELECT {_sql_poly_hash('tok')} AS h FROM ex),
-hb AS (SELECT h % {HLL_M} AS bucket, h >> 8 AS rest FROM th),
+th AS (SELECT {_sql_poly_hash('tok')} AS v FROM ex),
+m1 AS (SELECT xor(v & {HLL_MASK}, (v & {HLL_MASK}) >> 16) AS v FROM th),
+m2 AS (SELECT (v * {HLL_C1}) & {HLL_MASK} AS v FROM m1),
+m3 AS (SELECT xor(v, v >> 15) AS v FROM m2),
+m4 AS (SELECT (v * {HLL_C2}) & {HLL_MASK} AS v FROM m3),
+mx AS (SELECT xor(v, v >> 16) AS h FROM m4),
+hb AS (SELECT h % {HLL_M} AS bucket, h >> 8 AS rest FROM mx),
 regs AS (
   SELECT bucket,
     max(CASE WHEN rest = 0 THEN {HLL_RHO_MAX}

@@ -1,0 +1,63 @@
+"""Sketch-family invariants — the guarantees the oracle parity checks
+can't express: CMS one-sidedness, Bloom zero-false-negatives (via
+consistency with the exact decontaminate operator), and HLL accuracy
+on cardinalities far from the 31-word fixture vocabulary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark import (
+    registry,
+)
+
+
+def test_cms_estimate_is_one_sided(spark, sf_small):
+    """Count-min never underestimates: est ≥ exact on every reported
+    row (the sketch's defining guarantee — collisions only add)."""
+    rows = registry.QUERIES["cms_heavy_hitters"](spark, sf_small).collect()
+    assert rows, "CMS returned no rows"
+    for r in rows:
+        assert r.cms_est >= r.exact_count, (r.tok, r.exact_count, r.cms_est)
+
+
+def test_bloom_is_superset_of_exact_decontaminate(spark, sf_small):
+    """The Bloom pre-filter admits every truly contaminated shingle:
+    per document, its true-hit count must equal the EXACT operator's
+    n_contaminated (cross-operator consistency) and its bloom-hit
+    count must dominate (no false negatives)."""
+    bloom = {
+        r.doc_id: r
+        for r in registry.QUERIES["bloom_decontaminate"](spark, sf_small).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in registry.QUERIES["decontamination"](spark, sf_small).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, b in bloom.items():
+        e = exact[doc_id]
+        assert b.n_shingles == e.n_shingles, doc_id
+        assert b.n_true_hits == e.n_contaminated, doc_id
+        assert b.n_bloom_hits >= b.n_true_hits, doc_id
+
+
+def test_hll_accuracy_across_cardinalities(spark):
+    """The corrected HLL estimator lands within a loose multiple of
+    its theoretical standard error (1.04/√256 ≈ 6.5%) on synthetic
+    distinct sets spanning the linear-counting and raw regimes —
+    the fixture vocabulary only exercises n=31. Runs the REAL
+    operator (``hll_distinct_estimate``), not a replica."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_text import (
+        hll_distinct_estimate,
+    )
+
+    for n in (50, 500, 5000):
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok"), F.col("id").cast("string")).alias("text"),
+        )
+        row = hll_distinct_estimate(docs).collect()[0]
+        assert row.n_exact == n
+        rel = abs(row.hll_est - n) / n
+        assert rel < 0.25, (n, row.hll_est, rel)
