@@ -698,6 +698,7 @@ _FRONT = [
     "cms_heavy_hitters",           # NEW r06: count-min sketch frequency estimates
     "hll_distinct_tokens",         # NEW r06: oracled HyperLogLog distinct count
     "bloom_decontaminate",         # NEW r06: Bloom pre-filter + exact FPR truth
+    "stream_cms_counts",           # NEW r06: streaming count-min (batch form)
     # -- r03-era rows, three rounds stale (§2 core refinement path) --
     "refine_cos_hoeff_topk",
     "refine_cos_l1_topk",

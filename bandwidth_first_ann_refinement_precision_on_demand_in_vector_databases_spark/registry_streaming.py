@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .sources.fixtures import QUERY_STRIDE, load_table
 from .streaming.windows import (
     click_purchase_join,
+    cms_user_counts,
     dedup_events,
     session_windows,
     sliding_counts,
@@ -170,3 +171,29 @@ STREAMING_ORACLES: dict[str, str] = {
     "stream_interval_join": SQL_INTERVAL_JOIN,
     "stream_ann_topk": SQL_STREAM_ANN_TOPK,
 }
+
+
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming count-min sketch over events (the
+    plan is mode-agnostic; ``tests/test_streaming.py`` proves the
+    readStream replay produces the identical counter table)."""
+    return cms_user_counts(load_table(spark, sf_dir, "events"))
+
+
+def _sql_stream_cms() -> str:
+    from .functions.text import HASH_P
+    from .registry_text import CMS_A, CMS_B, CMS_DEPTH, CMS_W, _sql_poly_hash
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, (({CMS_A[d]} * h + {CMS_B[d]}) % {HASH_P}) % {CMS_W} AS bucket FROM uh"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH uh AS (SELECT {_sql_poly_hash("CAST(user_id AS VARCHAR)")} AS h FROM events),
+rows_ AS ({union})
+SELECT d, bucket, count(*) AS c FROM rows_ GROUP BY d, bucket
+"""
+
+
+STREAMING_QUERIES["stream_cms_counts"] = q_stream_cms
+STREAMING_ORACLES["stream_cms_counts"] = _sql_stream_cms()

@@ -161,3 +161,42 @@ def session_windows(events: DataFrame, ts_col: str = "ts", late: str = LATE_THRE
             F.col("__sv").cast("double").alias("sum_value"),
         )
     )
+
+
+def cms_user_counts(
+    events: DataFrame, late: str = LATE_THRESHOLD
+) -> DataFrame:
+    """(d, bucket, c): count-min sketch of per-user event frequencies
+    — the streaming member of the sketch family (``registry_text.
+    q_cms_heavy_hitters`` is the batch document-token form with the
+    same constants). A stateless explode into (depth, bucket) keys
+    followed by ONE incremental count aggregate whose state is the
+    fixed 4×512 counter table — the canonical bounded-state streaming
+    aggregation: state size is O(DEPTH·W) forever, however many users
+    or events flow through. Mode-agnostic (no event-time window, so
+    no watermark is needed; ``late`` is accepted for the shared
+    batch≡stream test harness signature and ignored)."""
+    from ..functions.text import HASH_P, poly_hash
+    from ..registry_text import CMS_A, CMS_B, CMS_DEPTH, CMS_W
+
+    hashed = events.select(
+        poly_hash(F.col("user_id").cast("string")).alias("h")
+    )
+    rows = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            (F.lit(CMS_A[d]) * F.col("h") + F.lit(CMS_B[d]))
+                            % F.lit(HASH_P)
+                            % F.lit(CMS_W)
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))

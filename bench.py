@@ -122,6 +122,7 @@ def _suite():
         "cms_heavy_hitters",
         "hll_distinct_tokens",
         "bloom_decontaminate",
+        "stream_cms_counts",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

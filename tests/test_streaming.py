@@ -24,6 +24,7 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
     session_windows,
     sliding_counts,
     tumbling_counts,
+    cms_user_counts,
 )
 
 
@@ -92,8 +93,9 @@ WIDE = "60 days"
         (tumbling_counts, ["win_start", "win_end", "event_type", "n_events", "sum_value"]),
         (sliding_counts, ["win_start", "win_end", "event_type", "n_events"]),
         (session_windows, ["user_id", "sess_start", "sess_end", "n_events", "sum_value"]),
+        (cms_user_counts, ["d", "bucket", "c"]),
     ],
-    ids=["tumbling", "sliding", "session"],
+    ids=["tumbling", "sliding", "session", "cms"],
 )
 def test_stream_equals_batch(spark, sf_small, stream_dir, fn, cols):
     batch = fn(load_table(spark, sf_small, "events"))
