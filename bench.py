@@ -123,6 +123,8 @@ def _suite():
         "hll_distinct_tokens",
         "bloom_decontaminate",
         "stream_cms_counts",
+        "bm25_topn",
+        "hybrid_bm25_rrf",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
