@@ -30,6 +30,24 @@ from pyspark.sql import functions as F
 from ..functions.fp16 import FP16_EXP_BITS, FP16_MAN_BITS
 
 
+def compressed_size(blob: bytes, codec: str = "zlib", level: int = 6) -> int:
+    """Compressed byte count of ``blob`` under ``codec``. ``zlib`` is
+    the reference's GZIP-family model (``ANNCode.py:693-704``); ``zstd``
+    is the paper's second Fig.13 codec (§4.3 sweeps GZIP *and* ZSTD),
+    provided by pyarrow's bundled Zstandard codec (present wherever
+    pandas UDFs run — no extra dependency)."""
+    if not blob:
+        return 0
+    if codec == "zlib":
+        return len(zlib.compress(blob, level=max(0, min(9, level))))
+    if codec == "zstd":
+        import pyarrow as pa
+
+        codec_obj = pa.Codec("zstd", compression_level=max(1, min(22, level)))
+        return len(codec_obj.compress(blob))
+    raise ValueError(f"unknown codec {codec!r} (want 'zlib' or 'zstd')")
+
+
 def pack_bitplanes_np(u16: np.ndarray, keep_e: int, keep_m: int) -> bytes:
     """Bit-slice the kept planes of a u16 word array and pack to bytes.
 
@@ -49,15 +67,17 @@ def pack_bitplanes_np(u16: np.ndarray, keep_e: int, keep_m: int) -> bytes:
 
 
 def compressed_bytes_per_vec_np(
-    mat: np.ndarray, keep_e: int, keep_m: int, level: int = 6
+    mat: np.ndarray, keep_e: int, keep_m: int, level: int = 6, codec: str = "zlib"
 ) -> float:
     """Single-blob reference semantics (``avg_reduced_bytes_per_vec``,
-    ``ANNCode.py:693-704``): zlib over the packed planes / N."""
+    ``ANNCode.py:693-704``): one compressed stream over the packed
+    planes / N; ``codec`` picks zlib (reference) or zstd (paper
+    Fig.13's second codec)."""
     u16 = mat.astype(np.float16).view(np.uint16)
     blob = pack_bitplanes_np(u16, keep_e, keep_m)
     if not blob:
         return 0.0
-    return len(zlib.compress(blob, level=max(0, min(9, level)))) / float(mat.shape[0])
+    return compressed_size(blob, codec, level) / float(mat.shape[0])
 
 
 def avg_reduced_bytes_per_vec(
@@ -67,19 +87,20 @@ def avg_reduced_bytes_per_vec(
     level: int = 6,
     vec_col: str = "embedding",
     exact: bool = False,
+    codec: str = "zlib",
 ) -> float:
     """A5: average compressed bytes per vector of the reduced layout.
 
     ``exact=False`` (scalable default): per-partition pack+compress via
     ``mapInPandas``, aggregated with a plain sum — no collect of vector
     data, O(partitions) rows to the driver.
-    ``exact=True``: reference-exact single zlib stream (collects the
-    corpus; fixture/test scale only).
+    ``exact=True``: reference-exact single compressed stream (collects
+    the corpus; fixture/test scale only).
     """
     if exact:
         pdf = corpus.select(vec_col).toPandas()
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-        return compressed_bytes_per_vec_np(mat, keep_e, keep_m, level)
+        return compressed_bytes_per_vec_np(mat, keep_e, keep_m, level, codec)
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mats = [
@@ -92,7 +113,7 @@ def avg_reduced_bytes_per_vec(
         mat = np.concatenate(mats, axis=0)
         u16 = mat.astype(np.float16).view(np.uint16)
         blob = pack_bitplanes_np(u16, keep_e, keep_m)
-        comp = len(zlib.compress(blob, level=max(0, min(9, level)))) if blob else 0
+        comp = compressed_size(blob, codec, level)
         yield pd.DataFrame({"comp_bytes": [comp], "n_vec": [mat.shape[0]]})
 
     totals = (
@@ -114,9 +135,12 @@ def compression_stats_df(
 ) -> DataFrame:
     """A5 as a declarative one-row result: compressed bytes/vector of
     the bit-plane reduced layout and its ratios against the raw
-    reduced and full layouts (paper §4.3 / Fig.13 quantities).
-    Distributed end to end — per-partition pack+zlib, one tiny
-    aggregate; no vector data reaches the driver."""
+    reduced and full layouts, for BOTH paper §4.3 / Fig.13 codecs
+    (GZIP-family zlib — the reference's model — and ZSTD, which is
+    also what the engine's Parquet store compresses with natively).
+    Distributed end to end — per-partition pack + both compressors in
+    one pass over the data, one tiny aggregate; no vector data reaches
+    the driver."""
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mats = [
@@ -129,20 +153,36 @@ def compression_stats_df(
         mat = np.concatenate(mats, axis=0)
         u16 = mat.astype(np.float16).view(np.uint16)
         blob = pack_bitplanes_np(u16, keep_e, keep_m)
-        comp = len(zlib.compress(blob, level=max(0, min(9, level)))) if blob else 0
-        yield pd.DataFrame({"comp_bytes": [comp], "n_vec": [mat.shape[0]]})
+        yield pd.DataFrame(
+            {
+                "comp_bytes": [compressed_size(blob, "zlib", level)],
+                "comp_bytes_zstd": [compressed_size(blob, "zstd", level)],
+                "n_vec": [mat.shape[0]],
+            }
+        )
 
     b_red = (1 + keep_e + keep_m) * dim / 8.0
     b_full = 16.0 * dim / 8.0
     totals = (
         corpus.select(vec_col)
-        .mapInPandas(per_partition, schema="comp_bytes bigint, n_vec bigint")
-        .agg(F.sum("comp_bytes").alias("b"), F.sum("n_vec").alias("n"))
+        .mapInPandas(
+            per_partition,
+            schema="comp_bytes bigint, comp_bytes_zstd bigint, n_vec bigint",
+        )
+        .agg(
+            F.sum("comp_bytes").alias("b"),
+            F.sum("comp_bytes_zstd").alias("bz"),
+            F.sum("n_vec").alias("n"),
+        )
     )
     avg = F.col("b").cast("double") / F.col("n")
+    avg_z = F.col("bz").cast("double") / F.col("n")
     return totals.select(
         F.col("n").alias("n_vec"),
         F.round(avg, 3).alias("avg_comp_bytes"),
         F.round(F.lit(b_red) / avg, 4).alias("ratio_vs_reduced"),
         F.round(F.lit(b_full) / avg, 4).alias("ratio_vs_full"),
+        F.round(avg_z, 3).alias("avg_comp_bytes_zstd"),
+        F.round(F.lit(b_red) / avg_z, 4).alias("ratio_vs_reduced_zstd"),
+        F.round(F.lit(b_full) / avg_z, 4).alias("ratio_vs_full_zstd"),
     )

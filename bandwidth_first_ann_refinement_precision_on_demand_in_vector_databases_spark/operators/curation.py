@@ -311,7 +311,8 @@ def bloom_decontaminate(
     the Bloom-filter PRE-FILTER for benchmark decontamination, beside
     the exact truth. ``decontaminate`` ships every corpus shingle into
     a string semi join; here the holdout set is folded ONCE into a
-    128-word broadcast bitmap and every corpus shingle is tested
+    (BLOOM_BITS // BLOOM_WORD)-word broadcast bitmap (8192 words at
+    the registered 2^18-bit geometry) and every corpus shingle is tested
     map-side with 3 integer hashes — the join-pruning shape Spark's
     own runtime Bloom filters apply, made explicit and measurable
     (no false negatives by construction; ``n_false_pos`` quantifies

@@ -388,54 +388,70 @@ def embedding_neardup_lsh(
     )
 
 
-#: fixed min-label-propagation rounds for duplicate clustering: labels
-#: reach the component minimum within (diameter) hops, and near-dup
-#: components are shallow (pairs chain through shared shingles);
-#: stability at the fixture scale is test-asserted (labels identical
-#: at CC_ITERS and CC_ITERS+1). The DuckDB oracle replays the same
-#: unrolled rounds, so both engines agree bit-for-bit even if some
-#: pathological component were still converging.
+#: label-propagation rounds the unrolled DuckDB oracles replay: on the
+#: fixture graphs (shallow near-dup clusters) plain neighbor-min
+#: reaches its fixpoint well inside this many hops, so the oracle's
+#: fixed unroll and the engine's run-to-fixpoint loop agree exactly.
+#: The ENGINE no longer truncates at this constant — see
+#: ``duplicate_components`` (fixpoint contract + shortcut rounds).
 CC_ITERS = 5
+#: hard safety cap on fixpoint rounds. With the per-round label
+#: shortcut the rounds needed are ~log₂(component diameter), so 50
+#: rounds cover diameters up to ~2^49 — any graph that still moves at
+#: the cap indicates a broken monotonicity invariant, and the
+#: operator RAISES rather than returning silently split components
+#: (the r06-verdict defect: a diameter > iters path used to get
+#: truncated labels with no error).
+CC_MAX_ROUNDS = 50
 
 
 def duplicate_components(
     pairs: DataFrame,
-    iters: int = CC_ITERS,
+    max_rounds: int = CC_MAX_ROUNDS,
     id_a: str = "id_a",
     id_b: str = "id_b",
 ) -> DataFrame:
     """Cluster duplicate PAIRS into connected components — what a
     production dedup actually needs (pick one canonical doc per
-    component, not per pair). Iterative min-label propagation as
-    declarative plans: ``label(v) ← min(label(v), min over neighbors
-    of label(n))``, ``iters`` rounds, labels initialized to the node
-    id, restricted to nodes that appear in at least one pair.
+    component, not per pair). Iterative min-label propagation TO THE
+    FIXPOINT, as declarative plans; labels initialized to the node
+    id, restricted to nodes that appear in at least one pair. Each
+    round applies two monotone steps:
+
+    1. neighbor-min: ``label(v) ← min(label(v), min over neighbors
+       n of label(n))`` — the textbook BSP propagation (diameter
+       rounds alone);
+    2. label shortcut: ``label(v) ← label(label(v))`` — pointer
+       jumping (every label value is itself a node id in the frame,
+       so the label frame self-joins as its own lookup table). The
+       composition converges in ~log₂(diameter) rounds — the same
+       doubling idea as the large-star/small-star contraction
+       (Kiveris et al. 2014) expressed as two equi-joins.
 
     Returns ``(doc_id, component_id, component_size)`` with
     ``component_id`` = the component's smallest doc id.
 
-    Scale: each round is one equi-join of the (small) edge set with
-    the label frame plus a min-aggregate — the textbook BSP connected
-    components. The edge set is CHECKPOINTED once before iterating,
-    and the label frame is checkpointed EVERY round: every round (and
-    both final consumers — the size aggregate and the membership
-    join) references it, so without truncation the logical plan
-    re-embeds the whole upstream pair pipeline 2^iters times (the
-    explain string alone OOMs the driver — measured) and the final
-    action executes the full round chain once per consumer. Iterative
-    operators must cut lineage, exactly as the k-means trainer
-    persists its per-round centroids.
+    Scale: each round is two equi-joins of the (small) edge/label
+    sets plus a min-aggregate. The edge set is CHECKPOINTED once
+    before iterating, and the label frame is checkpointed EVERY
+    round: every round (and both final consumers — the size aggregate
+    and the membership join) references it, so without truncation the
+    logical plan re-embeds the whole upstream pair pipeline 2^rounds
+    times (the explain string alone OOMs the driver — measured) and
+    the final action executes the full round chain once per consumer.
+    Iterative operators must cut lineage, exactly as the k-means
+    trainer persists its per-round centroids.
 
-    Early exit: per-node labels only ever decrease, so the label SUM
-    (exact DECIMAL — immune to LONG overflow at billion-node scale)
-    is unchanged between rounds iff the fixpoint is reached; rounds
-    past the fixpoint are no-ops, so stopping there is
-    result-identical to running all ``iters`` rounds (which is what
-    the unrolled DuckDB oracle replays). Duplicate components are
-    shallow (diameter ≈ 2 for dup clusters), so this typically halves
-    the round count. The large-star/small-star contraction is the
-    drop-in accelerant if components ever get deep, without changing
-    this operator's contract."""
+    Fixpoint detection: per-node labels only ever decrease, so the
+    label SUM (exact DECIMAL — immune to LONG overflow at
+    billion-node scale) is unchanged between rounds iff the fixpoint
+    is reached. At the fixpoint labels are constant per component and
+    equal to the component minimum. If the sum still moves after
+    ``max_rounds`` rounds the operator RAISES (monotone + shortcut
+    makes that unreachable for any real graph; silence was the r06
+    defect). The unrolled DuckDB oracles replay ``CC_ITERS`` plain
+    rounds — enough to BE the fixpoint on the fixture graphs, which
+    is what keeps both engines bit-identical."""
     sym = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(
@@ -446,27 +462,46 @@ def duplicate_components(
         "id", F.col("id").alias("label")
     )
     prev_sum = None
-    for _ in range(iters):
+    converged = False
+    for _ in range(max_rounds):
         nb = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
+        stepped = labels.join(nb, labels.id == nb.src, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nb_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label ← label(label). Every label value is a
+        # node id present in the frame (labels start as ids and only
+        # ever take other nodes' labels), so the left join always
+        # hits; coalesce guards the invariant rather than relying on it.
+        lookup = stepped.select(
+            F.col("id").alias("l_id"), F.col("label").alias("l_label")
+        )
         labels = (
-            labels.join(nb, labels.id == nb.src, "left")
+            stepped.join(lookup, stepped.label == lookup.l_id, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("label"), F.coalesce("nb_label", F.col("label"))
-                ).alias("label"),
+                F.coalesce("l_label", "label").alias("label"),
             )
         ).localCheckpoint(eager=True)
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_components: labels still moving after "
+            f"{max_rounds} rounds — monotone min-label with shortcut "
+            f"must converge in ~log2(diameter); invariant broken"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     return (
         labels.join(sizes, "label")

@@ -26,43 +26,106 @@ output), the pool join broadcasts queries, and the M² arithmetic is
 per-row compute inside whole-stage codegen — the classic
 late-interaction trade (more FLOPs per candidate, no extra data
 movement).
+
+Stage-1 contract (r07): the candidate pool is the UNION of per-slice
+top-p — for each query slice i, the p docs with the largest per-slice
+MaxSim term sᵢ(d) = maxⱼ cos(qᵢ, dⱼ) — so the pool is ≤ M·p docs per
+query, CONSTANT in corpus size N. This is PLAID/ColBERTv2's candidate
+generation (per-query-token retrieval, then union of doc ids), and it
+replaced the r06 ⌈N/5⌉ whole-vector-cosine pool whose rerank cost grew
+linearly with N. Measured (reports/sweep_maxsim_union.csv, isotropic
+fixture): per-slice evidence is a far stronger proxy than whole-vector
+cosine — at sf0.1 p=50 (pool ≤ 200) gives pool-sufficiency 0.8275 vs
+the fraction pool's 0.51 at pool 400; at an equal 400-doc budget
+(p=100) it reaches 0.97. At 100 TB the per-slice ranking runs over an
+IVF/LSH-pruned slice-vector index instead of the brute scan; the pool
+contract (≤ M·p) is unchanged.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.vector import cosine
+from ..session import ensure_parallelism
 from .topk import topk_per_query
 
 #: sub-vectors per bag (slices of the stored single vector).
 MV_M = 4
-#: stage-1 pool floor — the r04/r05 absolute constant, kept as the
-#: minimum so tiny fixtures still pool meaningfully.
-MAXSIM_POOL_MIN = 50
-#: stage-1 pool as a fraction of the corpus: pool = ⌈N/DEN⌉ (exact
-#: integer ceil-division so the DuckDB twin reproduces it bit-for-bit).
-#: Swept at sf0.1 (reports/sweep_maxsim_pool.csv, n=2000): sufficiency
-#: is near-LINEAR in the pool fraction on the isotropic fixture
-#: (whole-vector cosine is only weakly predictive of the 4-slice
-#: MaxSim order for random unit vectors — frac 0.025→0.4 gives recall
-#: 0.2475→0.6575), so a fixed-recall target prescribes a fixed
-#: FRACTION here, not the r05 absolute pool whose sufficiency decayed
-#: 0.46→0.2475 from sf0.01→sf0.1. Operating point DEN=5 (20% of N):
-#: recall 0.51 at sf0.1 — doubled from the fixed-50 0.2475. On real
-#: (clustered) embeddings stage 1 is far more predictive and the
-#: needed fraction falls with N; the fraction is the honest upper
-#: bound the isotropic fixture demands.
-MAXSIM_POOL_DEN = 5
+#: stage-1 per-slice depth: top-p docs per query slice, pool ≤ M·p.
+#: Swept at sf0.01/sf0.1 (reports/sweep_maxsim_union.csv): p=50 →
+#: pool ≤ 200 (mean 191 at sf0.1), sufficiency 0.8275 — above the r06
+#: fraction pool's 0.51 at HALF its 400-doc budget, and N-independent.
+MAXSIM_POOL_P = 50
 #: re-ranked results kept per query.
 MAXSIM_K = 10
 
 
-def maxsim_pool_size(n: int) -> int:
-    """Stage-1 candidate-pool size for a corpus of ``n`` vectors:
-    max(MAXSIM_POOL_MIN, ⌈n / MAXSIM_POOL_DEN⌉), integer-exact."""
-    return max(MAXSIM_POOL_MIN, -(-int(n) // MAXSIM_POOL_DEN))
+def slice_term_expr(qcol: str, dcol: str, dim: int, i: int, m: int = MV_M) -> Column:
+    """The i-th MaxSim term sᵢ(d) = maxⱼ cos(qᵢ, dⱼ): greatest of the
+    M cosines between query slice i and every doc slice, unrolled."""
+    sub = dim // m
+    qi = F.slice(F.col(qcol), i * sub + 1, sub)
+    best: Column | None = None
+    for j in range(m):
+        dj = F.slice(F.col(dcol), j * sub + 1, sub)
+        c = cosine(qi, dj)
+        best = c if best is None else F.greatest(best, c)
+    assert best is not None
+    return best
+
+
+def maxsim_union_pool(
+    queries: DataFrame,
+    corpus: DataFrame,
+    p: int = MAXSIM_POOL_P,
+    m: int = MV_M,
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id): stage-1 candidate pool = union over the
+    M query slices of the per-slice top-p docs ranked by that slice's
+    own MaxSim term sᵢ(d). One corpus scan computes all M terms per
+    (query, doc) as an array; posexplode + a per-(query, slice) window
+    ranks them (M·|Q| window groups — never a single partition). The
+    union is ≤ M·p docs per query regardless of N — the bounded-pool
+    contract the linear ⌈N/5⌉ stage 1 lacked."""
+    if dim is None:
+        from .simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
+    if dim % m != 0:
+        raise ValueError(f"bag size {m} does not divide dim {dim}")
+    q = F.broadcast(queries.select("query_id", F.col("embedding").alias("qv")))
+    terms = F.array(
+        *[slice_term_expr("qv", "embedding", dim, i, m) for i in range(m)]
+    )
+    scored = (
+        ensure_parallelism(corpus)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode(terms).alias("slice_i", "s"),
+        )
+    )
+    ordering = [F.col("s").desc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", "slice_i", F.spark_partition_id()
+    ).orderBy(*ordering)
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .where(F.col("__lr") <= p)
+        .drop("__lr")
+    )
+    final = Window.partitionBy("query_id", "slice_i").orderBy(*ordering)
+    return (
+        pruned.withColumn("__r", F.row_number().over(final))
+        .where(F.col("__r") <= p)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
 
 
 def maxsim_expr(qcol: str, dcol: str, dim: int, m: int = MV_M) -> Column:

@@ -206,6 +206,13 @@ def parallel_global_rank(
     ``DESC NULLS LAST``): they are routed to the lowest bucket
     explicitly — the split comparisons would otherwise evaluate NULL
     and silently drop them into bucket 0, the top of the order.
+
+    Side effect: construction is EAGER — the split frame runs a
+    ``percentile_approx`` job + ``localCheckpoint`` at plan-build
+    time (the exactness argument above requires pinning one split
+    array before it feeds two branches). Callers that only want the
+    logical plan (plan audits, ``test_scale_guard``'s registry sweep)
+    still pay the small split job.
     """
     pcts = [i / n_buckets for i in range(1, n_buckets)]
     if pcts:

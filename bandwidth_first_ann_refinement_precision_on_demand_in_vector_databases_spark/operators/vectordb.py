@@ -170,7 +170,13 @@ def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     combines map-side. No q×N comparison anywhere."""
     # the exploded posting file feeds tf AND dl, and tf feeds dfs AND
     # the term join — persist both or Spark re-runs the full
-    # scan+explode lineage per consumer (the repo-wide ≥2-consumer rule)
+    # scan+explode lineage per consumer (the repo-wide ≥2-consumer
+    # rule). Lifecycle: operator-scope persists here (and in
+    # tfidf_topn / the sketch queries) are deliberately NOT unpersisted
+    # — the frames back the returned lazy DataFrame, so eager unpersist
+    # would re-run the lineage per consumer again. Long-lived sessions
+    # reclaim them via catalog.clearCache(), which bench.py's heap
+    # watch invokes past its threshold.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).persist()

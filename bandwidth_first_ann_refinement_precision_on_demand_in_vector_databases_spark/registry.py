@@ -664,71 +664,80 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r06 rotation. Policy unchanged: (1) queries with NO driver row yet
-    # (the 8 r05-late registrations — locally oracle-green but
-    # self-reported until the driver hashes them); (2) queries whose
-    # semantics or plan CHANGED this round (corpus_dsir_select's
-    # quantile-threshold rewrite, the MaxSim adaptive pool); (3) the
-    # oldest green rows — the r03-era refine_*/topk_* families (the §2
-    # heart, three rounds stale by r06).
-    # -- never driver-checked (r05-late) --
-    "ann_maxsim_recall",       # pool-sufficiency measurement (+ r06 adaptive pool)
-    "ann_mrl_cushion_topk",    # MRL × cushion composition
-    "ann_mrl_cushion_metrics",
-    "ann_mrl_recall_tuned",    # tuned Matryoshka operating point
-    "bpe_merges",              # BPE merge training
-    "bpe_token_counts",        # BPE apply + token counting
-    "corpus_dsir_select",      # CHANGED r06: quantile-threshold plan
-    "embedding_covariance",    # d² map-side partial covariance
-    "pii_redact",              # NEW r06: curation-stage PII scrubbing
-    "embedding_pca_top",       # NEW r06: power-iteration PCA component
-    "embedding_pca_project",   # NEW r06: map-side PCA projection
-    "global_rank_events",      # NEW r06: parallel exact global rank
-    "ann_ivfbq_topk",          # NEW r06: IVF x 1-bit composition
-    "ann_ivfbq_recall",
-    "corpus_token_budget",     # NEW r06: quality-gated token accounting
-    "ann_graph_delta_edges",   # NEW r06: incremental graph-index insert
-    "ann_cascade_topk",        # NEW r06: 1bit -> int8 -> exact cascade
-    "ann_cascade_metrics",     # NEW r06: cascade recall + byte model
-    "tfidf_topn",              # NEW r06: un-normalized lexical scorer
-    "sessionize",              # NEW r06: batch gap sessionization
-    "ann_cascade_cushion_topk",    # NEW r06: cascade x cushion composition
-    "ann_cascade_cushion_metrics",
-    "ann_cascade_index_topk",      # NEW r06: cascade served from stored sketches
-    "cms_heavy_hitters",           # NEW r06: count-min sketch frequency estimates
-    "hll_distinct_tokens",         # NEW r06: oracled HyperLogLog distinct count
-    "bloom_decontaminate",         # NEW r06: Bloom pre-filter + exact FPR truth
-    "stream_cms_counts",           # NEW r06: streaming count-min (batch form)
-    # -- r03-era rows, three rounds stale (§2 core refinement path) --
-    "refine_cos_hoeff_topk",
-    "refine_cos_l1_topk",
-    "refine_cos_l2_topk",
-    "refine_l2_sym_topk",
-    "refine_l2_tz_topk",
-    "refine_l2_hoeff_topk",
-    "topk_cosine_exact",
-    "topk_l2_exact",
-    # -- r03-era metrics twins (same staleness) --
-    "refine_cos_hoeff_metrics",
-    "refine_cos_l1_metrics",
-    "refine_cos_l2_metrics",
-    "refine_l2_sym_metrics",
-    "refine_l2_tz_metrics",
-    "refine_l2_hoeff_metrics",
-    "refine_l2_tz_tuned_metrics",
-    "refine_cos_l1_tuned_metrics",
-    "refine_l2_tz_ekeep_metrics",
-    "refine_l2_tz_compressed_metrics",
-    "rownorm_unit",
-    # -- r03-era ANN ladder rows not refreshed since --
-    "ann_lsh_topk",
-    "ann_lsh_recall",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_sq_topk",
-    "ann_sq_recall",
+    # r07 rotation. Policy unchanged: (1) queries whose semantics or
+    # plan CHANGED this round (the MaxSim per-slice union pool — both
+    # queries need a fresh driver hash before anything else); (2) the
+    # oldest green rows. After r06 every registered query has a green
+    # driver row somewhere in r01–r06, so (2) is pure staleness: the
+    # 17 queries last checked in r03, then the 44 last checked in r04
+    # (the ~50-slot window covers (1) + all of r03 + most of r04; the
+    # clipped r04 tail keeps its green r04 rows and leads next round).
+    # -- CHANGED r07: stage-1 pool = per-slice top-p union, N-independent --
+    "ann_maxsim_rerank",
+    "ann_maxsim_recall",
+    # -- r03-stale (17) --
+    "recall_l2_vs_cosine",
+    "pricing_summary",
+    "reduce_precision",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "media_metadata",
+    "media_decode",
+    "vocab_topn",
+    "corpus_sample",
+    "embedding_dim_stats",
+    "grouping_sets_orders",
+    "window_range_frame",
+    "pivot_events",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "reduce_precision_ekeep",
+    # -- r04-stale (44) --
+    "text_stats",
+    "text_quality",
+    "pq_codes",
     "ann_pq_topk",
+    "ann_pq_refined_topk",
     "ann_pq_recall",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "corpus_curation",
+    "dedup_semantic",
+    "dedup_incremental",
+    "text_repetition",
+    "text_lm_quality",
+    "quality_gate",
+    "corpus_mixture",
+    "ann_ivf_cushion_topk",
+    "ann_ivf_cushion_recall",
+    "ann_ivf_cushion_metrics",
+    "ann_lsh_cushion_topk",
+    "ann_lsh_cushion_metrics",
+    "ann_lsh_cushion_tuned_metrics",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
+    "ann_range_search",
+    "sq_codes",
+    "ann_sq_topk",
+    "ann_sq_refined_topk",
+    "ann_sq_recall",
+    "hybrid_rrf",
+    "stream_ann_topk",
+    "doc_chunks",
+    "ann_knn_graph",
+    "ann_knn_graph_recall",
+    "decontamination",
+    "ann_ivfsq_topk",
+    "ann_ivfsq_recall",
+    "hybrid_bm25_rrf",
+    "ann_mmr_rerank",
+    "media_features",
+    "pq_codebook",
+    "ivf_cell_sizes",
+    "stream_dedup_events",
+    "stream_interval_join",
+    "dedup_components",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

@@ -135,10 +135,11 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {MINHASH_TAU}
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH duplicate pairs
-    (min-label propagation, ``CC_ITERS`` fixed rounds — the oracle
-    unrolls the identical rounds). Production dedup keeps one
-    canonical doc per component; this emits the component membership
-    that decision needs."""
+    (min-label propagation run to the FIXPOINT with per-round label
+    shortcutting; the oracle unrolls ``CC_ITERS`` plain rounds, which
+    reach the same fixpoint on the shallow fixture graph). Production
+    dedup keeps one canonical doc per component; this emits the
+    component membership that decision needs."""
     pairs = D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=SHINGLE_N, threshold=MINHASH_TAU
     )

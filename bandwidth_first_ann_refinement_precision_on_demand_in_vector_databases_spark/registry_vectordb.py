@@ -1224,42 +1224,48 @@ def _sql_maxsim(qe: str, de: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-#: DuckDB twin of ``multivec.maxsim_pool_size`` — integer-exact
-#: greatest(MIN, ⌈N/DEN⌉) as a scalar subquery.
-_SQL_MAXSIM_POOL = (
-    f"(SELECT greatest({MV.MAXSIM_POOL_MIN},"
-    f" (count(*) + {MV.MAXSIM_POOL_DEN - 1}) // {MV.MAXSIM_POOL_DEN})"
-    " FROM embeddings)"
+def _sql_slice_term(qe: str, de: str, i: int) -> str:
+    """DuckDB twin of ``multivec.slice_term_expr``: sᵢ(d) = greatest of
+    the M cosines between query slice i and every doc slice."""
+    qi = f"list_slice({qe}, {i * _MV_SUB + 1}, {(i + 1) * _MV_SUB})"
+    coss = [
+        _sql_cos(qi, f"list_slice({de}, {j * _MV_SUB + 1}, {(j + 1) * _MV_SUB})")
+        for j in range(MV.MV_M)
+    ]
+    return "greatest(" + ", ".join(coss) + ")"
+
+
+#: DuckDB twin of ``multivec.maxsim_union_pool``: per query slice i,
+#: top-p docs by sᵢ(d) (ties → vec_id asc, matching the Spark window),
+#: UNION ALL over the M slices, DISTINCT doc ids. ≤ M·p per query.
+_SQL_MAXSIM_UNION_POOL = (
+    "SELECT DISTINCT query_id, neighbor_id FROM (\n  "
+    + "\n  UNION ALL\n  ".join(
+        f"""SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_slice_term("q.qe", "e.embedding", i)} DESC, e.vec_id) AS r
+    FROM q CROSS JOIN embeddings e
+  ) WHERE r <= {MV.MAXSIM_POOL_P}"""
+        for i in range(MV.MV_M)
+    )
+    + "\n)"
 )
 
 
-def _corpus_count_cached(spark: SparkSession, sf_dir: str, corpus: DataFrame) -> int:
-    """Memoized corpus row count per (session, fixture dir) — both
-    MaxSim queries size their pool from it, and the scale-guard /
-    every-query sweeps build each plan several times per session; an
-    unmemoized count() would run a fresh Spark job on every plan
-    construction."""
-    from .session import session_cache
-
-    cache = session_cache(spark, "corpus_count")
-    if sf_dir not in cache:
-        cache[sf_dir] = corpus.count()
-    return cache[sf_dir]
-
-
 def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage late interaction: the exact single-vector top-POOL
-    proposes candidates (the memoized ground-truth frame other recall
-    queries share); MaxSim over the M=4 derived sub-vector bags
-    re-ranks only the pool. The pool is sized relative to the corpus
-    (``multivec.maxsim_pool_size`` — the r05 fixed-50 pool's measured
-    sufficiency decayed with N; reports/sweep_maxsim_pool.csv)."""
+    """Two-stage late interaction: stage 1 is the per-slice top-p UNION
+    pool (``multivec.maxsim_union_pool`` — ≤ M·p docs per query,
+    constant in N; the PLAID/ColBERTv2 candidate-generation shape);
+    MaxSim over the M=4 derived sub-vector bags re-ranks only the
+    pool. Replaced the r06 ⌈N/5⌉ whole-vector pool — per-slice
+    evidence is the stronger AND bounded proxy
+    (reports/sweep_maxsim_union.csv: 0.8275 vs 0.51 sufficiency at
+    half the pool budget, sf0.1)."""
     corpus = load_table(spark, sf_dir, "embeddings")
-    pool_k = MV.maxsim_pool_size(_corpus_count_cached(spark, sf_dir, corpus))
-    pool = exact_topk_fixture_cached(spark, sf_dir, pool_k, "cosine").select(
-        "query_id", "neighbor_id"
-    )
-    out = MV.maxsim_rerank(queries_view(spark, sf_dir), corpus, pool)
+    queries = queries_view(spark, sf_dir)
+    pool = MV.maxsim_union_pool(queries, corpus)
+    out = MV.maxsim_rerank(queries, corpus, pool)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
     )
@@ -1268,12 +1274,7 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_MAXSIM_RERANK = f"""
 WITH q AS ({SQL_Q_CTE}),
 pool AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, e.vec_id AS neighbor_id,
-      row_number() OVER (PARTITION BY q.query_id
-        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS r
-    FROM q CROSS JOIN embeddings e
-  ) WHERE r <= {_SQL_MAXSIM_POOL}
+  {_SQL_MAXSIM_UNION_POOL}
 ),
 ms AS (
   SELECT p.query_id, p.neighbor_id,
@@ -1293,17 +1294,15 @@ SELECT query_id, rank, neighbor_id, round(maxsim, 6) AS maxsim FROM (
 def q_ann_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pool-sufficiency of the two-stage MaxSim: Recall@K of the
     pooled re-rank against EXHAUSTIVE MaxSim over the corpus — the
-    number that says whether the single-vector candidate pool misses
-    documents the late-interaction scorer would have surfaced. Pool
-    sized by ``multivec.maxsim_pool_size`` (⌈N/5⌉, min 50): 0.51 at
-    sf0.1 vs the fixed-50 pool's 0.2475 (reports/sweep_maxsim_pool.csv
-    — near-linear in pool fraction on the isotropic fixture)."""
+    number that says whether the candidate pool misses documents the
+    late-interaction scorer would have surfaced. Pool = per-slice
+    top-p union (``multivec.maxsim_union_pool``, ≤ M·p = 200 docs,
+    constant in N): sufficiency 0.8275 at sf0.1 vs the retired ⌈N/5⌉
+    whole-vector pool's 0.51 at twice the pool size
+    (reports/sweep_maxsim_union.csv)."""
     queries = queries_view(spark, sf_dir)
     corpus = load_table(spark, sf_dir, "embeddings")
-    pool_k = MV.maxsim_pool_size(_corpus_count_cached(spark, sf_dir, corpus))
-    pool = exact_topk_fixture_cached(spark, sf_dir, pool_k, "cosine").select(
-        "query_id", "neighbor_id"
-    )
+    pool = MV.maxsim_union_pool(queries, corpus)
     ann = MV.maxsim_rerank(queries, corpus, pool)
     exact = MV.maxsim_topk_exhaustive(queries, corpus, MV.MAXSIM_K)
     return ann_recall(ann, exact, MV.MAXSIM_K)
@@ -1312,12 +1311,7 @@ def q_ann_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_MAXSIM_RECALL = f"""
 WITH q AS ({SQL_Q_CTE}),
 pool AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.query_id, e.vec_id AS neighbor_id,
-      row_number() OVER (PARTITION BY q.query_id
-        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS r
-    FROM q CROSS JOIN embeddings e
-  ) WHERE r <= {_SQL_MAXSIM_POOL}
+  {_SQL_MAXSIM_UNION_POOL}
 ),
 allms AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -112,10 +112,10 @@ def test_exact_dedup_collision_resolution_branch(spark):
 
 def test_duplicate_components_on_synthetic_graph(spark):
     """A chain a-b-c plus an isolated pair (d,e): two components with
-    min-id labels and correct sizes; fixed-round propagation is
-    already stable (one extra round changes nothing)."""
+    min-id labels and correct sizes; a larger round cap changes
+    nothing (fixpoint semantics are cap-independent)."""
     from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.dedup import (
-        CC_ITERS,
+        CC_MAX_ROUNDS,
         duplicate_components,
     )
 
@@ -132,6 +132,45 @@ def test_duplicate_components_on_synthetic_graph(spark):
     }
     more = {
         r.doc_id: (r.component_id, r.component_size)
-        for r in duplicate_components(pairs, iters=CC_ITERS + 1).collect()
+        for r in duplicate_components(pairs, max_rounds=CC_MAX_ROUNDS + 1).collect()
     }
     assert more == rows
+
+
+def test_duplicate_components_deep_path_converges(spark):
+    """The r06-verdict defect case: a path graph with diameter well
+    past the old fixed round count (CC_ITERS = 5) used to return
+    silently SPLIT components. The fixpoint contract must label the
+    whole path as one component — and the shortcut step must get
+    there in ~log₂(diameter) rounds, which the small max_rounds cap
+    below enforces (plain neighbor-min alone would need 24 rounds
+    and hit the cap's RuntimeError)."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    n = 25  # path 0-1-2-...-24, diameter 24 > CC_ITERS
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    rows = {
+        r.doc_id: (r.component_id, r.component_size)
+        for r in duplicate_components(pairs, max_rounds=10).collect()
+    }
+    assert rows == {i: (0, n) for i in range(n)}
+
+
+def test_duplicate_components_raises_at_cap(spark):
+    """A cap too small for the graph must raise loudly, never return
+    truncated labels (the silent-mislabel defect)."""
+    import pytest
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="still moving"):
+        duplicate_components(pairs, max_rounds=2).collect()

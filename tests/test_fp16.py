@@ -144,3 +144,23 @@ def test_compression_model_spark_vs_exact(spark, sf_small):
     # compression must beat the uncompressed reduced layout at default keep
     uncompressed = (1 + 5 + 6) * 64 / 8.0
     assert distributed < uncompressed
+
+
+def test_compression_model_zstd_codec(spark, sf_small):
+    """Paper §4.3 Fig.13 sweeps GZIP AND ZSTD: the zstd column must
+    exist, beat the uncompressed reduced layout, and the distributed
+    form must replicate the single-blob NumPy model's regime."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.compression import (
+        compression_stats_df,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    exact_z = avg_reduced_bytes_per_vec(emb, keep_e=5, keep_m=6, exact=True, codec="zstd")
+    pdf = emb.select("embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    assert exact_z == pytest.approx(compressed_bytes_per_vec_np(mat, 5, 6, codec="zstd"))
+    row = compression_stats_df(emb.repartition(4), keep_e=5, keep_m=6).collect()[0]
+    uncompressed = (1 + 5 + 6) * 64 / 8.0
+    assert 0 < row["avg_comp_bytes_zstd"] < uncompressed
+    assert 0.7 * exact_z < row["avg_comp_bytes_zstd"] < 1.5 * exact_z
+    assert row["ratio_vs_full_zstd"] > row["ratio_vs_reduced_zstd"] > 1.0

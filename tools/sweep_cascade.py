@@ -2,7 +2,8 @@
 
 ``operators/bq.cascade_topk`` composes the whole precision ladder —
 1-bit Hamming admit (r2·K) → int8 recon-cosine narrow (r1·K) → exact
-re-rank. The registered point is (r2=10, r1=3); this sweeps the two
+re-rank. The registered point is (bq.CASCADE_R2, bq.CASCADE_R1) =
+(10, 2) — r1=2 dominated r1=3 in this very sweep; this sweeps the two
 pool knobs at one SF so the operating point is a measured choice, the
 same discipline as ``sweep_graph_beam.py`` / ``sweep_maxsim_pool.py``.
 

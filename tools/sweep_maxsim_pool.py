@@ -6,8 +6,11 @@ two-stage re-rank against exhaustive MaxSim) fell 0.46 → 0.2475 going
 sf0.01 → sf0.1 — and would keep falling at 100×. Real late-interaction
 stacks size the stage-1 pool relative to the corpus (PLAID's candidate
 generation admits by score structure, not a fixed 50). This sweeps
-pool ∈ {50..800} at one SF to pick the pool FRACTION the registered
-operating point uses (``multivec.maxsim_pool_size``).
+pool ∈ {50..800} at one SF to pick the pool FRACTION the r06
+operating point used. HISTORICAL (r07): the whole-vector fraction pool
+was retired for the per-slice top-p UNION pool (N-independent;
+``multivec.maxsim_union_pool``, swept in sweep_maxsim_union.py) —
+this tool measures the stage-1 family it replaced.
 
 The exhaustive MaxSim ground truth (q·N·M²) is built once and shared
 across the grid; stage-1 exact top-POOL frames are memoized per pool
