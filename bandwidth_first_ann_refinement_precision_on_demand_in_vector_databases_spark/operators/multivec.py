@@ -211,3 +211,117 @@ def maxsim_topk_exhaustive(
     )
     out = topk_per_query(scored, k, ascending=False)
     return out.withColumnRenamed("score", "maxsim")
+
+
+def token_bag_table(
+    corpus: DataFrame,
+    m: int = MV_M,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, slice_j, subvec): the STORED multi-vector layout — one
+    row per token/sub-vector, the shape a real ColBERT/PLAID store
+    holds (per-token vectors, not packed documents). Here the bags are
+    the derived M contiguous slices, so this materialization is what
+    makes the module's "stored token vectors drop in" claim literal:
+    every plan over this table never touches the packed ``embedding``
+    column."""
+    if dim is None:
+        from .simsearch import embedding_dim
+
+        dim = embedding_dim(corpus)
+    if dim % m != 0:
+        raise ValueError(f"bag size {m} does not divide dim {dim}")
+    sub = dim // m
+    slices = F.array(*[F.slice(F.col(vec_col), j * sub + 1, sub) for j in range(m)])
+    return corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(slices).alias("slice_j", "subvec"),
+    )
+
+
+def maxsim_topk_from_store(
+    queries: DataFrame,
+    bags: DataFrame,
+    k: int = MAXSIM_K,
+    p: int = MAXSIM_POOL_P,
+    m: int = MV_M,
+    dim: int | None = None,
+) -> DataFrame:
+    """Two-stage MaxSim served entirely from a stored token-bag table
+    (``token_bag_table`` layout): per-slice terms come from an
+    aggregate over token rows instead of an unrolled expression over
+    packed vectors, and the result is bit-identical to
+    ``maxsim_union_pool`` + ``maxsim_rerank`` because every float op
+    replays in the same order — cosines over the identical float32
+    slice arrays, per-slice max via an order-independent ``max``
+    aggregate, and the final Σᵢ as a FIXED-ORDER fold of M pivoted
+    columns (never a float ``sum`` aggregate, whose cross-row order
+    is nondeterministic).
+
+    Scale: the token scan is M× the rows at 1/M the row width; the
+    stage-1 window partitions by (query, slice); the rerank is an
+    equi-join of the ≤ M·p pool back to the terms frame. At 100 TB
+    stage 1 runs over an IVF-bucketed token store (PLAID's layout) —
+    the plan below is its brute-force instantiation with the same
+    bounded-pool contract."""
+    if dim is None:
+        sub_len = bags.select(F.size("subvec")).limit(1).collect()[0][0]
+        dim = sub_len * m
+    sub = dim // m
+    qslices = F.array(*[F.slice(F.col("embedding"), i * sub + 1, sub) for i in range(m)])
+    qs = F.broadcast(
+        queries.select("query_id", F.posexplode(qslices).alias("slice_i", "qsub"))
+    )
+    from ..session import ensure_parallelism
+
+    pairs = (
+        ensure_parallelism(bags)
+        .crossJoin(qs)
+        .select(
+            "query_id",
+            "slice_i",
+            F.col("doc_id").alias("neighbor_id"),
+            cosine(F.col("qsub"), F.col("subvec")).alias("c"),
+        )
+    )
+    # per-slice MaxSim term sᵢ(d) = maxⱼ cos — feeds stage 1 AND the
+    # rerank (the repo-wide ≥2-consumer persist rule)
+    terms = (
+        pairs.groupBy("query_id", "slice_i", "neighbor_id")
+        .agg(F.max("c").alias("s"))
+        .persist()
+    )
+    ordering = [F.col("s").desc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", "slice_i", F.spark_partition_id()
+    ).orderBy(*ordering)
+    pruned = (
+        terms.withColumn("__lr", F.row_number().over(local))
+        .where(F.col("__lr") <= p)
+        .drop("__lr")
+    )
+    final = Window.partitionBy("query_id", "slice_i").orderBy(*ordering)
+    pool = (
+        pruned.withColumn("__r", F.row_number().over(final))
+        .where(F.col("__r") <= p)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    pivoted = (
+        terms.join(pool, ["query_id", "neighbor_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("slice_i") == i, F.col("s"))).alias(f"__s{i}")
+                for i in range(m)
+            ]
+        )
+    )
+    total: Column | None = None
+    for i in range(m):  # fixed fold order == maxsim_expr's + chain
+        total = F.col("__s0") if i == 0 else total + F.col(f"__s{i}")
+    scored = pivoted.select("query_id", "neighbor_id", total.alias("score"))
+    out = topk_per_query(scored, k, ascending=False, salted=False)
+    return out.withColumnRenamed("score", "maxsim")

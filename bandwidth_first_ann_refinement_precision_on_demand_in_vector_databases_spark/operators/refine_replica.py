@@ -67,18 +67,35 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return (mat / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
-def _corpus_pack(corpus_pdf: pd.DataFrame, mode: str, keep_m: int):
-    """Precompute the per-corpus matrices a mode needs (float32)."""
+def _corpus_pack(
+    corpus_pdf: pd.DataFrame, mode: str, keep_m: int, raw_full: bool = False
+):
+    """Precompute the per-corpus matrices a mode needs (float32).
+
+    ``raw_full`` (cos-l2 only) replays the reference's raw-float32
+    quirk: its CLI feeds the UNROUNDED corpus into ``refine_cos_l2``
+    (``ANNCode.py:849`` passes ``DB``, not ``DBf``) so the fetch/exact
+    space and the cushion constant are built from ``unit(raw)``
+    (``ANNCode.py:764,440-443``), while the reported ground truth stays
+    in the fp16-rounded unit space (``ANNCode.py:837``). The engine's
+    default uses fp16-rounded everywhere (SURVEY §2.6 deviation note);
+    the flag exists so the reference's published cos-l2 numbers can be
+    reproduced bit-for-bit."""
     ids = corpus_pdf["vec_id"].to_numpy()
     raw = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float32)
     red, kept = reduce_precision_np(raw, keep_m)
     delta = delta_from_exp_np(kept, keep_m)
     full16 = fp16_round_np(raw)
     pack = {"ids": ids, "delta": delta}
+    if raw_full and mode != "cos-l2":
+        raise ValueError("raw_full replays the reference's cos-l2 quirk only")
     if is_cosine(mode):
         pack["full"] = _normalize(full16)      # DBu (unit fp16 space)
         pack["red"] = _normalize(red)          # DBru
         if mode == "cos-l2":
+            if raw_full:
+                pack["full"] = _normalize(raw)          # unit(raw DB)
+                pack["gt_full"] = _normalize(full16)    # gt stays fp16 space
             diff = pack["full"] - pack["red"]
             pack["bconst"] = np.sqrt((diff * diff).sum(axis=1)).astype(np.float32)
     else:
@@ -202,9 +219,16 @@ def _scan_one_query(mode: str, k: int, q: np.ndarray, pack: dict, delta_p):
     kk = min(k, len(ids))
     phase1, bound = _bounds_for(mode, q, pack, delta_p)
 
-    # exact scores are only computed on fetch; gt needs them all (A1)
+    # exact scores are only computed on fetch; gt needs them all (A1).
+    # Under raw_full the gt ranks in its own (fp16-unit) space while
+    # fetch scores stay in unit(raw) — the reference's cos-l2 split.
     exact_all = _exact_scores(pack["full"], q, cos)
-    gt_order = np.lexsort((ids, -exact_all if cos else exact_all))
+    gt_scores = (
+        exact_all
+        if "gt_full" not in pack
+        else _exact_scores(pack["gt_full"], q, cos)
+    )
+    gt_order = np.lexsort((ids, -gt_scores if cos else gt_scores))
     gt_ids = set(ids[gt_order[:kk]].tolist())
 
     return _replay(cos, k, ids, phase1, bound, exact_all, gt_ids)
@@ -218,13 +242,15 @@ def refine_replica_collected(
     keep_m: int,
     delta: float | None = None,
     max_corpus_rows: int = 1_000_000,
+    raw_full: bool = False,
 ) -> DataFrame:
     """Per-query replica summary frame (one row per query) — the
     literal single-stream form: collects the corpus to the driver and
     broadcasts it as one NumPy pack. Kept as the equality oracle for
     the partitioned default (``refine_replica``); ``max_corpus_rows``
     is a hard ceiling so a mistaken call on a large corpus fails fast
-    instead of OOMing the driver."""
+    instead of OOMing the driver. ``raw_full`` replays the reference's
+    cos-l2 raw-float32 corpus semantics (see ``_corpus_pack``)."""
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}")
     spark = queries.sparkSession
@@ -236,7 +262,7 @@ def refine_replica_collected(
             f"distributed path) or raise max_corpus_rows explicitly."
         )
     corpus_pdf = corpus.select("vec_id", "embedding").toPandas()
-    pack = _corpus_pack(corpus_pdf, mode, keep_m)
+    pack = _corpus_pack(corpus_pdf, mode, keep_m, raw_full)
     bc = spark.sparkContext.broadcast(pack)
     cos = is_cosine(mode)
 
@@ -294,11 +320,13 @@ def refine_replica(
     k: int,
     keep_m: int,
     delta: float | None = None,
+    raw_full: bool = False,
 ) -> DataFrame:
     """Corpus-partitioned, order-exact replica (SURVEY §2.6's 100 TB
     variant; same output frame as ``refine_replica_collected``,
     bit-identical — see the module docstring for the superset
-    argument).
+    argument). ``raw_full`` replays the reference's cos-l2
+    raw-float32 corpus semantics (see ``_corpus_pack``).
 
     Plan shape: two partition-local corpus passes + one survivor-only
     shuffle. Pass 1 emits each partition's top-K candidates by reduced
@@ -329,16 +357,27 @@ def refine_replica(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-        pack = _corpus_pack(pdf, mode, keep_m)
+        pack = _corpus_pack(pdf, mode, keep_m, raw_full)
         ids = pack["ids"]
         q_ids, q_mat = bc_q.value
         out = []
         for qi, q in zip(q_ids, q_mat):
             phase1, bound = _bounds_for(mode, q, pack, delta)
             exact = _exact_scores(pack["full"], q, cos)
+            # gt candidates rank (and later merge) in the gt space —
+            # identical to the fetch space except under raw_full,
+            # where gt stays fp16-unit while fetches use unit(raw)
+            gt_scores = (
+                exact
+                if "gt_full" not in pack
+                else _exact_scores(pack["gt_full"], q, cos)
+            )
             seed_loc = np.lexsort((ids, -phase1 if cos else phase1))[:kk]
-            gt_loc = np.lexsort((ids, -exact if cos else exact))[:kk]
-            for loc, kind in ((seed_loc, "seed"), (gt_loc, "gt")):
+            gt_loc = np.lexsort((ids, -gt_scores if cos else gt_scores))[:kk]
+            for loc, kind, ex in (
+                (seed_loc, "seed", exact),
+                (gt_loc, "gt", gt_scores),
+            ):
                 out.append(
                     pd.DataFrame(
                         {
@@ -346,7 +385,7 @@ def refine_replica(
                             "vec_id": ids[loc],
                             "phase1": phase1[loc].astype(np.float64),
                             "bound": bound[loc].astype(np.float64),
-                            "exact": exact[loc].astype(np.float64),
+                            "exact": ex[loc].astype(np.float64),
                             "kind": kind,
                         }
                     )
@@ -399,7 +438,7 @@ def refine_replica(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
-        pack = _corpus_pack(pdf, mode, keep_m)
+        pack = _corpus_pack(pdf, mode, keep_m, raw_full)
         ids = pack["ids"]
         q_ids, q_mat = bc_q.value
         taus = bc_tau.value

@@ -675,6 +675,8 @@ _FRONT = [
     # -- CHANGED r07: stage-1 pool = per-slice top-p union, N-independent --
     "ann_maxsim_rerank",
     "ann_maxsim_recall",
+    # -- NEW r07: MaxSim served from the stored token-bag layout --
+    "ann_maxsim_index_topk",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

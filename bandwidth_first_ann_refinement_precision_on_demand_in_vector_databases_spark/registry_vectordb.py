@@ -1352,6 +1352,36 @@ VECTORDB_ORACLES["ann_maxsim_rerank"] = SQL_ANN_MAXSIM_RERANK
 VECTORDB_ORACLES["ann_maxsim_recall"] = SQL_ANN_MAXSIM_RECALL
 
 
+def q_ann_maxsim_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_maxsim_rerank``: the multi-vector
+    TOKEN-BAG table is written once per (session, fixture dir) as a
+    parquet artifact (``sources/layout.write_token_bags`` — the
+    ColBERT/PLAID store shape, one row per sub-vector) and the whole
+    two-stage plan (per-slice union pool + fixed-order MaxSim fold)
+    runs over the STORED bags, never touching the packed ``embedding``
+    column. Results are bit-identical to the packed-expression plan —
+    same float32 slices, order-independent maxes, fixed-order Σ —
+    so the oracle is shared; ``tests/test_layout.py`` asserts the
+    serve plan's corpus access reads only the bag columns."""
+    from .registry_simsearch import _index_store_path
+    from .sources.layout import read_token_bags, write_token_bags
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "token-bags", lambda p: write_token_bags(corpus, p)
+    )
+    bags = read_token_bags(spark, path)
+    out = MV.maxsim_topk_from_store(queries_view(spark, sf_dir), bags)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
+    )
+
+
+VECTORDB_QUERIES["ann_maxsim_index_topk"] = q_ann_maxsim_index_topk
+#: same result as the packed-column plan by construction
+VECTORDB_ORACLES["ann_maxsim_index_topk"] = SQL_ANN_MAXSIM_RERANK
+
+
 # ---------------------------------------------------------------------------
 # Three-stage cascade: 1-bit Hamming -> int8 cosine -> exact re-rank
 # (operators/bq.cascade_topk — the precision ladder composed end-to-end)

@@ -195,3 +195,21 @@ def read_cascade_index(
         spark.read.parquet(f"{path}/signatures"),
         spark.read.parquet(f"{path}/codes"),
     )
+
+
+def write_token_bags(corpus: DataFrame, out_path: str) -> None:
+    """Materialize the multi-vector TOKEN-BAG layout — one row per
+    (doc, sub-vector), the shape a ColBERT/PLAID store actually holds
+    (``operators/multivec.token_bag_table``). A pure-map explode, no
+    shuffle; the stored table replaces the packed ``embedding`` column
+    for every late-interaction plan (``maxsim_topk_from_store``)."""
+    from ..operators.multivec import token_bag_table
+
+    token_bag_table(corpus).write.mode("overwrite").parquet(f"{out_path}/bags")
+
+
+def read_token_bags(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, slice_j, subvec) scan of a stored token-bag table. The
+    serve plan built on it never reads a packed vector column —
+    `ReadSchema` shows only the three bag columns."""
+    return spark.read.parquet(f"{path}/bags")

@@ -125,6 +125,7 @@ def _suite():
         "stream_cms_counts",
         "bm25_topn",
         "hybrid_bm25_rrf",
+        "ann_maxsim_index_topk",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

@@ -292,3 +292,55 @@ def test_cascade_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path
             sketch_scans += 1
             assert "embedding" not in schema, schema
     assert sketch_scans >= 2, plan
+
+
+def test_token_bag_store_serves_identical_maxsim(spark, sf_small, tmp_path):
+    """The stored multi-vector (token-bag) layout serves the SAME
+    two-stage MaxSim result as the packed-column plan — scores,
+    ranks, pool — and its corpus access reads ONLY the bag columns
+    (ReadSchema: no packed `embedding` scan on the bag side)."""
+    import re
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.multivec import (
+        maxsim_rerank,
+        maxsim_topk_from_store,
+        maxsim_union_pool,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        read_token_bags,
+        write_token_bags,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "token-bags")
+    write_token_bags(corpus, out)
+    bags = read_token_bags(spark, out)
+
+    served = maxsim_topk_from_store(queries, bags)
+    pool = maxsim_union_pool(queries, corpus)
+    live = maxsim_rerank(queries, corpus, pool)
+    got = {(r.query_id, r.rank, r.neighbor_id, r.maxsim) for r in served.collect()}
+    want = {(r.query_id, r.rank, r.neighbor_id, r.maxsim) for r in live.collect()}
+    assert got == want and len(got) > 0
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    bag_scans = 0
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        m = re.search(r"ReadSchema: (\S+)", line)
+        schema = m.group(1) if m else ""
+        if "subvec" in schema:
+            bag_scans += 1
+            assert "embedding" not in schema, line
+        elif "embedding" in schema:
+            # every packed-embedding scan must be the broadcast QUERY
+            # side (carries the stride filter); the corpus side is
+            # served from bags alone
+            assert "% 50" in line, line
+    assert bag_scans >= 1, plan
