@@ -677,6 +677,8 @@ _FRONT = [
     "ann_maxsim_recall",
     # -- NEW r07: MaxSim served from the stored token-bag layout --
     "ann_maxsim_index_topk",
+    # -- NEW r07: streaming HyperLogLog register table --
+    "stream_hll_registers",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

@@ -197,3 +197,43 @@ SELECT d, bucket, count(*) AS c FROM rows_ GROUP BY d, bucket
 
 STREAMING_QUERIES["stream_cms_counts"] = q_stream_cms
 STREAMING_ORACLES["stream_cms_counts"] = _sql_stream_cms()
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming HyperLogLog register table over
+    events (distinct user_ids; the max-aggregate plan is mode-agnostic
+    — ``tests/test_streaming.py`` proves the readStream replay
+    produces the identical ≤256-row register table). The bounded-state
+    streaming substitute for ``countDistinct``."""
+    from .streaming.windows import hll_user_registers
+
+    return hll_user_registers(load_table(spark, sf_dir, "events"))
+
+
+def _sql_stream_hll() -> str:
+    from .registry_text import (
+        HLL_C1,
+        HLL_C2,
+        HLL_M,
+        HLL_MASK,
+        HLL_RHO_MAX,
+        _sql_poly_hash,
+    )
+
+    return f"""
+WITH uh AS (SELECT {_sql_poly_hash("CAST(user_id AS VARCHAR)")} AS v FROM events),
+m1 AS (SELECT xor(v & {HLL_MASK}, (v & {HLL_MASK}) >> 16) AS v FROM uh),
+m2 AS (SELECT (v * {HLL_C1}) & {HLL_MASK} AS v FROM m1),
+m3 AS (SELECT xor(v, v >> 15) AS v FROM m2),
+m4 AS (SELECT (v * {HLL_C2}) & {HLL_MASK} AS v FROM m3),
+mx AS (SELECT xor(v, v >> 16) AS h FROM m4),
+hb AS (SELECT h % {HLL_M} AS bucket, h >> 8 AS rest FROM mx)
+SELECT bucket,
+  max(CASE WHEN rest = 0 THEN {HLL_RHO_MAX}
+           ELSE {HLL_RHO_MAX} - length(bin(rest)) END) AS m
+FROM hb GROUP BY bucket
+"""
+
+
+STREAMING_QUERIES["stream_hll_registers"] = q_stream_hll
+STREAMING_ORACLES["stream_hll_registers"] = _sql_stream_hll()

@@ -1477,19 +1477,18 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUM = HLL_ALPHA * float(HLL_M * HLL_M) * float(1 << HLL_RHO_MAX)
 
 
-def hll_distinct_estimate(docs: DataFrame) -> DataFrame:
-    """The HLL pipeline over any (text) frame — shared by the
-    registered fixture query and the cross-cardinality accuracy test
-    (``tests/test_sketches.py``), so there is exactly ONE copy of the
-    sketch arithmetic."""
-    toks = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).persist()
+def hll_registers(values: DataFrame) -> DataFrame:
+    """(bucket, m): the 256-register HLL table of a ``v``-column frame
+    (``v`` = raw poly hash). ONE copy of the mix + register arithmetic
+    — shared by the batch token query, the accuracy test, and the
+    streaming form (``streaming/windows.hll_user_registers``); the
+    register build is an incremental-friendly max-aggregate (register
+    max is idempotent and monotone, so the same plan runs unchanged as
+    a Structured Streaming stateful aggregate with O(m) state)."""
     # chained selects keep each mix step a single column reference —
     # inlining would double the poly-hash subtree at every xor
     mixed = (
-        toks.select(T.poly_hash(F.col("tok")).alias("v"))
-        .select(F.col("v").bitwiseAND(F.lit(HLL_MASK)).alias("v"))
+        values.select(F.col("v").bitwiseAND(F.lit(HLL_MASK)).alias("v"))
         .select(F.col("v").bitwiseXOR(F.shiftright(F.col("v"), 16)).alias("v"))
         .select((F.col("v") * F.lit(HLL_C1)).bitwiseAND(F.lit(HLL_MASK)).alias("v"))
         .select(F.col("v").bitwiseXOR(F.shiftright(F.col("v"), 15)).alias("v"))
@@ -1503,9 +1502,20 @@ def hll_distinct_estimate(docs: DataFrame) -> DataFrame:
     rho = F.when(F.col("rest") == 0, F.lit(HLL_RHO_MAX)).otherwise(
         F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("rest")))
     )
-    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+    return hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
         F.max("rho").alias("m")
     )
+
+
+def hll_distinct_estimate(docs: DataFrame) -> DataFrame:
+    """The HLL pipeline over any (text) frame — shared by the
+    registered fixture query and the cross-cardinality accuracy test
+    (``tests/test_sketches.py``), so there is exactly ONE copy of the
+    sketch arithmetic."""
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).persist()
+    regs = hll_registers(toks.select(T.poly_hash(F.col("tok")).alias("v")))
     zs = regs.agg(
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - m)")

@@ -200,3 +200,24 @@ def cms_user_counts(
         ).alias("db")
     ).select("db.d", "db.bucket")
     return rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+
+def hll_user_registers(events: DataFrame, late: str = LATE_THRESHOLD) -> DataFrame:
+    """(bucket, m): HyperLogLog register table of DISTINCT user_ids —
+    the streaming twin of ``registry_text.q_hll_distinct_tokens``
+    (same 256 registers, same lowbias32-family mix, ONE copy of the
+    arithmetic via ``registry_text.hll_registers``). The register
+    build is a max-aggregate: idempotent and monotone, so it runs
+    unchanged as an incremental stateful aggregation whose state is
+    the fixed ≤m-row register table — bounded-memory distinct
+    counting, the streaming substitute for ``countDistinct`` at
+    100 TB (which would hold every key in state). Mode-agnostic (no
+    event-time window → no watermark; ``late`` is accepted for the
+    shared batch≡stream harness signature and ignored). Finalization
+    (harmonic sum → estimate) is a ≤m-row batch read of the sink."""
+    from ..functions.text import poly_hash
+    from ..registry_text import hll_registers
+
+    return hll_registers(
+        events.select(poly_hash(F.col("user_id").cast("string")).alias("v"))
+    )

@@ -126,6 +126,7 @@ def _suite():
         "bm25_topn",
         "hybrid_bm25_rrf",
         "ann_maxsim_index_topk",
+        "stream_hll_registers",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

@@ -25,6 +25,7 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
     sliding_counts,
     tumbling_counts,
     cms_user_counts,
+    hll_user_registers,
 )
 
 
@@ -94,8 +95,9 @@ WIDE = "60 days"
         (sliding_counts, ["win_start", "win_end", "event_type", "n_events"]),
         (session_windows, ["user_id", "sess_start", "sess_end", "n_events", "sum_value"]),
         (cms_user_counts, ["d", "bucket", "c"]),
+        (hll_user_registers, ["bucket", "m"]),
     ],
-    ids=["tumbling", "sliding", "session", "cms"],
+    ids=["tumbling", "sliding", "session", "cms", "hll"],
 )
 def test_stream_equals_batch(spark, sf_small, stream_dir, fn, cols):
     batch = fn(load_table(spark, sf_small, "events"))
