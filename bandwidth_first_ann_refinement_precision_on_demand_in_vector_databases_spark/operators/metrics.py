@@ -84,3 +84,72 @@ def bandwidth_saving(
     total = b_red * n_corpus * n_queries + b_full * float(n_fetched_full)
     baseline = b_full * n_corpus * n_queries
     return 1.0 - total / baseline
+
+
+def _dcg_discount_micro(k: int) -> list[int]:
+    """⌊10⁶ / log₂(i+1)⌋ for ranks i = 1..k, computed ONCE in Python so
+    Spark and the DuckDB oracle consume identical integer literals —
+    no cross-engine log ULP hazard can exist (the bm25 ln rule, taken
+    to its limit: the transcendental never runs in either engine)."""
+    import math
+
+    return [int(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ranking_metrics(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """A1 extension — graded retrieval quality beyond Recall@K:
+
+    * **MRR@K**: mean over queries of 1/rank of the FIRST relevant
+      prediction (relevant = member of the exact top-K);
+    * **nDCG@K** (binary gains): Σ relevant 1/log₂(rank+1), normalized
+      by the ideal DCG (all K relevant at the top — a constant here
+      because the exact top-K always has K members).
+
+    Both are integer-exact cross-engine: per-rank discounts are
+    precomputed micro-unit literals (``_dcg_discount_micro``), per-query
+    DCG/RR are BIGINT sums/divisions, and only the final mean divides.
+
+    Inputs are top-K frames (query_id, rank, neighbor_id, ...); ann
+    ranks 1..K. Queries with no relevant prediction contribute 0 to
+    both means (left join from the exact query set)."""
+    disc = _dcg_discount_micro(k)
+    idcg_micro = sum(disc)
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    rel = ann.select("query_id", "rank", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "inner",
+    )
+    per_q = rel.groupBy("query_id").agg(
+        F.sum(F.element_at(disc_arr, F.col("rank")).cast("bigint")).alias(
+            "dcg_micro"
+        ),
+        F.min("rank").alias("first_rel"),
+    )
+    qset = exact.select("query_id").distinct()
+    scored = qset.join(per_q, "query_id", "left").select(
+        "query_id",
+        # explicit floor() before the integer cast on BOTH engines:
+        # Spark's double->bigint cast truncates but DuckDB's ROUNDS —
+        # floor() is the shared exact step (1000000/6 would otherwise
+        # land on 166666 vs 166667)
+        F.coalesce(
+            F.floor(
+                (F.col("dcg_micro") * F.lit(1_000_000)) / F.lit(idcg_micro)
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("ndcg_micro"),
+        F.coalesce(
+            F.floor(F.lit(1_000_000) / F.col("first_rel")).cast("bigint"),
+            F.lit(0),
+        ).alias("rr_micro"),
+    )
+    return scored.agg(
+        F.round(F.sum("rr_micro") / (F.count("*") * F.lit(1_000_000.0)), 6).alias(
+            "mrr"
+        ),
+        F.round(
+            F.sum("ndcg_micro") / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("ndcg_at_k"),
+        F.count("*").alias("n_queries"),
+    )

@@ -679,6 +679,9 @@ _FRONT = [
     "ann_maxsim_index_topk",
     # -- NEW r07: streaming HyperLogLog register table --
     "stream_hll_registers",
+    # -- NEW r07: sketch mergeability + graded retrieval metrics --
+    "hll_merge_halves",
+    "ann_ivf_ranking_metrics",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

@@ -945,3 +945,76 @@ SELECT vec_id, cell FROM (
 
 SIMSEARCH_QUERIES["ivf_ingest_assign"] = q_ivf_ingest_assign
 SIMSEARCH_ORACLES["ivf_ingest_assign"] = SQL_IVF_INGEST_ASSIGN
+
+
+def q_ann_ivf_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mrr, ndcg_at_k, n_queries): graded retrieval quality of the
+    IVF index against exact cosine top-K — MRR@K and binary-gain
+    nDCG@K (``operators/metrics.ranking_metrics``), the evaluation
+    pair a retrieval pipeline reports beside Recall@K (position
+    matters: an index that finds all K neighbors but ranks them last
+    has recall 1.0 and low nDCG). Integer-exact cross-engine: rank
+    discounts are precomputed micro-unit literals, per-query sums are
+    BIGINT, floor() before every integer cast (Spark truncates,
+    DuckDB rounds)."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.ivf_topk(queries, corpus, ANN_K)
+    ranked = ann.select("query_id", "rank", "neighbor_id")
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    from .operators.metrics import ranking_metrics
+
+    return ranking_metrics(ranked, exact, ANN_K)
+
+
+def _sql_ranking_metrics(cand_cte: str, cand_name: str) -> str:
+    from .operators.metrics import _dcg_discount_micro
+
+    disc = _dcg_discount_micro(ANN_K)
+    idcg = sum(disc)
+    disc_list = "[" + ", ".join(str(d) for d in disc) + "]"
+    return f"""
+WITH {cand_cte},
+ann AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM {cand_name}
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+rel AS (
+  SELECT ann.query_id, ann.rank FROM ann JOIN exact USING (query_id, neighbor_id)
+),
+per_q AS (
+  SELECT query_id,
+    CAST(sum({disc_list}[rank]) AS BIGINT) AS dcg_micro,
+    min(rank) AS first_rel
+  FROM rel GROUP BY query_id
+),
+scored AS (
+  SELECT q2.query_id,
+    coalesce(CAST(floor((p.dcg_micro * 1000000) / {idcg}) AS BIGINT), 0) AS ndcg_micro,
+    coalesce(CAST(floor(1000000 / p.first_rel) AS BIGINT), 0) AS rr_micro
+  FROM (SELECT DISTINCT query_id FROM exact) q2
+  LEFT JOIN per_q p USING (query_id)
+)
+SELECT
+  round(CAST(sum(rr_micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mrr,
+  round(CAST(sum(ndcg_micro) AS DOUBLE) / (count(*) * 1000000.0), 6) AS ndcg_at_k,
+  count(*) AS n_queries
+FROM scored
+"""
+
+
+SIMSEARCH_QUERIES["ann_ivf_ranking_metrics"] = q_ann_ivf_ranking_metrics
+SIMSEARCH_ORACLES["ann_ivf_ranking_metrics"] = _sql_ranking_metrics(
+    SQL_IVF_CTES, "ivf_cand"
+)

@@ -237,3 +237,74 @@ FROM hb GROUP BY bucket
 
 STREAMING_QUERIES["stream_hll_registers"] = q_stream_hll
 STREAMING_ORACLES["stream_hll_registers"] = _sql_stream_hll()
+
+
+def q_hll_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB substitute for exact counting: registers built over any
+    partition of the data and merged by register-max equal the
+    single-pass build (max is associative/commutative/idempotent, so
+    the sketch is a semigroup partial aggregate — per-day/per-shard
+    sketches roll up for free). Builds HLL registers over the even and
+    odd user_id halves of events INDEPENDENTLY, merges, and emits the
+    merged table beside the whole-stream build: m_merged = m_whole on
+    every bucket by construction, and the driver hash proves it."""
+    from pyspark.sql import functions as F
+
+    from .streaming.windows import hll_user_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    left = hll_user_registers(ev.where(F.col("user_id") % 2 == 0))
+    right = hll_user_registers(ev.where(F.col("user_id") % 2 == 1))
+    merged = (
+        left.unionByName(right)
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m_merged"))
+    )
+    whole = hll_user_registers(ev).withColumnRenamed("m", "m_whole")
+    return merged.join(whole, "bucket").select("bucket", "m_merged", "m_whole")
+
+
+def _sql_hll_merge_halves() -> str:
+    from .registry_text import (
+        HLL_C1,
+        HLL_C2,
+        HLL_M,
+        HLL_MASK,
+        HLL_RHO_MAX,
+        _sql_poly_hash,
+    )
+
+    def regs(cte: str, where: str) -> str:
+        return f"""
+{cte}_uh AS (SELECT {_sql_poly_hash("CAST(user_id AS VARCHAR)")} AS v FROM events {where}),
+{cte}_m1 AS (SELECT xor(v & {HLL_MASK}, (v & {HLL_MASK}) >> 16) AS v FROM {cte}_uh),
+{cte}_m2 AS (SELECT (v * {HLL_C1}) & {HLL_MASK} AS v FROM {cte}_m1),
+{cte}_m3 AS (SELECT xor(v, v >> 15) AS v FROM {cte}_m2),
+{cte}_m4 AS (SELECT (v * {HLL_C2}) & {HLL_MASK} AS v FROM {cte}_m3),
+{cte}_mx AS (SELECT xor(v, v >> 16) AS h FROM {cte}_m4),
+{cte}_hb AS (SELECT h % {HLL_M} AS bucket, h >> 8 AS rest FROM {cte}_mx),
+{cte} AS (
+  SELECT bucket,
+    max(CASE WHEN rest = 0 THEN {HLL_RHO_MAX}
+             ELSE {HLL_RHO_MAX} - length(bin(rest)) END) AS m
+  FROM {cte}_hb GROUP BY bucket
+)"""
+
+    return f"""
+WITH
+{regs("lh", "WHERE user_id % 2 = 0")},
+{regs("rh", "WHERE user_id % 2 = 1")},
+{regs("wh", "")},
+mg AS (
+  SELECT bucket, max(m) AS m_merged FROM (
+    SELECT * FROM lh UNION ALL SELECT * FROM rh
+  ) GROUP BY bucket
+)
+SELECT mg.bucket, mg.m_merged, wh.m AS m_whole
+FROM mg JOIN wh ON wh.bucket = mg.bucket
+"""
+
+
+STREAMING_QUERIES["hll_merge_halves"] = q_hll_merge_halves
+STREAMING_ORACLES["hll_merge_halves"] = _sql_hll_merge_halves()

@@ -127,6 +127,8 @@ def _suite():
         "hybrid_bm25_rrf",
         "ann_maxsim_index_topk",
         "stream_hll_registers",
+        "hll_merge_halves",
+        "ann_ivf_ranking_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

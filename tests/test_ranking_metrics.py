@@ -1,0 +1,59 @@
+"""Graded retrieval metrics (MRR@K, nDCG@K) — hand-computed truths
+plus the degenerate cases (perfect ranking, zero relevant)."""
+
+from __future__ import annotations
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.metrics import (
+    _dcg_discount_micro,
+    ranking_metrics,
+)
+
+K = 3
+
+
+def _frames(spark, ann_rows, exact_rows):
+    ann = spark.createDataFrame(
+        ann_rows, "query_id bigint, rank int, neighbor_id bigint"
+    )
+    exact = spark.createDataFrame(
+        exact_rows, "query_id bigint, neighbor_id bigint"
+    )
+    return ann, exact
+
+
+def test_hand_computed_single_query(spark):
+    # exact top-3 = {10, 20, 30}; predictions: irrelevant at rank 1,
+    # relevant at ranks 2 and 3
+    ann, exact = _frames(
+        spark,
+        [(1, 1, 99), (1, 2, 20), (1, 3, 10)],
+        [(1, 10), (1, 20), (1, 30)],
+    )
+    row = ranking_metrics(ann, exact, K).collect()[0]
+    disc = _dcg_discount_micro(K)
+    idcg = sum(disc)
+    ndcg_micro = ((disc[1] + disc[2]) * 1_000_000) // idcg
+    assert row["mrr"] == 0.5  # first relevant at rank 2
+    assert row["ndcg_at_k"] == round(ndcg_micro / 1_000_000.0, 6)
+    assert row["n_queries"] == 1
+
+
+def test_perfect_ranking_is_one(spark):
+    ann, exact = _frames(
+        spark,
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)],
+        [(1, 10), (1, 20), (1, 30)],
+    )
+    row = ranking_metrics(ann, exact, K).collect()[0]
+    assert (row["mrr"], row["ndcg_at_k"]) == (1.0, 1.0)
+
+
+def test_no_relevant_counts_as_zero_in_mean(spark):
+    # query 1 perfect, query 2 finds nothing → means halve
+    ann, exact = _frames(
+        spark,
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30), (2, 1, 98), (2, 2, 97), (2, 3, 96)],
+        [(1, 10), (1, 20), (1, 30), (2, 40), (2, 50), (2, 60)],
+    )
+    row = ranking_metrics(ann, exact, K).collect()[0]
+    assert (row["mrr"], row["ndcg_at_k"], row["n_queries"]) == (0.5, 0.5, 2)
