@@ -1253,6 +1253,23 @@ _SQL_MAXSIM_UNION_POOL = (
 )
 
 
+def _maxsim_pool_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+persisted per-slice union pool per (session, fixture
+    dir) — the rerank, recall and bench queries share one stage-1
+    scan, exactly as a serving stack runs candidate generation once
+    per query batch. Released by ``session.clear_caches``."""
+    from .session import session_cache
+
+    cache = session_cache(spark, "maxsim_union_pool")
+    df = cache.get(sf_dir)
+    if df is None:
+        df = MV.maxsim_union_pool(
+            queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings")
+        ).persist()
+        cache[sf_dir] = df
+    return df
+
+
 def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage late interaction: stage 1 is the per-slice top-p UNION
     pool (``multivec.maxsim_union_pool`` — ≤ M·p docs per query,
@@ -1264,7 +1281,7 @@ def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the pool budget, sf0.1)."""
     corpus = load_table(spark, sf_dir, "embeddings")
     queries = queries_view(spark, sf_dir)
-    pool = MV.maxsim_union_pool(queries, corpus)
+    pool = _maxsim_pool_cached(spark, sf_dir)
     out = MV.maxsim_rerank(queries, corpus, pool)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("maxsim", 6).alias("maxsim")
@@ -1302,7 +1319,7 @@ def q_ann_maxsim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reports/sweep_maxsim_union.csv)."""
     queries = queries_view(spark, sf_dir)
     corpus = load_table(spark, sf_dir, "embeddings")
-    pool = MV.maxsim_union_pool(queries, corpus)
+    pool = _maxsim_pool_cached(spark, sf_dir)
     ann = MV.maxsim_rerank(queries, corpus, pool)
     exact = MV.maxsim_topk_exhaustive(queries, corpus, MV.MAXSIM_K)
     return ann_recall(ann, exact, MV.MAXSIM_K)
