@@ -682,6 +682,7 @@ _FRONT = [
     # -- NEW r07: sketch mergeability + graded retrieval metrics --
     "hll_merge_halves",
     "ann_ivf_ranking_metrics",
+    "ann_lsh_ranking_metrics",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

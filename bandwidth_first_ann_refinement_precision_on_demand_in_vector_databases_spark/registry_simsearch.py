@@ -1018,3 +1018,25 @@ SIMSEARCH_QUERIES["ann_ivf_ranking_metrics"] = q_ann_ivf_ranking_metrics
 SIMSEARCH_ORACLES["ann_ivf_ranking_metrics"] = _sql_ranking_metrics(
     SQL_IVF_CTES, "ivf_cand"
 )
+
+
+def q_ann_lsh_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@K / nDCG@K for the hyperplane-LSH index — the second
+    instance of ``ranking_metrics``, showing position-aware quality on
+    a RECALL-LIMITED index (LSH recall ≈ 0.48 on the isotropic
+    fixture): nDCG degrades with the misses while MRR stays high if
+    the bucket containing the query still surfaces its top neighbor
+    first."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.lsh_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    from .operators.metrics import ranking_metrics
+
+    return ranking_metrics(ann.select("query_id", "rank", "neighbor_id"), exact, ANN_K)
+
+
+SIMSEARCH_QUERIES["ann_lsh_ranking_metrics"] = q_ann_lsh_ranking_metrics
+SIMSEARCH_ORACLES["ann_lsh_ranking_metrics"] = _sql_ranking_metrics(
+    SQL_LSH_CTES, "lsh_cand"
+)

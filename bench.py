@@ -129,6 +129,7 @@ def _suite():
         "stream_hll_registers",
         "hll_merge_halves",
         "ann_ivf_ranking_metrics",
+        "ann_lsh_ranking_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
