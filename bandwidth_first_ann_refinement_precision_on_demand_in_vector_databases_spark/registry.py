@@ -683,6 +683,10 @@ _FRONT = [
     "hll_merge_halves",
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",
+    # -- NEW r07: TPC-H Q3/Q4 shapes + blocked fuzzy entity matching --
+    "shipping_priority",
+    "order_priority_count",
+    "fuzzy_name_pairs",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

@@ -486,3 +486,47 @@ LEFT JOIN near_ids n ON n.doc_id = inc.doc_id
 
 DEDUP_QUERIES["dedup_incremental"] = q_dedup_incremental
 DEDUP_ORACLES["dedup_incremental"] = SQL_DEDUP_INCREMENTAL
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, dist): blocked fuzzy entity matching — the
+    catalog-title near-dup shape (edit distance over a BLOCKED pair
+    space, never all-pairs). Distinct part names block on their last
+    token; only within-block pairs pay the levenshtein, so the join
+    fans out by block size, not N². Spark's ``levenshtein`` and
+    DuckDB's are the same classic integer DP — exact cross-engine.
+    At 100 TB blocking keys get coarser-to-finer tiers (token +
+    length bucket + phonetic), but the plan shape — equi-join on the
+    block key, predicate on the distance — is this one."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    blocked = names.select(
+        F.col("p_name"),
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "blk")
+    b = blocked.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       levenshtein(a.p_name, c.p_name) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 2
+"""
+
+DEDUP_QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+DEDUP_ORACLES["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS

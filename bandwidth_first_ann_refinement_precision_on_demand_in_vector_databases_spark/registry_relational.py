@@ -762,3 +762,96 @@ FROM sess GROUP BY user_id, session_id
 
 RELATIONAL_QUERIES["sessionize"] = q_sessionize
 RELATIONAL_ORACLES["sessionize"] = SQL_SESSIONIZE
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    orders ⋈ lineitem with date predicates on BOTH fact scans, revenue
+    per (order, date, priority), top 10. The segment/date filters push
+    into the parquet scans (PushedFilters); customer broadcasts; only
+    lineitem⋈orders shuffles — Q3's classic plan."""
+    cutoff = "1998-06-30"
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz")
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("__rev"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+            F.col("__rev").cast("double").alias("revenue"),
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate  > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    that have ≥1 late lineitem (l_shipdate < o_orderdate is this
+    fixture's 'commit violated' stand-in), counted per priority. The
+    EXISTS becomes a LEFT SEMI join — no row multiplication however
+    many lineitems match, the scale-correct decorrelation."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") < F.col("o_orderdate")).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate < o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+RELATIONAL_QUERIES["shipping_priority"] = q_shipping_priority
+RELATIONAL_ORACLES["shipping_priority"] = SQL_SHIPPING_PRIORITY
+RELATIONAL_QUERIES["order_priority_count"] = q_order_priority_count
+RELATIONAL_ORACLES["order_priority_count"] = SQL_ORDER_PRIORITY_COUNT

@@ -130,6 +130,9 @@ def _suite():
         "hll_merge_halves",
         "ann_ivf_ranking_metrics",
         "ann_lsh_ranking_metrics",
+        "shipping_priority",
+        "order_priority_count",
+        "fuzzy_name_pairs",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
