@@ -97,3 +97,31 @@ def test_cli_e2e_l2_tz_at_reference_maxrows(spark, fullsize_files, capsys):
     assert f"preds={10 * N_QUERIES}" in out
     assert "recall=1.0" in out
     assert "save=" in out
+
+
+def test_convert_to_parquet_roundtrip_at_scale(spark, fullsize_files, tmp_path):
+    """The one-time ingest path (`convert_to_parquet`): land the 100k
+    .fvecs as ZSTD parquet, read back bit-exact, and confirm the
+    pages really are ZSTD (the engine's native layout — the analog of
+    the reference's bit-plane + zlib store)."""
+    import pyarrow.parquet as pq
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.loaders import (
+        convert_to_parquet,
+    )
+
+    fvecs, _, corpus, _ = fullsize_files
+    out = str(tmp_path / "corpus_parquet")
+    convert_to_parquet(load_fvecs(spark, fvecs, max_rows=None), out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == N_FULL
+    got = back.where(F.col("vec_id") == 77_777).first()["embedding"]
+    assert np.array_equal(np.asarray(got, dtype=np.float32), corpus[77_777])
+
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
