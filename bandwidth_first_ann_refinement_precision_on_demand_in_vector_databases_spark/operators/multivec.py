@@ -325,3 +325,61 @@ def maxsim_topk_from_store(
     scored = pivoted.select("query_id", "neighbor_id", total.alias("score"))
     out = topk_per_query(scored, k, ascending=False, salted=False)
     return out.withColumnRenamed("score", "maxsim")
+
+
+def ivf_maxsim_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = MAXSIM_K,
+    p: int = MAXSIM_POOL_P,
+    m: int = MV_M,
+    dim: int | None = None,
+) -> DataFrame:
+    """The full PLAID serving architecture composed end-to-end:
+    stage 0 — IVF coarse quantizer prunes the corpus to the probed
+    cells (~nprobe/n_cells of the data ever scanned); stage 1 — the
+    per-slice top-p union pool ranks ONLY the surviving candidates
+    (pool ≤ M·p, constant in N); stage 2 — exact MaxSim re-rank of
+    the pool. Every stage's cost is bounded: stage 0 by the cell
+    equi-join's pruning, stage 1 by the candidate stream, stage 2 by
+    the pool contract. This is the composition a 100 TB
+    late-interaction deployment runs (PLAID: centroid pruning →
+    per-token candidate generation → full MaxSim)."""
+    from .simsearch import embedding_dim, ivf_assign, ivf_centroids, ivf_probes
+
+    if dim is None:
+        dim = embedding_dim(corpus)
+    cents = ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents)
+    probed = ivf_probes(queries, cents)
+    cand = F.broadcast(probed).join(assigned, "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qvec",
+        "embedding",
+    )
+    terms = F.array(
+        *[slice_term_expr("qvec", "embedding", dim, i, m) for i in range(m)]
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.posexplode(terms).alias("slice_i", "s"),
+    )
+    ordering = [F.col("s").desc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", "slice_i", F.spark_partition_id()
+    ).orderBy(*ordering)
+    pruned = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .where(F.col("__lr") <= p)
+        .drop("__lr")
+    )
+    final = Window.partitionBy("query_id", "slice_i").orderBy(*ordering)
+    pool = (
+        pruned.withColumn("__r", F.row_number().over(final))
+        .where(F.col("__r") <= p)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return maxsim_rerank(queries, corpus, pool, k, m, dim)

@@ -687,6 +687,9 @@ _FRONT = [
     "shipping_priority",
     "order_priority_count",
     "fuzzy_name_pairs",
+    # -- NEW r07: the full PLAID composition (IVF x per-slice pool x MaxSim) --
+    "ann_ivf_maxsim_topk",
+    "ann_ivf_maxsim_recall",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

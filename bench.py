@@ -133,6 +133,8 @@ def _suite():
         "shipping_priority",
         "order_priority_count",
         "fuzzy_name_pairs",
+        "ann_ivf_maxsim_topk",
+        "ann_ivf_maxsim_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
