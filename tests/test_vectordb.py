@@ -673,3 +673,25 @@ class TestMatryoshka:
         )
         want = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
         assert got == want
+
+
+def test_maxsim_union_pool_bounded_by_mp(spark, sf_small):
+    """The r07 stage-1 contract, regression-guarded: the union pool is
+    ≤ M·p docs per query REGARDLESS of corpus size (the retired ⌈N/5⌉
+    pool was the registry's one linear-in-N plan)."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        multivec as MV,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    pool = MV.maxsim_union_pool(queries_view(spark, sf_small), corpus)
+    sizes = pool.groupBy("query_id").agg(F.count("*").alias("c")).collect()
+    assert sizes
+    cap = MV.MV_M * MV.MAXSIM_POOL_P
+    assert all(r["c"] <= cap for r in sizes), [(r["query_id"], r["c"]) for r in sizes]
