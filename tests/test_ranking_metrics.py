@@ -57,3 +57,54 @@ def test_no_relevant_counts_as_zero_in_mean(spark):
     )
     row = ranking_metrics(ann, exact, K).collect()[0]
     assert (row["mrr"], row["ndcg_at_k"], row["n_queries"]) == (0.5, 0.5, 2)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _python_replica(ann_rows, exact_rows, k):
+    """Pure-python ranking_metrics: the same micro-unit integer
+    arithmetic, written independently of the Spark plan."""
+    disc = _dcg_discount_micro(k)
+    idcg = sum(disc)
+    exact_by_q = {}
+    for q, n in exact_rows:
+        exact_by_q.setdefault(q, set()).add(n)
+    per_q = {}
+    for q, rank, n in ann_rows:
+        if n in exact_by_q.get(q, ()):
+            dcg, first = per_q.get(q, (0, None))
+            dcg += disc[rank - 1]
+            first = rank if first is None else min(first, rank)
+            per_q[q] = (dcg, first)
+    rr_sum = ndcg_sum = 0
+    for q in exact_by_q:
+        dcg, first = per_q.get(q, (0, None))
+        ndcg_sum += (dcg * 1_000_000) // idcg
+        rr_sum += 1_000_000 // first if first else 0
+    n = len(exact_by_q)
+    return (
+        round(rr_sum / (n * 1_000_000.0), 6),
+        round(ndcg_sum / (n * 1_000_000.0), 6),
+        n,
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_matches_python_replica_on_random_rankings(spark, data):
+    k = data.draw(st.integers(min_value=2, max_value=8), label="k")
+    n_q = data.draw(st.integers(min_value=1, max_value=4), label="n_q")
+    ann_rows, exact_rows = [], []
+    for q in range(n_q):
+        universe = list(range(100, 160))
+        perm = data.draw(st.permutations(universe), label=f"perm{q}")
+        exact_rows += [(q, n) for n in perm[:k]]
+        # predictions drawn from the whole universe — hits and misses
+        pred = data.draw(st.permutations(universe), label=f"pred{q}")
+        ann_rows += [(q, i + 1, n) for i, n in enumerate(pred[:k])]
+    ann, exact = _frames(spark, ann_rows, exact_rows)
+    row = ranking_metrics(ann, exact, k).collect()[0]
+    want = _python_replica(ann_rows, exact_rows, k)
+    assert (row["mrr"], row["ndcg_at_k"], row["n_queries"]) == want
