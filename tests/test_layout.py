@@ -344,3 +344,59 @@ def test_token_bag_store_serves_identical_maxsim(spark, sf_small, tmp_path):
             # served from bags alone
             assert "% 50" in line, line
     assert bag_scans >= 1, plan
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order write: the Morton key matches a python replica bit for
+    bit, and the stored layout carries row groups whose footer ranges
+    are TIGHT on both dimensions — a single-dimension predicate must
+    prune groups (a 1-D ts sort could never prune on the second
+    column)."""
+    import pyarrow.parquet as pq
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        write_zordered,
+        zorder_key_sql,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64 * 1024).alias("a"),   # both span [0, 2^16)
+        (F.col("id") / 64).cast("bigint").alias("b_raw"),
+    ).select("a", (F.col("b_raw") * 1024).alias("b"))
+
+    def py_z(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    got = df.withColumn("z", F.expr(zorder_key_sql("a", "b"))).collect()
+    assert all(r["z"] == py_z(r["a"], r["b"]) for r in got)
+
+    out = str(tmp_path / "zstore")
+    write_zordered(df, out, "a", "b", n_files=16)
+    import glob
+
+    pruned_a = pruned_b = total = 0
+    for f in glob.glob(f"{out}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            total += 1
+            sa = meta.row_group(rg).column(idx["a"]).statistics
+            sb = meta.row_group(rg).column(idx["b"]).statistics
+            # predicate: x < 2^14 (the lowest quarter of either range)
+            if sa.min > 16384:
+                pruned_a += 1
+            if sb.min > 16384:
+                pruned_b += 1
+    assert total >= 8
+    # BOTH single-column predicates must prune substantially (≥ 25% of
+    # groups; a 1-D sort prunes 0 on its non-sort column). The exact
+    # count depends on where the range partitioner's sampled z
+    # boundaries fall relative to the quadrant grid — straddling files
+    # stay readable on both axes, so majority is not guaranteed.
+    assert pruned_a >= total // 4, (pruned_a, total)
+    assert pruned_b >= total // 4, (pruned_b, total)
