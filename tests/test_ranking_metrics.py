@@ -84,9 +84,18 @@ def _python_replica(ann_rows, exact_rows, k):
         ndcg_sum += (dcg * 1_000_000) // idcg
         rr_sum += 1_000_000 // first if first else 0
     n = len(exact_by_q)
+
+    def round_half_up(x: float, nd: int = 6) -> float:
+        # Spark's F.round is HALF_UP; python round() is banker's —
+        # they differ exactly on .5 ties (found by hypothesis:
+        # 296081/2e6 = 0.1480405 → 0.148041 vs 0.14804)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
     return (
-        round(rr_sum / (n * 1_000_000.0), 6),
-        round(ndcg_sum / (n * 1_000_000.0), 6),
+        round_half_up(rr_sum / (n * 1_000_000.0)),
+        round_half_up(ndcg_sum / (n * 1_000_000.0)),
         n,
     )
 
