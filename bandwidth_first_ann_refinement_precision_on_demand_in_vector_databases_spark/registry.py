@@ -690,6 +690,9 @@ _FRONT = [
     # -- NEW r07: the full PLAID composition (IVF x per-slice pool x MaxSim) --
     "ann_ivf_maxsim_topk",
     "ann_ivf_maxsim_recall",
+    # -- NEW r07-late: CMS merge twin + TPC-H Q10 shape --
+    "cms_merge_halves",
+    "returned_item_revenue",
     # -- r03-stale (17) --
     "recall_l2_vs_cosine",
     "pricing_summary",

@@ -855,3 +855,56 @@ RELATIONAL_QUERIES["shipping_priority"] = q_shipping_priority
 RELATIONAL_ORACLES["shipping_priority"] = SQL_SHIPPING_PRIORITY
 RELATIONAL_QUERIES["order_priority_count"] = q_order_priority_count
 RELATIONAL_ORACLES["order_priority_count"] = SQL_ORDER_PRIORITY_COUNT
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer over one quarter — returnflag filter on the
+    lineitem scan, date filter on the orders scan (both pushed),
+    customer + nation broadcast, top 20 by lost revenue
+    (TakeOrdered)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).alias("__rev"), F.count("*").alias("n_items"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("__rev").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+SQL_RETURNED_ITEM_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+RELATIONAL_QUERIES["returned_item_revenue"] = q_returned_item_revenue
+RELATIONAL_ORACLES["returned_item_revenue"] = SQL_RETURNED_ITEM_REVENUE

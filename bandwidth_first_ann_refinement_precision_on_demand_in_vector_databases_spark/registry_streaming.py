@@ -308,3 +308,60 @@ FROM mg JOIN wh ON wh.bucket = mg.bucket
 
 STREAMING_QUERIES["hll_merge_halves"] = q_hll_merge_halves
 STREAMING_ORACLES["hll_merge_halves"] = _sql_hll_merge_halves()
+
+
+def q_cms_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability — the sum-merge twin of ``hll_merge_halves``:
+    count-min counter tables built over disjoint halves of the events
+    and MERGED BY ADDITION equal the single-pass build (counter sums
+    are the semigroup partial aggregate; per-shard sketches roll up).
+    Emits the merged table beside the whole-stream build — equality on
+    every (d, bucket) is what the driver hash proves."""
+    from pyspark.sql import functions as F
+
+    from .streaming.windows import cms_user_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    left = cms_user_counts(ev.where(F.col("user_id") % 2 == 0))
+    right = cms_user_counts(ev.where(F.col("user_id") % 2 == 1))
+    merged = (
+        left.unionByName(right)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c_merged"))
+    )
+    whole = cms_user_counts(ev).withColumnRenamed("c", "c_whole")
+    return merged.join(whole, ["d", "bucket"]).select(
+        "d", "bucket", "c_merged", "c_whole"
+    )
+
+
+def _sql_cms_merge_halves() -> str:
+    from .functions.text import HASH_P
+    from .registry_text import CMS_A, CMS_B, CMS_DEPTH, CMS_W, _sql_poly_hash
+
+    def table(cte: str, where: str) -> str:
+        union = "\nUNION ALL\n".join(
+            f"SELECT {d} AS d, (({CMS_A[d]} * h + {CMS_B[d]}) % {HASH_P}) % {CMS_W} AS bucket FROM {cte}_uh"
+            for d in range(CMS_DEPTH)
+        )
+        return f"""
+{cte}_uh AS (SELECT {_sql_poly_hash("CAST(user_id AS VARCHAR)")} AS h FROM events {where}),
+{cte} AS (SELECT d, bucket, count(*) AS c FROM ({union}) GROUP BY d, bucket)"""
+
+    return f"""
+WITH
+{table("lh", "WHERE user_id % 2 = 0")},
+{table("rh", "WHERE user_id % 2 = 1")},
+{table("wh", "")},
+mg AS (
+  SELECT d, bucket, CAST(sum(c) AS BIGINT) AS c_merged FROM (
+    SELECT * FROM lh UNION ALL SELECT * FROM rh
+  ) GROUP BY d, bucket
+)
+SELECT mg.d, mg.bucket, mg.c_merged, wh.c AS c_whole
+FROM mg JOIN wh ON wh.d = mg.d AND wh.bucket = mg.bucket
+"""
+
+
+STREAMING_QUERIES["cms_merge_halves"] = q_cms_merge_halves
+STREAMING_ORACLES["cms_merge_halves"] = _sql_cms_merge_halves()

@@ -135,6 +135,8 @@ def _suite():
         "fuzzy_name_pairs",
         "ann_ivf_maxsim_topk",
         "ann_ivf_maxsim_recall",
+        "cms_merge_halves",
+        "returned_item_revenue",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
