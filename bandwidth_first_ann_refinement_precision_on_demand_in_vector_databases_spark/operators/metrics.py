@@ -111,14 +111,26 @@ def ranking_metrics(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
 
     Inputs are top-K frames (query_id, rank, neighbor_id, ...); ann
     ranks 1..K. Queries with no relevant prediction contribute 0 to
-    both means (left join from the exact query set)."""
+    both means (left join from the exact query set).
+
+    The relevance join is guarded against duplicate inputs: ``exact``
+    is deduplicated on (query_id, neighbor_id) and ``ann`` is reduced
+    to the BEST (min) rank per (query_id, neighbor_id), so a caller
+    passing frames with repeated pairs cannot multiply join rows and
+    inflate dcg_micro past the ideal (nDCG > 1 with no error). Both
+    guards are no-ops on well-formed top-K frames."""
     disc = _dcg_discount_micro(k)
     idcg_micro = sum(disc)
     disc_arr = F.array(*[F.lit(d) for d in disc])
-    rel = ann.select("query_id", "rank", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "inner",
+    rel = (
+        ann.select("query_id", "rank", "neighbor_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("rank").alias("rank"))
+        .join(
+            exact.select("query_id", "neighbor_id").distinct(),
+            ["query_id", "neighbor_id"],
+            "inner",
+        )
     )
     per_q = rel.groupBy("query_id").agg(
         F.sum(F.element_at(disc_arr, F.col("rank")).cast("bigint")).alias(

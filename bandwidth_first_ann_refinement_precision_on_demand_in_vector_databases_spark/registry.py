@@ -664,98 +664,51 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r07 rotation. Policy unchanged: (1) queries whose semantics or
-    # plan CHANGED this round (the MaxSim per-slice union pool — both
-    # queries need a fresh driver hash before anything else); (2) the
-    # oldest green rows. After r06 every registered query has a green
-    # driver row somewhere in r01–r06, so (2) is pure staleness: the
-    # 17 queries last checked in r03, then the 44 last checked in r04
-    # (the ~50-slot window covers (1) + all of r03 + most of r04; the
-    # clipped r04 tail keeps its green r04 rows and leads next round).
-    # -- CHANGED r07: stage-1 pool = per-slice top-p union, N-independent --
-    "ann_maxsim_rerank",
-    "ann_maxsim_recall",
-    # -- NEW r07: MaxSim served from the stored token-bag layout --
-    "ann_maxsim_index_topk",
-    # -- NEW r07: streaming HyperLogLog register table --
-    "stream_hll_registers",
-    # -- NEW r07: sketch mergeability + graded retrieval metrics --
-    "hll_merge_halves",
+    # r08 rotation. Policy unchanged: (1) queries whose semantics or
+    # plan CHANGED this round, plus queries NEW this round — they need
+    # a driver hash before anything else; (2) the oldest green rows:
+    # the 28 queries whose latest driver row is r03/r04 (the r07
+    # window clipped them — VERDICT r07 "What's wrong" #3 lists them
+    # verbatim). (1) + (2) fit inside the ~50-slot window together.
+    # -- NEW r08 entries are prepended here as they land --
+    # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",
-    # -- NEW r07: TPC-H Q3/Q4 shapes + blocked fuzzy entity matching --
-    "shipping_priority",
-    "order_priority_count",
-    "fuzzy_name_pairs",
-    # -- NEW r07: the full PLAID composition (IVF x per-slice pool x MaxSim) --
-    "ann_ivf_maxsim_topk",
-    "ann_ivf_maxsim_recall",
-    # -- NEW r07-late: CMS merge twin + TPC-H Q10 shape --
+    # -- CHANGED r08: merge-halves split negative-id-safe (ADVICE) --
+    "hll_merge_halves",
     "cms_merge_halves",
-    "returned_item_revenue",
-    # -- r03-stale (17) --
-    "recall_l2_vs_cosine",
-    "pricing_summary",
-    "reduce_precision",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "media_metadata",
-    "media_decode",
-    "vocab_topn",
-    "corpus_sample",
-    "embedding_dim_stats",
-    "grouping_sets_orders",
-    "window_range_frame",
-    "pivot_events",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "reduce_precision_ekeep",
-    # -- r04-stale (44) --
-    "text_stats",
-    "text_quality",
-    "pq_codes",
-    "ann_pq_topk",
-    "ann_pq_refined_topk",
-    "ann_pq_recall",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    "corpus_curation",
-    "dedup_semantic",
-    "dedup_incremental",
-    "text_repetition",
-    "text_lm_quality",
-    "quality_gate",
-    "corpus_mixture",
-    "ann_ivf_cushion_topk",
-    "ann_ivf_cushion_recall",
-    "ann_ivf_cushion_metrics",
-    "ann_lsh_cushion_topk",
-    "ann_lsh_cushion_metrics",
-    "ann_lsh_cushion_tuned_metrics",
-    "ann_filtered_topk",
+    # -- r03/r04-stale (28): every query whose latest green driver row
+    # -- is r03 or r04. dedup_components first: its operator was
+    # -- rewritten in r07 (fixpoint + pointer-jumping) and its driver
+    # -- row still dates from r04.
+    "dedup_components",
     "ann_filtered_ivf_topk",
-    "ann_range_search",
-    "sq_codes",
-    "ann_sq_topk",
-    "ann_sq_refined_topk",
-    "ann_sq_recall",
-    "hybrid_rrf",
-    "stream_ann_topk",
-    "doc_chunks",
+    "ann_filtered_topk",
+    "ann_ivfsq_recall",
+    "ann_ivfsq_topk",
     "ann_knn_graph",
     "ann_knn_graph_recall",
-    "decontamination",
-    "ann_ivfsq_topk",
-    "ann_ivfsq_recall",
-    "hybrid_bm25_rrf",
+    "ann_lsh_cushion_metrics",
+    "ann_lsh_cushion_tuned_metrics",
     "ann_mmr_rerank",
+    "ann_range_search",
+    "ann_sq_recall",
+    "ann_sq_refined_topk",
+    "ann_sq_topk",
+    "compression_model",
+    "compression_model_tuned",
+    "decontamination",
+    "doc_chunks",
+    "hybrid_bm25_rrf",
+    "hybrid_rrf",
+    "ivf_cell_sizes",
     "media_features",
     "pq_codebook",
-    "ivf_cell_sizes",
+    "refine_l2_tz_exact_metrics",
+    "sq_codes",
+    "stream_ann_topk",
     "stream_dedup_events",
     "stream_interval_join",
-    "dedup_components",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

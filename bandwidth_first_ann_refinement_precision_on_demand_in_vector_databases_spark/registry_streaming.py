@@ -253,9 +253,13 @@ def q_hll_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.windows import hll_user_registers
 
+    # `!= 0` (not `== 1`) for the odd half: with negative user_ids both
+    # Spark and DuckDB return remainder -1, and an `== 1` split would
+    # drop those rows from BOTH halves — the halves must PARTITION the
+    # stream or the mergeability proof is vacuous.
     ev = load_table(spark, sf_dir, "events")
     left = hll_user_registers(ev.where(F.col("user_id") % 2 == 0))
-    right = hll_user_registers(ev.where(F.col("user_id") % 2 == 1))
+    right = hll_user_registers(ev.where(F.col("user_id") % 2 != 0))
     merged = (
         left.unionByName(right)
         .groupBy("bucket")
@@ -294,7 +298,7 @@ def _sql_hll_merge_halves() -> str:
     return f"""
 WITH
 {regs("lh", "WHERE user_id % 2 = 0")},
-{regs("rh", "WHERE user_id % 2 = 1")},
+{regs("rh", "WHERE user_id % 2 <> 0")},
 {regs("wh", "")},
 mg AS (
   SELECT bucket, max(m) AS m_merged FROM (
@@ -321,9 +325,11 @@ def q_cms_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.windows import cms_user_counts
 
+    # `!= 0` for the odd half so negative user_ids (remainder -1 in
+    # both engines) land in exactly one half — see q_hll_merge_halves.
     ev = load_table(spark, sf_dir, "events")
     left = cms_user_counts(ev.where(F.col("user_id") % 2 == 0))
-    right = cms_user_counts(ev.where(F.col("user_id") % 2 == 1))
+    right = cms_user_counts(ev.where(F.col("user_id") % 2 != 0))
     merged = (
         left.unionByName(right)
         .groupBy("d", "bucket")
@@ -351,7 +357,7 @@ def _sql_cms_merge_halves() -> str:
     return f"""
 WITH
 {table("lh", "WHERE user_id % 2 = 0")},
-{table("rh", "WHERE user_id % 2 = 1")},
+{table("rh", "WHERE user_id % 2 <> 0")},
 {table("wh", "")},
 mg AS (
   SELECT d, bucket, CAST(sum(c) AS BIGINT) AS c_merged FROM (

@@ -251,9 +251,26 @@ def write_zordered(
     bits never reaches the interleave's high bits and the range
     partitioner then effectively sorts by the other dimension alone
     (measured in reports/ZORDER_SKIPPING.md — normalize each column
-    to the full range first, e.g. ``(x - min) * 65535 / (max - min)``)."""
+    to the full range first, e.g. ``(x - min) * 65535 / (max - min)``).
+
+    The [0, 2^bits) contract is ENFORCED, not just documented: values
+    >= 2^bits would silently drop their high bits (distant values alias
+    to one Morton key) and negative values would set interleave bits
+    via the arithmetic shiftright sign-extension — either way the
+    layout silently degenerates, so out-of-range input raises."""
     from pyspark.sql import functions as F
 
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    limit = 1 << bits
+    for name, lo, hi in ((col_a, lo_a, hi_a), (col_b, lo_b, hi_b)):
+        if lo is not None and (lo < 0 or hi >= limit):
+            raise ValueError(
+                f"write_zordered: column {name!r} spans [{lo}, {hi}] but the "
+                f"Morton key requires [0, {limit}); normalize the column "
+                f"first (e.g. (x - min) * {limit - 1} / (max - min))"
+            )
     keyed = df.withColumn("__z", F.expr(zorder_key_sql(col_a, col_b, bits)))
     (
         keyed.repartitionByRange(n_files, "__z")

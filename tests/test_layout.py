@@ -400,3 +400,24 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # stay readable on both axes, so majority is not guaranteed.
     assert pruned_a >= total // 4, (pruned_a, total)
     assert pruned_b >= total // 4, (pruned_b, total)
+
+
+def test_zorder_rejects_out_of_range_inputs(spark, tmp_path):
+    """ADVICE r07: values >= 2^bits alias distant keys (high bits
+    dropped) and negative values sign-extend into the interleave —
+    write_zordered must raise instead of silently degenerating."""
+    import pytest
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        write_zordered,
+    )
+
+    too_big = spark.createDataFrame(
+        [(70000, 5), (1, 2)], "a bigint, b bigint"
+    )
+    with pytest.raises(ValueError, match="spans"):
+        write_zordered(too_big, str(tmp_path / "zb"), "a", "b", bits=16)
+
+    negative = spark.createDataFrame([(-1, 5), (1, 2)], "a bigint, b bigint")
+    with pytest.raises(ValueError, match="spans"):
+        write_zordered(negative, str(tmp_path / "zn"), "a", "b", bits=16)

@@ -117,3 +117,27 @@ def test_matches_python_replica_on_random_rankings(spark, data):
     row = ranking_metrics(ann, exact, k).collect()[0]
     want = _python_replica(ann_rows, exact_rows, k)
     assert (row["mrr"], row["ndcg_at_k"], row["n_queries"]) == want
+
+
+def test_duplicate_inputs_cannot_inflate_ndcg(spark):
+    """ADVICE r07: duplicate (query_id, neighbor_id) rows in either
+    input used to multiply the relevance join and push nDCG past 1.0;
+    the guard dedups exact and keeps the best rank per ann pair."""
+    ann, exact = _frames(
+        spark,
+        # neighbor 10 predicted twice (ranks 1 and 3)
+        [(1, 1, 10), (1, 2, 20), (1, 3, 10)],
+        # exact list carries a duplicated relevant id
+        [(1, 10), (1, 10), (1, 20), (1, 30)],
+    )
+    row = ranking_metrics(ann, exact, K).collect()[0]
+    assert row["ndcg_at_k"] <= 1.0
+    # equal to the clean-input result: neighbor 10 counted once at its
+    # best rank (1), neighbor 20 at rank 2
+    clean_ann, clean_exact = _frames(
+        spark,
+        [(1, 1, 10), (1, 2, 20)],
+        [(1, 10), (1, 20), (1, 30)],
+    )
+    clean = ranking_metrics(clean_ann, clean_exact, K).collect()[0]
+    assert (row["mrr"], row["ndcg_at_k"]) == (clean["mrr"], clean["ndcg_at_k"])

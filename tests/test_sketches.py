@@ -61,3 +61,35 @@ def test_hll_accuracy_across_cardinalities(spark):
         assert row.n_exact == n
         rel = abs(row.hll_est - n) / n
         assert rel < 0.25, (n, row.hll_est, rel)
+
+
+def test_merge_halves_partition_covers_negative_ids(spark):
+    """ADVICE r07: the even/odd split must PARTITION the stream even
+    when user_ids are negative (remainder -1 in Spark and DuckDB — an
+    `% 2 == 1` odd-half predicate would drop those rows from BOTH
+    halves and the mergeability proof would be vacuous). Replays the
+    hll_merge_halves split on a frame with negative ids and asserts
+    merged register-max equals the whole-stream build."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.windows import (
+        hll_user_registers,
+    )
+
+    ev = spark.createDataFrame(
+        [(i,) for i in range(-50, 50)], "user_id bigint"
+    ).withColumn("event_time", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    even = hll_user_registers(ev.where(F.col("user_id") % 2 == 0))
+    odd = hll_user_registers(ev.where(F.col("user_id") % 2 != 0))
+    # the two halves partition: row counts add up
+    assert (
+        ev.where(F.col("user_id") % 2 == 0).count()
+        + ev.where(F.col("user_id") % 2 != 0).count()
+        == ev.count()
+    )
+    merged = (
+        even.unionByName(odd).groupBy("bucket").agg(F.max("m").alias("m"))
+    )
+    whole = hll_user_registers(ev)
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
