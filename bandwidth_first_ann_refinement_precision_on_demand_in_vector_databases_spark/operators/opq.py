@@ -1,0 +1,144 @@
+"""OPQ-style product quantization — PQ behind a data-dependent
+orthogonal transform (SURVEY §2 north-star; extends the reference's
+reduce-then-refine skeleton, ``ANNCode.py:525-585``, with the codes
+as the reduced representation).
+
+Full OPQ (Ge et al., CVPR 2013) alternates a learned rotation with
+codebook training. This operator implements the transform family that
+stays exactly replayable cross-engine: a **variance-balanced dimension
+permutation** — OPQ's eigenvalue-allocation principle applied in the
+coordinate basis. Dimensions are ranked by variance and snake-dealt
+across the ``PQ_M`` subspaces, so no subspace ends up owning all the
+high-energy coordinates (plain PQ splits by position, and any energy
+imbalance between position blocks directly inflates per-subspace
+quantization error). A permutation is an orthogonal matrix, so every
+L2 distance is invariant: OPQ scores are directly comparable to exact
+scores on the original vectors.
+
+Exactness discipline (what makes the trained transform oracle-able):
+
+* the ranking key is the integer-exact scaled variance
+  ``n·Σq² − (Σq)²`` over micro-quantized coordinates
+  ``q = floor(x·1e6)`` — a BIGINT both engines compute bit-identically
+  (the ``embedding_covariance`` rule), with ties broken on dimension
+  index;
+* the dealing is a closed-form snake: rank r lands in subspace
+  ``r % M`` on even rounds and ``M−1−(r % M)`` on odd rounds, slot
+  ``r // M`` — each subspace receives exactly ``D/M`` dims for any D
+  divisible by M;
+* the permutation applied to vectors is one generated
+  ``array(element_at(...))`` SQL expression — a pure map, zero
+  shuffle, fully inside whole-stage codegen (the hyperplane-LSH /
+  Z-order ``F.expr`` lesson).
+
+Scale shape: the variance pass is one map-side-combined aggregate to
+D rows (collected once per session — D ints, the `embedding_dim` peek
+pattern); the permuted corpus is a narrow projection; everything
+downstream is the existing PQ machinery (trained codebook broadcast,
+argmin as min-struct aggregate, ADC scan of codes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import session_cache
+from .pq import PQ_M, PQ_REFINE_R, pq_topk
+from .topk import exact_l2_rerank
+
+#: micro-unit scale for the variance quantization (the covariance rule)
+OPQ_SCALE = 1_000_000
+
+
+def opq_permutation(corpus: DataFrame, vec_col: str = "embedding") -> list[int]:
+    """``perm[dim] = newpos``: the variance-balanced snake permutation,
+    trained from the corpus. Memoized per (session, corpus) — one
+    D-row collect per session. The key ``n·Σq² − (Σq)²`` is n² × the
+    variance of the micro-quantized coordinate: BIGINT-exact on both
+    engines (values stay under 2^63 for N ≤ ~4e5 unit-norm rows at the
+    1e6 scale; the registered fixtures are far below)."""
+    cache = session_cache(corpus.sparkSession, "opq_perm")
+    key = (id(corpus), vec_col)
+    if key in cache:
+        return cache[key][1]
+
+    ex = corpus.select(F.posexplode(vec_col).alias("dim", "x")).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * OPQ_SCALE).cast("bigint").alias("qx"),
+    )
+    var = ex.groupBy("dim").agg(
+        (
+            F.count("*") * F.sum(F.col("qx") * F.col("qx"))
+            - F.sum("qx") * F.sum("qx")
+        ).alias("vkey")
+    )
+    rows = var.collect()
+    dim = len(rows)
+    if dim % PQ_M:
+        raise ValueError(f"PQ_M={PQ_M} does not divide embedding dim {dim}")
+    subdim = dim // PQ_M
+    order = sorted(rows, key=lambda r: (-r["vkey"], r["dim"]))
+    newpos = [0] * dim
+    for rk, r in enumerate(order):
+        rnd, p = divmod(rk, PQ_M)
+        sub = p if rnd % 2 == 0 else PQ_M - 1 - p
+        newpos[r["dim"]] = sub * subdim + rnd
+    cache[key] = (corpus, newpos)  # pin the frame (session-cache rule)
+    return newpos
+
+
+def permute_expr(perm: list[int], vec_col: str) -> str:
+    """SQL text building the permuted array: output position p takes
+    the input element whose ``perm[dim] == p``. One expression string
+    parsed JVM-side (never a py4j ``F.lit`` tree)."""
+    src_for = [0] * len(perm)
+    for d, p in enumerate(perm):
+        src_for[p] = d
+    terms = ", ".join(f"element_at({vec_col}, {d + 1})" for d in src_for)
+    return f"array({terms})"
+
+
+def opq_permuted_corpus(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """The permuted corpus view (id, embedding) — memoized per session
+    so every PQ artifact keyed by ``id(corpus)`` downstream (codebook,
+    codes, reconstruction) is trained once and shared."""
+    cache = session_cache(corpus.sparkSession, "opq_corpus")
+    key = (id(corpus), vec_col, id_col)
+    if key not in cache:
+        perm = opq_permutation(corpus, vec_col)
+        cache[key] = (
+            corpus,
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.expr(permute_expr(perm, vec_col)).alias("embedding"),
+            ),
+        )
+    return cache[key][1]
+
+
+def opq_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """ADC top-K in the permuted space. Permutations preserve L2, so
+    scores/ranks are directly comparable to plain PQ and to exact —
+    the only change is WHICH coordinates share a codebook."""
+    perm = opq_permutation(corpus)
+    pc = opq_permuted_corpus(corpus)
+    pqs = queries.select(
+        "query_id", F.expr(permute_expr(perm, "embedding")).alias("embedding")
+    )
+    return pq_topk(pqs, pc, k)
+
+
+def opq_refined_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
+) -> DataFrame:
+    """Precision-on-demand over OPQ codes: the permuted-space ADC pass
+    nominates r·K candidates; survivors fetch the ORIGINAL
+    full-precision vectors for the exact re-rank (late
+    materialization — permutation invariance makes re-ranking in the
+    original space exactly equivalent, so the serve path never touches
+    permuted storage twice)."""
+    cand_ids = opq_topk(queries, corpus, r * k).select("query_id", "neighbor_id")
+    return exact_l2_rerank(cand_ids, corpus, queries, k)

