@@ -210,6 +210,44 @@ def _planes_array_sql(dim: int) -> str:
     return f"array({rows})"
 
 
+def _lsh_dots_sql(vec_col: str, dim: int) -> str:
+    """All 16 hyperplane projections of ``vec_col`` as one array —
+    the shared primitive behind signature keys and probe margins."""
+    return (
+        f"transform({_planes_array_sql(dim)}, p -> "
+        f"aggregate(zip_with({vec_col}, p, (x, pp) -> cast(x AS double) * pp), "
+        f"cast(0.0 AS double), (acc, v) -> acc + v))"
+    )
+
+
+#: bit j of band b = sign of projection b*ROWS+j (element_at is
+#: 1-indexed); keys stay identical to the unrolled form the DuckDB
+#: oracle replays.
+_LSH_KEY_SQL = " + ".join(
+    f"if(element_at(__dots, band * {LSH_ROWS} + {j + 1}) >= 0, {1 << j}, 0)"
+    for j in range(LSH_ROWS)
+)
+
+
+def _lsh_banded_dots(df: DataFrame, vec_col: str, id_alias: str, dim: int) -> DataFrame:
+    """(id, vec, band, bkey, __dots): per-band signature keys with the
+    raw projections retained (multi-probe needs the margins)."""
+    return (
+        df.select(
+            F.col(id_alias).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.expr(_lsh_dots_sql(vec_col, dim)).alias("__dots"),
+        )
+        .select(
+            "id",
+            "vec",
+            F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+            "__dots",
+        )
+        .select("id", "vec", "band", F.expr(_LSH_KEY_SQL).alias("bkey"), "__dots")
+    )
+
+
 def lsh_signature_bands(
     df: DataFrame, vec_col: str, id_alias: str, dim: int | None = None
 ) -> DataFrame:
@@ -222,32 +260,90 @@ def lsh_signature_bands(
     explicitly to skip the peek when the caller already knows it."""
     if dim is None:
         dim = embedding_dim(df, vec_col)
-    dots_sql = (
-        f"transform({_planes_array_sql(dim)}, p -> "
-        f"aggregate(zip_with({vec_col}, p, (x, pp) -> cast(x AS double) * pp), "
-        f"cast(0.0 AS double), (acc, v) -> acc + v))"
+    return _lsh_banded_dots(df, vec_col, id_alias, dim).drop("__dots")
+
+
+#: extra buckets probed per band (flipped lowest-margin bits) —
+#: multi-probe LSH (Lv et al., VLDB 2007). T=2 probes 3 buckets/band.
+LSH_MULTIPROBE_T = 2
+
+
+def lsh_multiprobe_bands(
+    df: DataFrame,
+    vec_col: str,
+    id_alias: str,
+    t: int = LSH_MULTIPROBE_T,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, vec, band, bkey): the query-side probe set — each band's
+    own bucket plus the ``t`` neighboring buckets reached by flipping
+    the lowest-|margin| signature bits (the bits most likely to have
+    landed on the wrong side of their hyperplane for a true neighbor).
+    The standard recall lever that costs NO extra stored tables: the
+    corpus keeps exactly one bucket per band; only the probe fan-out
+    grows, from 1 to t+1 buckets per band.
+
+    The margin rank is a row_number window over (id, band) — Q·bands
+    partitions, never a global sort; ties on |dot| break on bit index
+    so both engines rank identically (the dots themselves are the
+    bit-exact strict folds the signatures already use)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = embedding_dim(df, vec_col)
+    base = _lsh_banded_dots(df, vec_col, id_alias, dim)
+    bits = base.select(
+        "id",
+        "vec",
+        "band",
+        "bkey",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_ROWS - 1))).alias("j"),
+        "__dots",
+    ).select(
+        "id",
+        "vec",
+        "band",
+        "bkey",
+        "j",
+        F.expr(f"element_at(__dots, band * {LSH_ROWS} + j + 1)").alias("dot"),
     )
-    # bit j of band b = sign of projection b*ROWS+j (element_at is
-    # 1-indexed); keys stay identical to the unrolled form the DuckDB
-    # oracle replays.
-    key_sql = " + ".join(
-        f"if(element_at(__dots, band * {LSH_ROWS} + {j + 1}) >= 0, {1 << j}, 0)"
-        for j in range(LSH_ROWS)
+    w = Window.partitionBy("id", "band").orderBy(
+        F.abs(F.col("dot")).asc(), F.col("j").asc()
     )
-    return (
-        df.select(
-            F.col(id_alias).alias("id"),
-            F.col(vec_col).alias("vec"),
-            F.expr(dots_sql).alias("__dots"),
-        )
-        .select(
-            "id",
-            "vec",
-            F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
-            "__dots",
-        )
-        .select("id", "vec", "band", F.expr(key_sql).alias("bkey"))
+    flips = (
+        bits.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= t)
+        .select("id", "vec", "band", F.expr("bkey ^ shiftleft(1, j)").alias("bkey"))
     )
+    return base.select("id", "vec", "band", "bkey").unionByName(flips)
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, t: int = LSH_MULTIPROBE_T
+) -> DataFrame:
+    """Multi-probe LSH top-K (cosine): same stored signatures as
+    ``lsh_topk``, (t+1)× the probe keys on the query side. Candidates
+    remain a band/bucket equi-join — never all-pairs — and the extra
+    probes only widen the small side of the shuffle."""
+    dim = embedding_dim(corpus)
+    qb = lsh_multiprobe_bands(queries, "embedding", "query_id", t=t, dim=dim)
+    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
+    cand_ids = (
+        qb.alias("q")
+        .join(cb.alias("c"), ["band", "bkey"])
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = F.broadcast(queries.select("query_id", F.col("embedding").alias("qvec")))
+    cv = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    cand = (
+        cand_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("score"))
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:

@@ -675,6 +675,9 @@ _FRONT = [
     "ann_opq_topk",
     "ann_opq_refined_topk",
     "ann_opq_recall",
+    # -- NEW r08: multi-probe LSH (flipped lowest-margin bits) --
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_multiprobe_recall",
     # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",

@@ -1205,3 +1205,85 @@ SIMSEARCH_QUERIES["ann_opq_refined_topk"] = q_ann_opq_refined_topk
 SIMSEARCH_ORACLES["ann_opq_refined_topk"] = SQL_ANN_OPQ_REFINED_TOPK
 SIMSEARCH_QUERIES["ann_opq_recall"] = q_ann_opq_recall
 SIMSEARCH_ORACLES["ann_opq_recall"] = SQL_ANN_OPQ_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (operators/simsearch.lsh_multiprobe_topk; VERDICT r07
+# #3 — probe the T nearest buckets by flipped-bit margin: the standard
+# recall lever that costs no extra stored tables)
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.lsh_multiprobe_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.lsh_multiprobe_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+def _sql_band_dots(src: str, id_expr: str, vec: str) -> str:
+    """(id, vec, band, j, dot): every projection unrolled with literal
+    planes — the margin table behind the probe ranking."""
+    rows = []
+    for band in range(S.LSH_BANDS):
+        for j in range(S.LSH_ROWS):
+            plane = S.lsh_planes(FIXTURE_EMBED_DIM)[band * S.LSH_ROWS + j]
+            d = _sql_dot(vec, _sql_plane_lit(plane))
+            rows.append(
+                f"SELECT {id_expr} AS id, {vec} AS vec, {band} AS band, "
+                f"{j} AS j, {d} AS dot FROM {src}"
+            )
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_LSH_MP_CTES = f"""
+q AS ({SQL_Q_CTE}),
+qb AS ({_sql_bands("q", "query_id", "qe")}),
+cb AS ({_sql_bands("embeddings", "vec_id", "embedding")}),
+q_dots AS ({_sql_band_dots("q", "query_id", "qe")}),
+q_flip AS (
+  SELECT id, band, j FROM (
+    SELECT id, band, j,
+      row_number() OVER (PARTITION BY id, band ORDER BY abs(dot) ASC, j ASC) AS r
+    FROM q_dots
+  ) WHERE r <= {S.LSH_MULTIPROBE_T}
+),
+qmb AS (
+  SELECT id, vec, band, bkey FROM qb
+  UNION ALL
+  SELECT qb.id, qb.vec, qb.band, xor(qb.bkey, 1 << f.j) AS bkey
+  FROM q_flip f JOIN qb ON qb.id = f.id AND qb.band = f.band
+),
+lsh_mp_cand AS (
+  SELECT query_id, neighbor_id, {_sql_cos("qvec", "cvec")} AS score FROM (
+    SELECT DISTINCT qmb.id AS query_id, cb.id AS neighbor_id,
+           qmb.vec AS qvec, cb.vec AS cvec
+    FROM qmb JOIN cb ON qmb.band = cb.band AND qmb.bkey = cb.bkey
+  )
+)
+"""
+
+SQL_ANN_LSH_MP_TOPK = f"""
+WITH {SQL_LSH_MP_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM lsh_mp_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SIMSEARCH_QUERIES["ann_lsh_multiprobe_topk"] = q_ann_lsh_multiprobe_topk
+SIMSEARCH_ORACLES["ann_lsh_multiprobe_topk"] = SQL_ANN_LSH_MP_TOPK
+SIMSEARCH_QUERIES["ann_lsh_multiprobe_recall"] = q_ann_lsh_multiprobe_recall
+SIMSEARCH_ORACLES["ann_lsh_multiprobe_recall"] = _sql_recall(
+    SQL_LSH_MP_CTES, "lsh_mp_cand"
+)

@@ -102,3 +102,53 @@ def test_salted_equals_unsalted(spark, sf_small):
     a = topk_per_query(scores, K, salted=True).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
     b = topk_per_query(scores, K, salted=False).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
     assert a.equals(b)
+
+
+def test_multiprobe_lsh_candidates_superset_and_recall_geq(spark, sf_small):
+    """Multi-probe probes the base bucket PLUS flipped-margin buckets,
+    so its candidate set is a superset of plain LSH's and recall@K
+    can only rise; probe fan-out is exactly (t+1) keys per band."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        simsearch as S,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    dim = S.embedding_dim(corpus)
+    qb_plain = S.lsh_signature_bands(queries, "embedding", "query_id", dim=dim)
+    qb_mp = S.lsh_multiprobe_bands(queries, "embedding", "query_id", t=2, dim=dim)
+    n_q = queries.count()
+    assert qb_plain.count() == n_q * S.LSH_BANDS
+    assert qb_mp.count() == n_q * S.LSH_BANDS * 3  # base + 2 probes
+    # every plain probe key is in the multi-probe set
+    missing = qb_plain.join(
+        qb_mp.select("id", "band", "bkey"), ["id", "band", "bkey"], "left_anti"
+    )
+    assert missing.count() == 0
+    # flipped keys differ from base by exactly one bit
+    flips = qb_mp.select("id", "band", "bkey").join(
+        qb_plain.select("id", "band", "bkey"), ["id", "band", "bkey"], "left_anti"
+    )
+    one_bit = flips.join(
+        qb_plain.select("id", "band", F.col("bkey").alias("base")), ["id", "band"]
+    ).select(F.bit_count(F.col("bkey").bitwiseXOR(F.col("base"))).alias("nb"))
+    assert one_bit.where(F.col("nb") != 1).count() == 0
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        exact_topk_fixture_cached,
+    )
+
+    gt = exact_topk_fixture_cached(spark, sf_small, 10, "cosine")
+    r_plain = S.ann_recall(S.lsh_topk(queries, corpus, 10), gt, 10).collect()[0][
+        "recall_at_k"
+    ]
+    r_mp = S.ann_recall(
+        S.lsh_multiprobe_topk(queries, corpus, 10), gt, 10
+    ).collect()[0]["recall_at_k"]
+    assert r_mp >= r_plain
