@@ -523,6 +523,90 @@ def symmetric_knn_edges(
     return cache[key][1]
 
 
+#: centroid-seeded beam entries (HNSW's hierarchical-entry lever,
+#: r07 verdict #4): the query's BEAM_ENTRY_CELLS nearest IVF cells ×
+#: BEAM_ENTRY_PER_CELL central members each — 12 geometry-aware
+#: entries/query instead of N/stride blind stride seeds. Reuses the
+#: already-trained coarse quantizer; zero new structures.
+BEAM_ENTRY_CELLS = IVF_NPROBE
+BEAM_ENTRY_PER_CELL = 4
+
+
+def cell_medoids(
+    corpus: DataFrame, per_cell: int = BEAM_ENTRY_PER_CELL
+) -> DataFrame:
+    """(cell, vec_id, cvec): the ``per_cell`` members of each IVF cell
+    nearest their centroid (squared L2, ties → smaller vec_id) — the
+    cells' natural entry representatives. An offline index artifact
+    like the centroids themselves: built once per session, broadcast-
+    sized (n_cells · per_cell rows). The rank window partitions by
+    cell — n_cells hash partitions, never a global sort."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "cell_medoids")
+    key = (id(corpus), per_cell)
+    if key not in cache:
+        cents = ivf_centroids(corpus)
+        assigned = ivf_assign(corpus, cents)
+        scored = assigned.join(
+            F.broadcast(cents), assigned.cell == cents.centroid_id
+        ).select("cell", "vec_id", "embedding", dist2("embedding", "cvec").alias("__d2"))
+        w = Window.partitionBy("cell").orderBy(
+            F.col("__d2").asc(), F.col("vec_id").asc()
+        )
+        med = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= per_cell)
+            .select("cell", "vec_id", F.col("embedding").alias("cvec"))
+        )
+        cache[key] = (corpus, med)
+    return cache[key][1]
+
+
+def centroid_seeded_entries(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = BEAM_ENTRY_CELLS,
+    per_cell: int = BEAM_ENTRY_PER_CELL,
+) -> DataFrame:
+    """(query_id, vec_id, score): beam entry points seeded from the
+    query's nearest IVF cells' medoids, scored exactly — each query
+    starts its walk from n_cells·per_cell graph nodes already near it,
+    instead of scoring N/stride arbitrary stride seeds."""
+    cents = ivf_centroids(corpus)
+    probed = ivf_probes(queries, cents, n_cells)
+    med = cell_medoids(corpus, per_cell)
+    return (
+        F.broadcast(probed)
+        .join(med, "cell")
+        .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
+    )
+
+
+def graph_centroid_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    graph_k: int = GRAPH_DEGREE,
+    beam: int = BEAM_WIDTH,
+    rounds: int = BEAM_ROUNDS,
+) -> DataFrame:
+    """Beam search with centroid-seeded entries — same graph, same
+    walk, geometry-aware starting set (see ``centroid_seeded_entries``).
+    Visited/query drops to entries + expansions only."""
+    edges = symmetric_knn_edges(corpus, graph_k)
+    entries = centroid_seeded_entries(queries, corpus)
+    cand = beam_candidates(
+        queries, corpus, edges, beam, rounds, entries=entries
+    )
+    return topk_per_query(
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), "score"),
+        k,
+        ascending=False,
+        salted=False,
+    )
+
+
 def graph_beam_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -605,22 +689,29 @@ def beam_candidates(
     beam: int = BEAM_WIDTH,
     rounds: int = BEAM_ROUNDS,
     entry_stride: int = BEAM_ENTRY_STRIDE,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """The visited set ``(query_id, vec_id, score)`` of the beam walk
     over an explicit ``(src, dst)`` edge frame — the serve-path core:
     the edge set can come from :func:`symmetric_knn_edges` (in-session
     build) or a stored index table (``sources/layout.read_graph_index``),
-    and the walk itself never touches how the graph was built."""
+    and the walk itself never touches how the graph was built.
+    ``entries`` overrides the stride seeds with an explicit scored
+    entry frame (query_id, vec_id, score) —
+    :func:`centroid_seeded_entries` is the trained variant."""
     qv = F.broadcast(
         queries.select("query_id", F.col("embedding").alias("qvec"))
     )
-    seeds = corpus.where(F.col("vec_id") % entry_stride == 0).select(
-        "vec_id", F.col("embedding").alias("cvec")
-    )
-    cand = (
-        qv.crossJoin(F.broadcast(seeds))
-        .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
-    ).localCheckpoint(eager=True)
+    if entries is not None:
+        cand = entries.localCheckpoint(eager=True)
+    else:
+        seeds = corpus.where(F.col("vec_id") % entry_stride == 0).select(
+            "vec_id", F.col("embedding").alias("cvec")
+        )
+        cand = (
+            qv.crossJoin(F.broadcast(seeds))
+            .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
+        ).localCheckpoint(eager=True)
     cv = corpus.select("vec_id", F.col("embedding").alias("cvec"))
     for _ in range(rounds):
         w = Window.partitionBy("query_id").orderBy(

@@ -678,6 +678,9 @@ _FRONT = [
     # -- NEW r08: multi-probe LSH (flipped lowest-margin bits) --
     "ann_lsh_multiprobe_topk",
     "ann_lsh_multiprobe_recall",
+    # -- NEW r08: centroid-seeded graph beam entries --
+    "ann_graph_centroid_topk",
+    "ann_graph_centroid_recall",
     # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",

@@ -672,7 +672,11 @@ def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_graph_beam_ctes(q_cte: str = SQL_Q_CTE) -> tuple[str, str]:
+def _sql_graph_beam_ctes(
+    q_cte: str = SQL_Q_CTE,
+    pre_ctes: tuple[str, ...] = (),
+    c0_ctes: tuple[str, ...] = (),
+) -> tuple[str, str]:
     """CTE chain replaying ``graph_beam_search``; returns
     ``(ctes, final_candidate_cte)`` where the final CTE has columns
     (query_id, neighbor_id, score). Heavy CTEs are MATERIALIZED —
@@ -680,9 +684,12 @@ def _sql_graph_beam_ctes(q_cte: str = SQL_Q_CTE) -> tuple[str, str]:
     default inlining re-evaluates exponentially otherwise (same
     lesson as the semantic-dedup oracle). ``q_cte`` parameterizes the
     walker set — the fixture queries by default, the incoming upsert
-    batch for the delta-insert oracle."""
+    batch for the delta-insert oracle. ``pre_ctes`` are injected after
+    ``q`` (e.g. the IVF body for centroid seeding); ``c0_ctes``, when
+    given, REPLACE the default stride-seed ``c0`` entry CTE."""
     parts = [
         f"q AS ({q_cte})",
+        *pre_ctes,
         f"cb AS ({_sql_bands('embeddings', 'vec_id', 'embedding')})",
         f"""gscored AS (
   SELECT node_id, neighbor_id, {_sql_cos("qvec", "cvec")} AS score FROM (
@@ -705,12 +712,17 @@ def _sql_graph_beam_ctes(q_cte: str = SQL_Q_CTE) -> tuple[str, str]:
   UNION
   SELECT neighbor_id AS src, node_id AS dst FROM graph
 )""",
-        f"""c0 AS MATERIALIZED (
+        *(
+            c0_ctes
+            or (
+                f"""c0 AS MATERIALIZED (
   SELECT q.query_id, s.vec_id, {_sql_cos("q.qe", "s.embedding")} AS score
   FROM q CROSS JOIN
     (SELECT vec_id, embedding FROM embeddings
      WHERE vec_id % {S.BEAM_ENTRY_STRIDE} = 0) s
 )""",
+            )
+        ),
     ]
     for i in range(1, S.BEAM_ROUNDS + 1):
         prev, cur = f"c{i - 1}", f"c{i}"
@@ -1286,4 +1298,70 @@ SIMSEARCH_ORACLES["ann_lsh_multiprobe_topk"] = SQL_ANN_LSH_MP_TOPK
 SIMSEARCH_QUERIES["ann_lsh_multiprobe_recall"] = q_ann_lsh_multiprobe_recall
 SIMSEARCH_ORACLES["ann_lsh_multiprobe_recall"] = _sql_recall(
     SQL_LSH_MP_CTES, "lsh_mp_cand"
+)
+
+
+# ---------------------------------------------------------------------------
+# Centroid-seeded graph beam search (VERDICT r07 #4 — HNSW's
+# hierarchical-entry lever: start the walk from the query's nearest
+# IVF cells' medoids instead of blind stride seeds)
+# ---------------------------------------------------------------------------
+
+def q_ann_graph_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.graph_centroid_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_K,
+        graph_k=GRAPH_BEAM_K,
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_graph_centroid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.graph_centroid_topk(queries, corpus, ANN_K, graph_k=GRAPH_BEAM_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+_GRAPH_CENTROID_C0 = (
+    f"""med AS (
+  SELECT cell, vec_id, embedding FROM (
+    SELECT a.cell, a.vec_id, a.embedding,
+      row_number() OVER (PARTITION BY a.cell
+        ORDER BY {_sql_dist2("a.embedding", "c.cvec")} ASC, a.vec_id ASC) AS r
+    FROM assigned a JOIN cents c ON c.centroid_id = a.cell
+  ) WHERE r <= {S.BEAM_ENTRY_PER_CELL}
+)""",
+    f"""c0 AS MATERIALIZED (
+  SELECT p.query_id, m.vec_id, {_sql_cos("p.qe", "m.embedding")} AS score
+  FROM probes p JOIN med m ON m.cell = p.cell
+)""",
+)
+
+#: SQL_IVF_BODY supplies cents/assigned/probes (probe depth
+#: IVF_NPROBE == BEAM_ENTRY_CELLS — one constant, one replay); its
+#: trailing ivf_cand CTE is unreferenced and never evaluated.
+_GRAPH_CENT_CTES, _GRAPH_CENT_FINAL = _sql_graph_beam_ctes(
+    pre_ctes=(SQL_IVF_BODY,), c0_ctes=_GRAPH_CENTROID_C0
+)
+
+SQL_ANN_GRAPH_CENTROID_TOPK = f"""
+WITH {_GRAPH_CENT_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM {_GRAPH_CENT_FINAL}
+) WHERE rank <= {ANN_K}
+"""
+
+SIMSEARCH_QUERIES["ann_graph_centroid_topk"] = q_ann_graph_centroid_topk
+SIMSEARCH_ORACLES["ann_graph_centroid_topk"] = SQL_ANN_GRAPH_CENTROID_TOPK
+SIMSEARCH_QUERIES["ann_graph_centroid_recall"] = q_ann_graph_centroid_recall
+SIMSEARCH_ORACLES["ann_graph_centroid_recall"] = _sql_recall(
+    _GRAPH_CENT_CTES, _GRAPH_CENT_FINAL
 )

@@ -152,3 +152,34 @@ def test_multiprobe_lsh_candidates_superset_and_recall_geq(spark, sf_small):
         S.lsh_multiprobe_topk(queries, corpus, 10), gt, 10
     ).collect()[0]["recall_at_k"]
     assert r_mp >= r_plain
+
+
+def test_centroid_seeded_entries_bounded_and_dominating(spark, sf_small):
+    """Centroid seeding starts the walk from n_cells*per_cell
+    geometry-aware nodes per query (bounded, N-independent given the
+    quantizer) instead of N/stride blind stride seeds; entries are
+    members of the query's probed cells."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        simsearch as S,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    n_q = queries.count()
+    entries = S.centroid_seeded_entries(queries, corpus)
+    per_q = entries.groupBy("query_id").count()
+    cap = S.BEAM_ENTRY_CELLS * S.BEAM_ENTRY_PER_CELL
+    assert per_q.where(F.col("count") > cap).count() == 0
+    assert per_q.count() == n_q  # every query gets entries
+    # every entry is a medoid of one of the query's probed cells
+    cents = S.ivf_centroids(corpus)
+    probes = S.ivf_probes(queries, cents, S.BEAM_ENTRY_CELLS)
+    med = S.cell_medoids(corpus)
+    legal = probes.join(med, "cell").select("query_id", "vec_id")
+    assert entries.select("query_id", "vec_id").exceptAll(legal).count() == 0
