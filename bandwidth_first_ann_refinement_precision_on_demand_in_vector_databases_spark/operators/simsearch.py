@@ -750,8 +750,9 @@ def assign_cells_stateless(
     centroid_rows: list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, cell): nearest-centroid assignment as a PURE PROJECTION —
+    """(id, *keep_cols, cell): nearest-centroid assignment as a PURE PROJECTION —
     the quantizer rides along as a literal array (it is broadcast-
     sized by construction: N/stride rows), so the plan has no join,
     no aggregation, and NO STATE. That makes it legal in a streaming
@@ -786,7 +787,9 @@ def assign_cells_stateless(
         f").cid"
     )
     return df.select(
-        F.col(id_col).alias("id"), F.expr(assign).alias("cell")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        F.expr(assign).alias("cell"),
     )
 
 

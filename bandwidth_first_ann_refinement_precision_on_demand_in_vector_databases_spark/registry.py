@@ -681,6 +681,9 @@ _FRONT = [
     # -- NEW r08: centroid-seeded graph beam entries --
     "ann_graph_centroid_topk",
     "ann_graph_centroid_recall",
+    # -- NEW r08: streaming CDC ingest end-to-end (foreachBatch ->
+    # -- cell-routed delta store -> merge-on-read serve) --
+    "ann_stream_fresh_topk",
     # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",

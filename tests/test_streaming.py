@@ -418,3 +418,66 @@ def test_streaming_ivf_ingest_assign_equals_batch(spark, sf_small, tmp_path):
         for r in assign_cells_stateless(spark.read.parquet(newdir), rows).collect()
     }
     assert streamed == expected and len(streamed) == batch_src.count()
+
+
+def test_streaming_ingest_end_to_end_equals_batch(spark, sf_small, tmp_path):
+    """The full continuous-ingest loop (r07 verdict #5): CDC change
+    stream -> foreachBatch -> cell-partitioned delta store ->
+    merge-on-read serve. After the stream drains, the served top-K
+    must equal the same change set applied as ONE batch
+    (mutated_topk) — last-wins keys on the data's seq, so the state
+    is independent of micro-batch chopping."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.mutate import (
+        mutated_topk,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_centroids,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.ingest import (
+        change_stream_fixture,
+        delta_latest,
+        serve_fresh_topk,
+        start_delta_ingest,
+    )
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    changes = change_stream_fixture(corpus)
+
+    src = str(tmp_path / "src")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    changes.repartition(4).write.parquet(src)
+    rows = [(r.centroid_id, r.cvec) for r in ivf_centroids(corpus).collect()]
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_delta_ingest(stream, rows, delta, ckpt)
+    q.awaitTermination(300)
+    # at least 2 micro-batches ran and the store is cell-partitioned
+    import os
+
+    batches = {r.batch_id for r in spark.read.parquet(delta).select("batch_id").distinct().collect()}
+    assert len(batches) >= 2
+    assert any(d.startswith("cell=") for d in os.listdir(delta))
+
+    served = serve_fresh_topk(
+        queries, corpus, delta_latest(spark, delta), 10
+    ).toPandas().sort_values(["query_id", "rank"], ignore_index=True)
+
+    # batch twin: resolve last-wins directly, then one-shot merge
+    latest = changes.orderBy(F.col("seq").desc(), F.col("op").asc()).dropDuplicates(
+        ["vec_id"]
+    )
+    ups = latest.where(F.col("op") == "upsert").select("vec_id", "embedding")
+    dels = latest.where(F.col("op") == "delete").select("vec_id")
+    want = mutated_topk(queries, corpus, ups, dels, 10).toPandas().sort_values(
+        ["query_id", "rank"], ignore_index=True
+    )
+    assert served.equals(want)
