@@ -176,6 +176,29 @@ def salted_agg_sum_count(
     )
 
 
+def _rank_splits_cached(
+    df: DataFrame, key_col: str, n_buckets: int, pcts: list[float]
+) -> DataFrame:
+    """The pinned 1-row percentile-split frame, memoized per (session,
+    input frame, key, n_buckets). The eager checkpoint pins ONE split
+    array: it feeds TWO plan branches (bucket counts and the final
+    rank), and exactness requires both to see identical splits —
+    approx-percentile sketch merges are fetch-order sensitive, so two
+    independent evaluations (exchange reuse off, an AQE replan) need
+    not agree. The memo entry pins ``df`` itself so a recycled id()
+    can never serve stale splits (the session-cache rule)."""
+    from ..session import session_cache
+
+    cache = session_cache(df.sparkSession, "rank_splits")
+    key = (id(df), key_col, n_buckets)
+    if key not in cache:
+        stats = df.agg(
+            F.percentile_approx(key_col, pcts, 10_000).alias("__splits")
+        ).localCheckpoint(eager=True)
+        cache[key] = (df, stats)
+    return cache[key][1]
+
+
 def parallel_global_rank(
     df: DataFrame,
     key_col: str,
@@ -207,24 +230,19 @@ def parallel_global_rank(
     explicitly — the split comparisons would otherwise evaluate NULL
     and silently drop them into bucket 0, the top of the order.
 
-    Side effect: construction is EAGER — the split frame runs a
+    Side effect: construction is EAGER the FIRST time per (session,
+    input frame, key, n_buckets) — the split frame runs a
     ``percentile_approx`` job + ``localCheckpoint`` at plan-build
     time (the exactness argument above requires pinning one split
-    array before it feeds two branches). Callers that only want the
-    logical plan (plan audits, ``test_scale_guard``'s registry sweep)
-    still pay the small split job.
+    array before it feeds two branches). The pinned splits are
+    session-memoized (the ``_maxsim_pool_cached`` idiom, r07 verdict
+    "what's wrong" #2), so repeated plan construction — plan audits,
+    ``test_scale_guard``'s registry sweep, a sweep loop re-invoking
+    the same query — pays the split job once, not per construction.
     """
     pcts = [i / n_buckets for i in range(1, n_buckets)]
     if pcts:
-        # the 1-row split frame is pinned with an eager checkpoint:
-        # it feeds TWO plan branches (bucket counts and the final
-        # rank), and exactness requires both to see the identical
-        # split array — approx-percentile sketch merges are
-        # fetch-order sensitive, so two independent evaluations
-        # (exchange reuse off, an AQE replan) need not agree.
-        stats = df.agg(
-            F.percentile_approx(key_col, pcts, 10_000).alias("__splits")
-        ).localCheckpoint(eager=True)
+        stats = _rank_splits_cached(df, key_col, n_buckets, pcts)
         bucketed = df.crossJoin(F.broadcast(stats)).withColumn(
             "__bucket",
             F.when(F.col(key_col).isNull(), F.lit(len(pcts))).otherwise(

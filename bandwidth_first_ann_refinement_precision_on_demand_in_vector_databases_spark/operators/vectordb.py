@@ -150,6 +150,34 @@ def keyword_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _posting_frames_cached(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(toks, tf): the persisted posting file (one row per token
+    occurrence) and the per-(doc, token) term-frequency table — the
+    shared lexical-index artifacts behind bm25/tfidf, memoized per
+    (session, corpus) via ``session.cached_persist`` so repeated
+    scoring calls reuse one cached relation pair."""
+    from ..session import cached_persist
+
+    spark = docs.sparkSession
+    toks = cached_persist(
+        spark,
+        "posting_toks",
+        id(docs),
+        lambda: docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        ),
+        pin=docs,
+    )
+    tf = cached_persist(
+        spark,
+        "posting_tf",
+        id(docs),
+        lambda: toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")),
+        pin=docs,
+    )
+    return toks, tf
+
+
 def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     """(query_id, rank, doc_id, score_micro): per-query top-N by BM25
     (Robertson/Lucene shape: idf = ln((N−df+0.5)/(df+0.5)+1), tf
@@ -171,16 +199,12 @@ def bm25_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     # the exploded posting file feeds tf AND dl, and tf feeds dfs AND
     # the term join — persist both or Spark re-runs the full
     # scan+explode lineage per consumer (the repo-wide ≥2-consumer
-    # rule). Lifecycle: operator-scope persists here (and in
-    # tfidf_topn / the sketch queries) are deliberately NOT unpersisted
-    # — the frames back the returned lazy DataFrame, so eager unpersist
-    # would re-run the lineage per consumer again. Long-lived sessions
-    # reclaim them via catalog.clearCache(), which bench.py's heap
-    # watch invokes past its threshold.
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).persist()
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    # rule). Lifecycle: the persisted posting frames are
+    # session-memoized per source corpus (session.cached_persist),
+    # so repeated invocations in a long-lived session reuse ONE pair
+    # of cached relations instead of accumulating; tfidf_topn shares
+    # the same tf frame. clear_caches releases them.
+    toks, tf = _posting_frames_cached(docs)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     nstat = docs.agg(F.count("*").alias("n"))
     avgstat = dl.agg(
@@ -253,11 +277,9 @@ def tfidf_topn(query_docs: DataFrame, docs: DataFrame, n: int) -> DataFrame:
     tf on the token key (shuffle moves the posting file once); the
     query side is broadcast; the per-(q,d) sum combines map-side.
     No q×N comparison anywhere."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
-    # tf feeds dfs AND the term join (≥2-consumer persist rule)
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    # tf feeds dfs AND the term join (≥2-consumer persist rule);
+    # shared with bm25_topn via the session memo
+    _, tf = _posting_frames_cached(docs)
     nstat = docs.agg(F.count("*").alias("n"))
     dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = dfs.crossJoin(F.broadcast(nstat)).select(

@@ -687,6 +687,14 @@ _FRONT = [
     # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",
+    # -- CHANGED r08: session-memoized operator persists (cache
+    # -- lifecycle guard) + memoized rank splits --
+    "bm25_topn",
+    "tfidf_topn",
+    "cms_heavy_hitters",
+    "hll_distinct_tokens",
+    "corpus_dsir_select",
+    "global_rank_events",
     # -- CHANGED r08: merge-halves split negative-id-safe (ADVICE) --
     "hll_merge_halves",
     "cms_merge_halves",

@@ -829,11 +829,21 @@ def q_corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln1 = F.floor(F.log(u) * _DSIR_SCALE).cast("bigint")
     inner = (-ln1).cast("double") / F.lit(float(_DSIR_SCALE))
     g_micro = -F.floor(F.log(inner) * _DSIR_SCALE).cast("bigint")
-    keyed = scored.select(
-        "doc_id",
-        F.col("__s").alias("w_micro"),
-        (F.col("__s") + g_micro).alias("key_micro"),
-    ).persist()  # three consumers: total agg, bucket counts, final rank
+    from .session import cached_persist
+
+    # three consumers: total agg, bucket counts, final rank — persisted
+    # ONCE per (session, fixture dir): cached_persist bounds repeated
+    # invocations to one cached relation (r07 cache-lifecycle guard)
+    keyed = cached_persist(
+        spark,
+        "dsir_keyed",
+        sf_dir,
+        lambda: scored.select(
+            "doc_id",
+            F.col("__s").alias("w_micro"),
+            (F.col("__s") + g_micro).alias("key_micro"),
+        ),
+    )
     from .operators.relational import parallel_global_rank
 
     total = keyed.agg(F.count("*").alias("n_total"))
@@ -1370,11 +1380,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine) and the exact counts; the top-N selection is a bounded-K
     ``TakeOrderedAndProject`` (never a global window); estimates join
     the broadcast-sized per-depth sketch rows."""
+    from .session import cached_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    hashed = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .select("tok", T.poly_hash(F.col("tok")).alias("h"))
-        .persist()
+    hashed = cached_persist(
+        spark,
+        "cms_hashed",
+        sf_dir,
+        lambda: docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        ).select("tok", T.poly_hash(F.col("tok")).alias("h")),
     )
     bucket_rows = hashed.select(
         F.explode(
@@ -1512,9 +1527,15 @@ def hll_distinct_estimate(docs: DataFrame) -> DataFrame:
     registered fixture query and the cross-cardinality accuracy test
     (``tests/test_sketches.py``), so there is exactly ONE copy of the
     sketch arithmetic."""
-    toks = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).persist()
+    from .session import cached_persist
+
+    toks = cached_persist(
+        docs.sparkSession,
+        "hll_toks",
+        id(docs),
+        lambda: docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok")),
+        pin=docs,
+    )
     regs = hll_registers(toks.select(T.poly_hash(F.col("tok")).alias("v")))
     zs = regs.agg(
         F.sum(

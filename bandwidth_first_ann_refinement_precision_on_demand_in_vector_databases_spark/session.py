@@ -38,6 +38,28 @@ def session_cache(spark: SparkSession, name: str) -> dict:
     return per.setdefault(name, {})
 
 
+def cached_persist(spark: SparkSession, name: str, key, build, pin=None):
+    """A persisted frame memoized per (session, ``name``, ``key``) —
+    the lifecycle guard for OPERATOR-SCOPE persists (r07 verdict
+    "what's wrong" #1): an operator that persists a ≥2-consumer
+    internal frame (bm25/tfidf posting files, sketch token tables, the
+    DSIR key frame) would otherwise add a NEW cached relation on every
+    invocation of a long-lived session, growing storage memory without
+    bound until a catalog-wide clear. Memoizing the persisted frame
+    keeps repeated invocations on ONE cached relation; the entry count
+    is bounded by the number of distinct (name, key) pairs, and
+    ``clear_caches`` releases everything.
+
+    ``build`` is a zero-arg callable returning the frame to persist;
+    ``pin`` optionally holds the source object alive so a recycled
+    ``id()`` key can never alias a dead frame (the session-cache
+    rule)."""
+    cache = session_cache(spark, name)
+    if key not in cache:
+        cache[key] = (pin, build().persist())
+    return cache[key][1]
+
+
 def clear_caches(spark: SparkSession | None = None) -> None:
     """Release every memoized/persisted frame (cache lifecycle for
     long-lived sessions: sweep loops, CLI exit, benchmarks).
