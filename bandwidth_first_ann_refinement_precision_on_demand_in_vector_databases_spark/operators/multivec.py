@@ -55,10 +55,14 @@ from .topk import topk_per_query
 #: sub-vectors per bag (slices of the stored single vector).
 MV_M = 4
 #: stage-1 per-slice depth: top-p docs per query slice, pool ≤ M·p.
-#: Swept at sf0.01/sf0.1 (reports/sweep_maxsim_union.csv): p=50 →
-#: pool ≤ 200 (mean 191 at sf0.1), sufficiency 0.8275 — above the r06
-#: fraction pool's 0.51 at HALF its 400-doc budget, and N-independent.
-MAXSIM_POOL_P = 50
+#: Swept at sf0.01/sf0.1 over p ∈ {5..200}
+#: (reports/sweep_maxsim_union.csv). r08 operating point p=100 — the
+#: sufficiency knee: 0.8275 (p=50) → 0.9275 (75) → **0.97** (100) →
+#: 0.99 (125) → 0.9975 (150) at sf0.1; 1.0 from p=75 at sf0.01.
+#: Past p=100 each +25 of p buys ≤0.02 for ~90 more pool docs/query.
+#: Pool ≤ M·p = 400 — equal to the retired r06 fraction pool's budget
+#: at sf0.1 but N-INDEPENDENT, with sufficiency 0.97 vs its 0.51.
+MAXSIM_POOL_P = 100
 #: re-ranked results kept per query.
 MAXSIM_K = 10
 

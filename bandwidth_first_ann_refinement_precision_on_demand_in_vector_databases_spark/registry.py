@@ -684,6 +684,12 @@ _FRONT = [
     # -- NEW r08: streaming CDC ingest end-to-end (foreachBatch ->
     # -- cell-routed delta store -> merge-on-read serve) --
     "ann_stream_fresh_topk",
+    # -- CHANGED r08: MaxSim pool knee p=50 -> 100 (sweep) --
+    "ann_maxsim_rerank",
+    "ann_maxsim_recall",
+    "ann_maxsim_index_topk",
+    "ann_ivf_maxsim_topk",
+    "ann_ivf_maxsim_recall",
     # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
     "ann_ivf_ranking_metrics",
     "ann_lsh_ranking_metrics",

@@ -78,7 +78,7 @@ def main() -> None:
         r, mx, mean = recall_from_pools([worder[qi, :frac_pool] for qi in range(nq)])
         rows.append(f"{sf_dir},{n},frac_n5,{frac_pool},{mx},{mean},{r:.4f}")
 
-        for p in (5, 10, 25, 50, 100):
+        for p in (5, 10, 25, 50, 75, 100, 125, 150, 200):
             pools = []
             for qi in range(nq):
                 u: set[int] = set()
