@@ -671,6 +671,10 @@ _FRONT = [
     # window clipped them — VERDICT r07 "What's wrong" #3 lists them
     # verbatim). (1) + (2) fit inside the ~50-slot window together.
     # -- NEW r08 entries are prepended here as they land --
+    # -- NEW r08: TPC-H Q5/Q12/Q19 shapes --
+    "local_supplier_volume",
+    "priority_line_counts",
+    "brand_discount_revenue",
     # -- NEW r08: OPQ (variance-balanced permutation × PQ) --
     "ann_opq_topk",
     "ann_opq_refined_topk",
@@ -700,7 +704,9 @@ _FRONT = [
     "cms_heavy_hitters",
     "hll_distinct_tokens",
     "corpus_dsir_select",
-    "global_rank_events",
+    # (global_rank_events also touches the memoized splits, but its
+    # physical plan is identical and its r06 row is fresh — left out
+    # so the 28 stale rows all fit the ~50-slot window)
     # -- CHANGED r08: merge-halves split negative-id-safe (ADVICE) --
     "hll_merge_halves",
     "cms_merge_halves",

@@ -908,3 +908,159 @@ LIMIT 20
 
 RELATIONAL_QUERIES["returned_item_revenue"] = q_returned_item_revenue
 RELATIONAL_ORACLES["returned_item_revenue"] = SQL_RETURNED_ITEM_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# r08 TPC-H shape breadth: Q5 proper (local supplier volume), Q12
+# (priority line counts per class), Q19 (disjunctive-predicate revenue)
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper (local supplier volume): the 6-way join — the
+    r01 ``region_revenue`` 5-way plus supplier, with the LOCAL
+    condition c_nationkey = s_nationkey joining the two dimension
+    chains. Plan shape at scale: lineitem⋈orders is the only
+    fact-fact shuffle; supplier/customer/nation/region broadcast; the
+    region filter prunes the nation broadcast before it reaches the
+    fact side; the date range pushes into the orders scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("__rev"), F.count("*").alias("n_items"))
+        .select(
+            "n_name", F.col("__rev").cast("double").alias("revenue"), "n_items"
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): per line
+    class (l_returnflag stands in for l_shipmode — the fixture has no
+    mode column), count lines of high- vs low-priority orders among
+    lines shipped in 1997 on/after their order date. One fact-fact
+    equi-join on the order key + a conditional aggregate — the
+    CASE-inside-SUM pivot Q12 is known for; the ship-date range pushes
+    into the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PRIORITY_LINE_COUNTS = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate >= o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    lineitem ⋈ part with an OR of three (brand, size-range,
+    quantity-range) conjunctions — the classic predicate no scan can
+    fully push. Part broadcasts (dimension-sized); the OR evaluates
+    post-join in codegen; one global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_BRAND_DISCOUNT_REVENUE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+RELATIONAL_QUERIES["local_supplier_volume"] = q_local_supplier_volume
+RELATIONAL_ORACLES["local_supplier_volume"] = SQL_LOCAL_SUPPLIER_VOLUME
+RELATIONAL_QUERIES["priority_line_counts"] = q_priority_line_counts
+RELATIONAL_ORACLES["priority_line_counts"] = SQL_PRIORITY_LINE_COUNTS
+RELATIONAL_QUERIES["brand_discount_revenue"] = q_brand_discount_revenue
+RELATIONAL_ORACLES["brand_discount_revenue"] = SQL_BRAND_DISCOUNT_REVENUE
