@@ -137,6 +137,18 @@ def _suite():
         "ann_ivf_maxsim_recall",
         "cms_merge_halves",
         "returned_item_revenue",
+        # r08
+        "ann_opq_topk",
+        "ann_opq_refined_topk",
+        "ann_opq_recall",
+        "ann_lsh_multiprobe_topk",
+        "ann_lsh_multiprobe_recall",
+        "ann_graph_centroid_topk",
+        "ann_graph_centroid_recall",
+        "ann_stream_fresh_topk",
+        "local_supplier_volume",
+        "priority_line_counts",
+        "brand_discount_revenue",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
