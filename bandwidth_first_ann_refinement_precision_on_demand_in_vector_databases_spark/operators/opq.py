@@ -142,3 +142,23 @@ def opq_refined_topk(
     permuted storage twice)."""
     cand_ids = opq_topk(queries, corpus, r * k).select("query_id", "neighbor_id")
     return exact_l2_rerank(cand_ids, corpus, queries, k)
+
+
+def ivfopq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
+) -> DataFrame:
+    """The full FAISS-style production composition with the trained
+    transform: IVF cell pruning × OPQ-coded ADC pricing × exact
+    refinement, all in the permuted space. A permutation is orthogonal,
+    so cell assignments, probe sets and exact distances are IDENTICAL
+    to the unpermuted index — only the PQ codes improve (balanced
+    subspace energy). Every stage is the existing ``pq.ivfpq_topk``
+    plan over the memoized permuted corpus view."""
+    from .pq import ivfpq_topk
+
+    perm = opq_permutation(corpus)
+    pc = opq_permuted_corpus(corpus)
+    pqs = queries.select(
+        "query_id", F.expr(permute_expr(perm, "embedding")).alias("embedding")
+    )
+    return ivfpq_topk(pqs, pc, k, r)

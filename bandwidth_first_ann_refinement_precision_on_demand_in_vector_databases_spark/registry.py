@@ -671,10 +671,15 @@ _FRONT = [
     # window clipped them — VERDICT r07 "What's wrong" #3 lists them
     # verbatim). (1) + (2) fit inside the ~50-slot window together.
     # -- NEW r08 entries are prepended here as they land --
-    # -- NEW r08: TPC-H Q5/Q12/Q19 shapes --
+    # -- NEW r08: TPC-H Q5/Q12/Q19 + Q17/Q2 decorrelation shapes --
     "local_supplier_volume",
     "priority_line_counts",
     "brand_discount_revenue",
+    "small_quantity_revenue",
+    "min_cost_supplier",
+    # -- NEW r08: IVF-OPQ (production composition, permuted space) --
+    "ann_ivfopq_topk",
+    "ann_ivfopq_recall",
     # -- NEW r08: OPQ (variance-balanced permutation × PQ) --
     "ann_opq_topk",
     "ann_opq_refined_topk",

@@ -1064,3 +1064,109 @@ RELATIONAL_QUERIES["priority_line_counts"] = q_priority_line_counts
 RELATIONAL_ORACLES["priority_line_counts"] = SQL_PRIORITY_LINE_COUNTS
 RELATIONAL_QUERIES["brand_discount_revenue"] = q_brand_discount_revenue
 RELATIONAL_ORACLES["brand_discount_revenue"] = SQL_BRAND_DISCOUNT_REVENUE
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of one
+    brand whose quantity is below 20% of their part's average — the
+    classic CORRELATED scalar subquery, decorrelated into a per-part
+    aggregate joined back (never re-executed per row). Plan: one
+    map-side-combined avg over lineitem grouped by part (part-table
+    sized → broadcast), brand filter pushed into the part scan.
+
+    Cross-engine note: avg(l_quantity) is sum/count of INTEGRAL floats
+    — the double sum is order-independent (exact integers ≤ 2^53), so
+    the 0.2·avg threshold is deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("pk"))
+        .where(
+            F.col("l_quantity").cast("double")
+            < F.lit(0.2) * F.col("avg_qty")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH part_avg AS (
+  SELECT l_partkey AS pk, avg(CAST(l_quantity AS DOUBLE)) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pk = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each part, the
+    supplier offering its CHEAPEST line price (ties → smaller
+    suppkey), with the supplier's name and nation attached. The
+    correlated min-subquery decorrelates to a per-(part, supplier) min
+    aggregate followed by a per-part struct-min argmin — both
+    map-side-combining, one row per group on the shuffle; supplier and
+    nation broadcast onto the argmin result (part-table sized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("best_price")
+    )
+    best = (
+        offer.groupBy("l_partkey")
+        .agg(F.min(F.struct("best_price", "l_suppkey")).alias("__m"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("__m.best_price").cast("double").alias("min_price"),
+            F.col("__m.l_suppkey").alias("suppkey"),
+        )
+    )
+    return (
+        best.join(s, best.suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("partkey", "min_price", "suppkey", "s_name", "n_name")
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS best_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey AS partkey,
+         CAST(best_price AS DOUBLE) AS min_price,
+         l_suppkey AS suppkey
+  FROM (
+    SELECT l_partkey, l_suppkey, best_price,
+      row_number() OVER (PARTITION BY l_partkey
+        ORDER BY best_price ASC, l_suppkey ASC) AS r
+    FROM offer
+  ) WHERE r = 1
+)
+SELECT partkey, min_price, suppkey, s_name, n_name
+FROM best
+JOIN supplier ON suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+"""
+
+RELATIONAL_QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+RELATIONAL_ORACLES["small_quantity_revenue"] = SQL_SMALL_QUANTITY_REVENUE
+RELATIONAL_QUERIES["min_cost_supplier"] = q_min_cost_supplier
+RELATIONAL_ORACLES["min_cost_supplier"] = SQL_MIN_COST_SUPPLIER

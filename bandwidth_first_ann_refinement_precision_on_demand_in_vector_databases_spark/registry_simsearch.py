@@ -81,8 +81,14 @@ _IVF_KM_CTES, _IVF_KM_FINAL = kmeans_sql_ctes(
     dist2_sql=_sql_dist2,
 )
 
-SQL_IVF_BODY = f"""
-ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+def sql_ivf_body(emb: str = "embeddings", qsrc: str = "q") -> str:
+    """The IVF pipeline CTE chain over a parameterized corpus CTE
+    ``emb`` (vec_id, embedding) and query CTE ``qsrc`` (query_id, qe)
+    — one body serves plain IVF and the permuted-space compositions
+    (IVF-OPQ). Internal CTE names are fixed; a statement never
+    contains two instances."""
+    return f"""
+ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM {emb}),
 {_IVF_KM_CTES},
 cents AS (SELECT cid AS centroid_id, cvec FROM {_IVF_KM_FINAL}),
 assigned AS (
@@ -90,7 +96,7 @@ assigned AS (
     SELECT e.vec_id, e.embedding, c.centroid_id,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY {_sql_dist2("e.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
-    FROM embeddings e CROSS JOIN cents c
+    FROM {emb} e CROSS JOIN cents c
   ) WHERE r = 1
 ),
 probes AS (
@@ -98,7 +104,7 @@ probes AS (
     SELECT q.query_id, q.qe, c.centroid_id,
       row_number() OVER (PARTITION BY q.query_id
         ORDER BY {_sql_dist2("q.qe", "c.cvec")} ASC, c.centroid_id ASC) AS r
-    FROM q CROSS JOIN cents c
+    FROM {qsrc} AS q CROSS JOIN cents c
   ) WHERE r <= {S.IVF_NPROBE}
 ),
 ivf_cand AS (
@@ -106,6 +112,9 @@ ivf_cand AS (
   FROM probes p JOIN assigned a ON a.cell = p.cell
 )
 """
+
+
+SQL_IVF_BODY = sql_ivf_body()
 
 SQL_IVF_CTES = f"""
 q AS ({SQL_Q_CTE}),
@@ -1365,3 +1374,110 @@ SIMSEARCH_QUERIES["ann_graph_centroid_recall"] = q_ann_graph_centroid_recall
 SIMSEARCH_ORACLES["ann_graph_centroid_recall"] = _sql_recall(
     _GRAPH_CENT_CTES, _GRAPH_CENT_FINAL
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-OPQ: the production composition behind the trained transform
+# (cells and exact distances are permutation-invariant; only the ADC
+# codes change — balanced subspace energy)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import opq as O
+
+    out = O.ivfopq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_ivfopq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import opq as O
+
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = O.ivfopq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+def sql_ivfpq_cand(emb: str = "embeddings", qsrc: str = "q") -> str:
+    """The IVF-PQ candidate tail (ADC over probed cells → r·K ids →
+    exact re-rank) over parameterized corpus/query CTEs — consumes the
+    ``probes``/``assigned`` CTEs of ``sql_ivf_body`` and the
+    ``pq_recon`` of ``sql_pq_body`` instantiated over the SAME pair."""
+    return f"""
+ivfpq_adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_dist2("p.qe", "r.recon")} AS score
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN pq_recon r ON r.vec_id = a.vec_id
+),
+ivfpq_ids AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM ivfpq_adc
+  ) WHERE rank <= {P.PQ_REFINE_R * ANN_K}
+),
+ivfpq_cand AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_dist2("q.qe", "e.embedding")} AS score
+  FROM ivfpq_ids c
+  JOIN {emb} e ON e.vec_id = c.neighbor_id
+  JOIN {qsrc} AS q ON q.query_id = c.query_id
+)
+"""
+
+
+SQL_IVFOPQ_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{SQL_OPQ_PERM_CTES},
+{sql_ivf_body(emb="opq_emb", qsrc="opq_q")},
+{sql_pq_body(emb="opq_emb", qsrc="opq_q")},
+{sql_ivfpq_cand(emb="opq_emb", qsrc="opq_q")}
+"""
+
+SQL_ANN_IVFOPQ_TOPK = f"""
+WITH {SQL_IVFOPQ_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM ivfpq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_IVFOPQ_RECALL = f"""
+WITH {SQL_IVFOPQ_CTES},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM ivfpq_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+SIMSEARCH_QUERIES["ann_ivfopq_topk"] = q_ann_ivfopq_topk
+SIMSEARCH_ORACLES["ann_ivfopq_topk"] = SQL_ANN_IVFOPQ_TOPK
+SIMSEARCH_QUERIES["ann_ivfopq_recall"] = q_ann_ivfopq_recall
+SIMSEARCH_ORACLES["ann_ivfopq_recall"] = SQL_ANN_IVFOPQ_RECALL

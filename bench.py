@@ -149,6 +149,10 @@ def _suite():
         "local_supplier_volume",
         "priority_line_counts",
         "brand_discount_revenue",
+        "small_quantity_revenue",
+        "min_cost_supplier",
+        "ann_ivfopq_topk",
+        "ann_ivfopq_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
