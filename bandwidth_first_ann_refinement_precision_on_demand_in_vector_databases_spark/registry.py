@@ -192,6 +192,102 @@ FROM ex GROUP BY pos
 """
 
 
+#: PSI binning: 8 fixed-width bins over floor(x·8) clamped to [-4, 3]
+#: (coordinates of unit-norm D=64 vectors are ±~0.4, so the clamp is
+#: a guard, not a truncation); add-one smoothing over the 8 bins.
+PSI_BINS = 8
+
+
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, psi_micro): per-dimension Population Stability Index
+    between two halves of the corpus (vec_id parity — the even half
+    plays the reference batch, the odd half the current batch) — the
+    drift monitor a production embedding pipeline runs per ingest
+    batch next to ``embedding_dim_stats``. PSI = Σ_bins
+    (p_cur − p_ref)·ln(p_cur/p_ref) with add-one smoothing.
+
+    Cross-engine exactness: bins are integer floors of x·8 (clamped);
+    counts are BIGINT; each probability is an exact small-integer
+    ratio evaluated in double (products ≤ 4e6 ≪ 2^53); the single
+    ln() is floor-quantized to micro-units at birth (the bm25 rule),
+    and the per-bin term diff·ln_micro is floored to BIGINT before the
+    8-term sum — order-free, hash-exact. Plan: one explode →
+    (pos, half, bin) count aggregate (map-side combine; the shuffle
+    carries ≤ D·8·2 rows), full-outer bin alignment, one D-row
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        "pos",
+        F.greatest(
+            F.least(F.floor(F.col("x").cast("double") * 8), F.lit(3)),
+            F.lit(-4),
+        ).cast("int").alias("bin"),
+    )
+    cnt = ex.groupBy("pos", "bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    tot = cnt.groupBy("pos").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    j = cnt.join(F.broadcast(tot), "pos")
+    p_ref = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + PSI_BINS
+    ).cast("double")
+    p_cur = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur") + PSI_BINS
+    ).cast("double")
+    ratio = (
+        (F.col("c_cur") + 1) * (F.col("n_ref") + PSI_BINS)
+    ).cast("double") / (
+        (F.col("c_ref") + 1) * (F.col("n_cur") + PSI_BINS)
+    ).cast("double")
+    lq = F.floor(F.log(ratio) * F.lit(1e6)).cast("bigint")
+    term = F.floor((p_cur - p_ref) * lq.cast("double")).cast("bigint")
+    return (
+        j.select("pos", term.alias("t"))
+        .groupBy("pos")
+        .agg(F.sum("t").alias("psi_micro"))
+    )
+
+
+SQL_EMBEDDING_DRIFT_PSI = f"""
+WITH ex AS (
+  SELECT vec_id % 2 = 0 AS is_ref,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+         CAST(greatest(least(floor(CAST(unnest(embedding) AS DOUBLE) * 8), 3), -4) AS INT) AS bin
+  FROM embeddings
+),
+cnt AS (
+  SELECT pos, bin,
+    CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS c_ref,
+    CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS c_cur
+  FROM ex GROUP BY pos, bin
+),
+tot AS (
+  SELECT pos, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         CAST(sum(c_cur) AS BIGINT) AS n_cur
+  FROM cnt GROUP BY pos
+),
+terms AS (
+  SELECT cnt.pos,
+    CAST(floor(
+      (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + {PSI_BINS} AS DOUBLE)
+       - CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {PSI_BINS} AS DOUBLE))
+      * CAST(CAST(floor(ln(
+          CAST((c_cur + 1) * (n_ref + {PSI_BINS}) AS DOUBLE)
+          / CAST((c_ref + 1) * (n_cur + {PSI_BINS}) AS DOUBLE)
+        ) * 1000000) AS BIGINT) AS DOUBLE)
+    ) AS BIGINT) AS t
+  FROM cnt JOIN tot ON tot.pos = cnt.pos
+)
+SELECT pos, CAST(sum(t) AS BIGINT) AS psi_micro FROM terms GROUP BY pos
+"""
+
+
 def q_recall_l2_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/J3: Recall@K of the L2 top-K against the cosine top-K
     (``recall_at_k``, ``ANNCode.py:651-660``)."""
@@ -304,6 +400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_l2_exact": q_topk_l2_exact,
     "rownorm_unit": q_rownorm_unit,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "embedding_drift_psi": q_embedding_drift_psi,
     "recall_l2_vs_cosine": q_recall_l2_vs_cosine,
     "reduce_precision": q_reduce_precision,
     "compression_model": q_compression_model,
@@ -680,6 +777,9 @@ _FRONT = [
     # -- NEW r08: IVF-OPQ (production composition, permuted space) --
     "ann_ivfopq_topk",
     "ann_ivfopq_recall",
+    # -- NEW r08: drift monitor + histogram mergeability --
+    "embedding_drift_psi",
+    "hist_merge_halves",
     # -- NEW r08: OPQ (variance-balanced permutation × PQ) --
     "ann_opq_topk",
     "ann_opq_refined_topk",
@@ -762,6 +862,7 @@ SELECT vec_id,
 FROM embeddings
 """,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "embedding_drift_psi": SQL_EMBEDDING_DRIFT_PSI,
     "reduce_precision": duck_oracle.reduce_precision_sql(KEEP_M_DEFAULT),
     "recall_l2_vs_cosine": f"""
 WITH q AS ({SQL_QUERIES_CTE}),

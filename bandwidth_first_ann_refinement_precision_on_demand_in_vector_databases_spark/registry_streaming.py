@@ -468,3 +468,58 @@ SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
 
 STREAMING_QUERIES["ann_stream_fresh_topk"] = q_ann_stream_fresh_topk
 STREAMING_ORACLES["ann_stream_fresh_topk"] = _sql_ann_stream_fresh_topk()
+
+
+def q_hist_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram mergeability — the quantile-stats member of the
+    merge-halves family (register-max HLL, counter-sum CMS, and now
+    bin-count histograms): fixed-width price histograms built over
+    disjoint halves of lineitem and merged BY ADDITION equal the
+    single-pass build. Bin-count tables are the mergeable substrate of
+    approximate quantiles/distribution monitoring at 100 TB — per-day
+    or per-shard histograms roll up for free. Bins are integer floors
+    of price/1000 (deterministic both engines); the split keys on
+    ``% 2 != 0`` for the odd half (negative-safe, the ADVICE rule)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice").cast("double") / F.lit(1000.0))
+        .cast("int")
+        .alias("bin"),
+    )
+
+    def hist(df):
+        return df.groupBy("bin").agg(F.count("*").alias("c"))
+
+    left = hist(li.where(F.col("l_orderkey") % 2 == 0))
+    right = hist(li.where(F.col("l_orderkey") % 2 != 0))
+    merged = (
+        left.unionByName(right)
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("c_merged"))
+    )
+    whole = hist(li).withColumnRenamed("c", "c_whole")
+    return merged.join(whole, "bin").select("bin", "c_merged", "c_whole")
+
+
+SQL_HIST_MERGE_HALVES = """
+WITH b AS (
+  SELECT l_orderkey,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) / 1000.0) AS INT) AS bin
+  FROM lineitem
+),
+lh AS (SELECT bin, count(*) AS c FROM b WHERE l_orderkey % 2 = 0 GROUP BY bin),
+rh AS (SELECT bin, count(*) AS c FROM b WHERE l_orderkey % 2 <> 0 GROUP BY bin),
+wh AS (SELECT bin, count(*) AS c_whole FROM b GROUP BY bin),
+mg AS (
+  SELECT bin, CAST(sum(c) AS BIGINT) AS c_merged FROM (
+    SELECT * FROM lh UNION ALL SELECT * FROM rh
+  ) GROUP BY bin
+)
+SELECT mg.bin, mg.c_merged, wh.c_whole
+FROM mg JOIN wh ON wh.bin = mg.bin
+"""
+
+STREAMING_QUERIES["hist_merge_halves"] = q_hist_merge_halves
+STREAMING_ORACLES["hist_merge_halves"] = SQL_HIST_MERGE_HALVES

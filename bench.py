@@ -153,6 +153,8 @@ def _suite():
         "min_cost_supplier",
         "ann_ivfopq_topk",
         "ann_ivfopq_recall",
+        "embedding_drift_psi",
+        "hist_merge_halves",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
