@@ -793,28 +793,15 @@ _FRONT = [
     # -- NEW r08: streaming CDC ingest end-to-end (foreachBatch ->
     # -- cell-routed delta store -> merge-on-read serve) --
     "ann_stream_fresh_topk",
-    # -- CHANGED r08: MaxSim pool knee p=50 -> 100 (sweep) --
+    # -- NEW r08: multi-probe LSH × cushion composition --
+    "ann_lsh_multiprobe_cushion_topk",
+    "ann_lsh_multiprobe_cushion_metrics",
+    # -- CHANGED r08 (results changed): MaxSim pool knee p=50 -> 100 --
     "ann_maxsim_rerank",
     "ann_maxsim_recall",
     "ann_maxsim_index_topk",
     "ann_ivf_maxsim_topk",
     "ann_ivf_maxsim_recall",
-    # -- CHANGED r08: ranking_metrics gained a dedup guard (ADVICE) --
-    "ann_ivf_ranking_metrics",
-    "ann_lsh_ranking_metrics",
-    # -- CHANGED r08: session-memoized operator persists (cache
-    # -- lifecycle guard) + memoized rank splits --
-    "bm25_topn",
-    "tfidf_topn",
-    "cms_heavy_hitters",
-    "hll_distinct_tokens",
-    "corpus_dsir_select",
-    # (global_rank_events also touches the memoized splits, but its
-    # physical plan is identical and its r06 row is fresh — left out
-    # so the 28 stale rows all fit the ~50-slot window)
-    # -- CHANGED r08: merge-halves split negative-id-safe (ADVICE) --
-    "hll_merge_halves",
-    "cms_merge_halves",
     # -- r03/r04-stale (28): every query whose latest green driver row
     # -- is r03 or r04. dedup_components first: its operator was
     # -- rewritten in r07 (fixpoint + pointer-jumping) and its driver
@@ -847,6 +834,22 @@ _FRONT = [
     "stream_ann_topk",
     "stream_dedup_events",
     "stream_interval_join",
+    # -- CHANGED r08, results IDENTICAL (plan/oracle-text only) — these
+    # -- sit past the ~50-slot window on purpose: their r05–r07 green
+    # -- rows still represent their values, and the full local gate
+    # -- re-verified all of them against the updated oracles this
+    # -- round. ranking_metrics (dedup guard), merge-halves
+    # -- (negative-safe split), persists/splits memoization consumers.
+    "ann_ivf_ranking_metrics",
+    "ann_lsh_ranking_metrics",
+    "hll_merge_halves",
+    "cms_merge_halves",
+    "bm25_topn",
+    "tfidf_topn",
+    "cms_heavy_hitters",
+    "hll_distinct_tokens",
+    "corpus_dsir_select",
+    "global_rank_events",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
@@ -1663,6 +1666,107 @@ FROM final WHERE rank <= {K_DEFAULT}
 ORACLES["ann_cascade_cushion_metrics"] = f"""
 WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
 {_CASCADE_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH × cushion (r08): the flipped-margin recall lever
+# composed with the reference's precision-on-demand re-scorer
+# ---------------------------------------------------------------------------
+
+def _lsh_mp_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized multiprobe-LSH×cushion build shared by the topk and
+    metrics queries (cos-l1, keep_m=6 — the LSH-composition operating
+    point; the ~2.3× wider stream only increases the cushion's edge)."""
+    from .operators.refine import lsh_multiprobe_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "lsh_mp_cushion")
+    if sf_dir not in cache:
+        res = lsh_multiprobe_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_lsh_multiprobe_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH candidates × cushioned refinement — the r08
+    recall lever behind the same re-scorer (composition law: zero-miss
+    over the stream, recall ≡ ann_lsh_multiprobe_recall)."""
+    return _rounded_topk(_lsh_mp_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_lsh_multiprobe_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the multiprobe×cushion composition — the
+    widest candidate stream of the index families, i.e. the regime
+    where per-candidate precision-on-demand saves the most."""
+    res = _lsh_mp_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_lsh_multiprobe_cushion_topk"] = q_ann_lsh_multiprobe_cushion_topk
+QUERIES["ann_lsh_multiprobe_cushion_metrics"] = q_ann_lsh_multiprobe_cushion_metrics
+
+from .registry_simsearch import _sql_band_dots as _sql_lsh_band_dots  # noqa: E402
+from .operators.simsearch import LSH_MULTIPROBE_T as _LSH_MP_T  # noqa: E402
+
+_LSH_MP_CUSHION_EXTRA = f"""qb AS ({_sql_lsh_bands("q", "query_id", "qe")}),
+cb AS ({_sql_lsh_bands("embeddings", "vec_id", "embedding")}),
+q_dots AS ({_sql_lsh_band_dots("q", "query_id", "qe")}),
+q_flip AS (
+  SELECT id, band, j FROM (
+    SELECT id, band, j,
+      row_number() OVER (PARTITION BY id, band ORDER BY abs(dot) ASC, j ASC) AS r
+    FROM q_dots
+  ) WHERE r <= {_LSH_MP_T}
+),
+qmb AS (
+  SELECT id, band, bkey FROM qb
+  UNION ALL
+  SELECT qb.id, qb.band, xor(qb.bkey, 1 << f.j) AS bkey
+  FROM q_flip f JOIN qb ON qb.id = f.id AND qb.band = f.band
+),
+cand_ids AS (
+  SELECT DISTINCT q2.id AS query_id, c2.id AS vec_id
+  FROM qmb q2 JOIN cb c2 ON q2.band = c2.band AND q2.bkey = c2.bkey
+),
+"""
+
+_LSH_MP_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_LSH_MP_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_lsh_multiprobe_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_LSH_MP_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_lsh_multiprobe_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_LSH_MP_CUSHION_BODY},
 pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
 fetch_n AS (
   SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched

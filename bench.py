@@ -155,6 +155,8 @@ def _suite():
         "ann_ivfopq_recall",
         "embedding_drift_psi",
         "hist_merge_halves",
+        "ann_lsh_multiprobe_cushion_topk",
+        "ann_lsh_multiprobe_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
