@@ -774,6 +774,9 @@ _FRONT = [
     "brand_discount_revenue",
     "small_quantity_revenue",
     "min_cost_supplier",
+    "idle_customer_balance",
+    "important_parts",
+    "supplier_part_counts",
     # -- NEW r08: IVF-OPQ (production composition, permuted space) --
     "ann_ivfopq_topk",
     "ann_ivfopq_recall",

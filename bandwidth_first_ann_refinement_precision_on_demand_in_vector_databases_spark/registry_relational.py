@@ -1170,3 +1170,132 @@ RELATIONAL_QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
 RELATIONAL_ORACLES["small_quantity_revenue"] = SQL_SMALL_QUANTITY_REVENUE
 RELATIONAL_QUERIES["min_cost_supplier"] = q_min_cost_supplier
 RELATIONAL_ORACLES["min_cost_supplier"] = SQL_MIN_COST_SUPPLIER
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer potential): customers whose
+    balance exceeds the average POSITIVE balance and who have placed
+    no RECENT orders (every fixture customer has some order, so the
+    recency predicate keeps the anti-join non-vacuous at every SF),
+    grouped by nation. Two decorrelations in one query: the correlated
+    NOT EXISTS becomes a LEFT ANTI join (the complement of Q4's semi —
+    still no row multiplication, and the date filter pushes into the
+    orders scan BEFORE the anti-join), and the scalar average becomes
+    a broadcast 1-row frame. Money stays DECIMAL through the sum; the
+    threshold divides once in double (deterministic IEEE)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"), "n_customers", "total_bal"
+        )
+    )
+
+
+SQL_IDLE_CUSTOMER_BALANCE = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part revenue value kept
+    only when it exceeds a FRACTION of the corpus-wide total — the
+    HAVING-against-a-scalar-subquery pattern, decorrelated to one
+    per-part aggregate plus a broadcast 1-row global total (the same
+    aggregate reused at two granularities, never recomputed per
+    group). DECIMAL sums exact; the fraction threshold is one double
+    product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    value = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("__v"))
+    total = per_part.agg(F.sum("__v").alias("__t"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("__v").cast("double")
+            > F.lit(0.0005) * F.col("__t").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("__v").cast("double").alias("part_value"),
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS v
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT sum(v) AS t FROM per_part)
+SELECT partkey, CAST(v AS DOUBLE) AS part_value
+FROM per_part, total
+WHERE CAST(v AS DOUBLE) > 0.0005 * CAST(t AS DOUBLE)
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): per (brand,
+    size-class) the number of DISTINCT suppliers shipping that part
+    class, excluding a deterministic supplier blacklist (s_suppkey ≡ 0
+    mod 7 — the fixture-derived-class idiom; nonempty at every SF,
+    where a balance flag is empty at sf0.001). The NOT IN becomes a
+    broadcast anti-join BEFORE the distinct count so excluded
+    suppliers never inflate the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_suppkey") % 7 == 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", (F.col("p_size") % 5).alias("size_class"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_size % 5 AS size_class,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+GROUP BY p_brand, p_size % 5
+"""
+
+RELATIONAL_QUERIES["idle_customer_balance"] = q_idle_customer_balance
+RELATIONAL_ORACLES["idle_customer_balance"] = SQL_IDLE_CUSTOMER_BALANCE
+RELATIONAL_QUERIES["important_parts"] = q_important_parts
+RELATIONAL_ORACLES["important_parts"] = SQL_IMPORTANT_PARTS
+RELATIONAL_QUERIES["supplier_part_counts"] = q_supplier_part_counts
+RELATIONAL_ORACLES["supplier_part_counts"] = SQL_SUPPLIER_PART_COUNTS

@@ -157,6 +157,9 @@ def _suite():
         "hist_merge_halves",
         "ann_lsh_multiprobe_cushion_topk",
         "ann_lsh_multiprobe_cushion_metrics",
+        "idle_customer_balance",
+        "important_parts",
+        "supplier_part_counts",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
