@@ -61,6 +61,22 @@ def covariance_micro(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame
         "j",
         F.floor(F.col("xj").cast("double") * PCA_SCALE).cast("bigint").alias("qj"),
     )
+    # integer-headroom guard (r08 verdict "what's wrong" #1): each
+    # (i, j) moment sums N BIGINT products qi·qj — Spark wraps
+    # silently past 2^63 while the SQL twin's HUGEINT sum does not.
+    # Raise before the engines can diverge; checked from count/max,
+    # which cannot themselves overflow.
+    chk = ex.agg(
+        (F.count("*") / F.countDistinct("i")).alias("n_rows"),
+        F.max(F.abs("qi")).alias("mq"),
+    ).collect()[0]
+    if chk["mq"] is not None and int(chk["n_rows"]) * chk["mq"] * chk["mq"] >= 2**63:
+        raise ValueError(
+            f"covariance_micro: corpus too large for BIGINT-exact "
+            f"moments at scale {PCA_SCALE} (N={int(chk['n_rows'])}, "
+            f"max|q|={chk['mq']}); train on a deterministic sample "
+            f"(vec_id % stride = 0) instead"
+        )
     mom = pairs.groupBy("i", "j").agg(
         F.sum(F.col("qi") * F.col("qj")).alias("s"), F.count("*").alias("n")
     )

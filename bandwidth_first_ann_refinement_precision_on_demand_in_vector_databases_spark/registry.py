@@ -1262,6 +1262,22 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.floor(F.col("xi").cast("double") * 1_000_000).cast("bigint").alias("qi"),
     )
+    # integer-headroom guard (r08 verdict "what's wrong" #1): each
+    # (i, j) moment sums N products qi·qj ≤ max|q|² in BIGINT on the
+    # Spark side (wraps silently past 2^63) while the DuckDB twin's
+    # HUGEINT sum does not — raise before the engines can diverge.
+    # Checked from count/max, which cannot themselves overflow.
+    chk = ex.agg(
+        (F.count("*") / F.countDistinct("i")).alias("n_rows"),
+        F.max(F.abs("qi")).alias("mq"),
+    ).collect()[0]
+    if chk["mq"] is not None and int(chk["n_rows"]) * chk["mq"] * chk["mq"] >= 2**63:
+        raise ValueError(
+            f"embedding_covariance: corpus too large for BIGINT-exact "
+            f"moments at scale 1e6 (N={int(chk['n_rows'])}, "
+            f"max|q|={chk['mq']}); train on a deterministic sample "
+            f"(vec_id % stride = 0) instead"
+        )
     pairs = ex.select(
         "i", "qi", F.posexplode("embedding").alias("j", "xj")
     ).select(

@@ -1111,10 +1111,13 @@ def q_ann_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: The permutation replay: integer-exact variance keys (n·Σq² − (Σq)²
-#: over q = floor(x·1e6) — BIGINT both sides), rank DESC with dim
-#: tie-break, closed-form snake dealing. DuckDB sums promote to
-#: HUGEINT, so every term is cast back to BIGINT before multiplying
-#: (the bm25 dtype rule).
+#: over q = floor(x·OPQ_SCALE)), rank DESC with dim tie-break,
+#: closed-form snake dealing. The engines only SUM in BIGINT; the key
+#: multiply happens out-of-engine (Python bigints on the Spark side,
+#: HUGEINT here — DuckDB integer sums promote to HUGEINT, and we
+#: deliberately do NOT cast back down, r08 ADVICE overflow fix).
+from .operators.opq import OPQ_SCALE as _OPQ_SCALE  # noqa: E402
+
 SQL_OPQ_PERM_CTES = f"""
 opq_long AS (
   SELECT vec_id,
@@ -1123,10 +1126,8 @@ opq_long AS (
   FROM embeddings
 ),
 opq_var AS (
-  SELECT dim,
-    CAST(count(*) AS BIGINT) * CAST(sum(qx * qx) AS BIGINT)
-      - CAST(sum(qx) AS BIGINT) * CAST(sum(qx) AS BIGINT) AS vkey
-  FROM (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  SELECT dim, count(*) * sum(qx * qx) - sum(qx) * sum(qx) AS vkey
+  FROM (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * {_OPQ_SCALE}) AS BIGINT) AS qx
         FROM opq_long)
   GROUP BY dim
 ),

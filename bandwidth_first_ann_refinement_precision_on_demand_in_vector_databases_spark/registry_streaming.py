@@ -417,7 +417,16 @@ def q_ann_stream_fresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         q = start_delta_ingest(stream, rows, delta, ckpt)
-        q.awaitTermination(300)
+        # availableNow self-terminates after draining; a False return
+        # means the ingest is still running at the deadline — caching
+        # the half-written delta path would serve (and memoize) stale
+        # top-K for the rest of the session (r08 ADVICE). Fail loud.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream ingest did not drain within 300s; "
+                "delta store is incomplete and will not be served"
+            )
         cache[sf_dir] = delta
     out = serve_fresh_topk(
         queries_view(spark, sf_dir), corpus, delta_latest(spark, cache[sf_dir]), ANN_K

@@ -73,11 +73,18 @@ def delta_latest(spark: SparkSession, delta_path: str) -> DataFrame:
     """(vec_id, embedding, op): the last-wins view of the delta store —
     highest ``seq`` per vec_id; on a seq tie, delete beats upsert
     (op ASC — the within-transaction CDC rule, deterministic on both
-    engines). The rank window partitions by vec_id over the
-    delta-sized store only — the base corpus never enters."""
+    engines). The CDC contract expects ``(vec_id, seq)`` unique per
+    ``op``; if a producer ever violates it (two upserts, same seq,
+    different embeddings), the final content-hash tie-break still
+    picks ONE winner deterministically — and independently of how the
+    stream was chopped into micro-batches (a ``batch_id`` tie-break
+    would break the batch≡stream property), instead of leaving the
+    choice to partition order (r08 ADVICE). The rank window partitions
+    by vec_id over the delta-sized store only — the base corpus never
+    enters."""
     d = spark.read.parquet(delta_path)
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("seq").desc(), F.col("op").asc()
+        F.col("seq").desc(), F.col("op").asc(), F.xxhash64("embedding").asc()
     )
     return (
         d.withColumn("__r", F.row_number().over(w))

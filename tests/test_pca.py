@@ -106,3 +106,17 @@ def test_iterate_invariants(spark, sf_small, emb):
     c = np.cov(emb, rowvar=False, bias=True)
     evs = np.linalg.eigvalsh(c)
     assert evs[0] - 1e-3 <= lam <= evs[-1] + 1e-3
+
+
+def test_covariance_raises_past_integer_headroom(spark):
+    """r08 verdict "what's wrong" #1: a corpus whose N·max|q|² exceeds
+    2^63 must RAISE before the BIGINT moment sums can wrap (magnitude
+    stands in for count: one coordinate with q² ≥ 2^63 violates the
+    same bound a ~9e6-row corpus would)."""
+    import pytest
+
+    big = 1.0e6  # q = 1e12 (fits int64); q² = 1e24 ≫ 2^63
+    rows = [(i, [big if d == 0 else 0.01 * d for d in range(8)]) for i in range(16)]
+    corpus = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="BIGINT-exact"):
+        covariance_micro(corpus).collect()
