@@ -257,6 +257,124 @@ def ivfpq_topk(
     return exact_l2_rerank(adc_ids, corpus, queries, k)
 
 
+#: Lloyd rounds for the IVFADC coarse quantizer. Residual coding only
+#: pays when cell centroids capture real structure — trained cells
+#: (the production FAISS shape) lift clustered-fixture e2e recall
+#: 0.726 → 0.824 (σ=0.05) where the sampled quantizer's residuals
+#: move it ≤ ±0.005 (reports/IVFADC_RESIDUAL.md). Plain IVF/IVF-PQ
+#: keep IVF_KMEANS_ITERS = 0 (the measured isotropic Pareto point,
+#: reports/KMEANS_EXPERIMENT.md) — the two constants are independent.
+IVFADC_KMEANS_ITERS = 3
+
+
+def ivfadc_centroids(corpus: DataFrame, iters: int = IVFADC_KMEANS_ITERS) -> DataFrame:
+    """The Lloyd-trained coarse quantizer behind IVFADC, eagerly
+    localCheckpoint'ed: the trained centroid frame fans out to four
+    consumers (assignment, residuals, probes, query residuals) and
+    each would otherwise re-optimize the full 3-round Lloyd lineage —
+    measured 68s of mostly driver-side planning per cold build at
+    sf0.01, 12s after the cut. Centroid count is N/stride — a few KB;
+    the checkpoint is the materialized quantizer artifact a production
+    index stores anyway. Memoized per (session, corpus, iters)."""
+    from ..session import session_cache
+    from .simsearch import IVF_STRIDE, ivf_centroids
+
+    cache = session_cache(corpus.sparkSession, "ivfadc_centroids")
+    key = (id(corpus), iters)
+    if key not in cache:
+        cents = ivf_centroids(corpus, IVF_STRIDE, iters)
+        cache[key] = (corpus, cents.localCheckpoint(eager=True))
+    return cache[key][1]
+
+
+def ivf_residuals(corpus: DataFrame, iters: int = IVFADC_KMEANS_ITERS) -> DataFrame:
+    """(vec_id, cell, embedding): the per-cell residual corpus
+    ``x − centroid(cell)`` — the IVFADC representation (Jégou et al.,
+    TPAMI 2011; the production FAISS layout). Residuals concentrate
+    around 0 far more tightly than the raw vectors, so the same 8×8
+    codebook wastes less of its range — the standard lift for PQ-family
+    recall. One broadcast join + a codegen ``zip_with`` map over the
+    corpus; memoized per session so the codebook / codes /
+    reconstruction trained downstream (all keyed by ``id(frame)``)
+    share one residual frame. Eagerly localCheckpoint'ed: its lineage
+    stacks the Lloyd-trained quantizer under every downstream PQ
+    training plan (plan size explodes without the cut — the PCA
+    iterate rule), and at scale this frame IS the materialized index
+    artifact."""
+    from ..session import session_cache
+    from .simsearch import ivf_assign
+
+    cache = session_cache(corpus.sparkSession, "ivfpq_residuals")
+    key = (id(corpus), iters)
+    if key not in cache:
+        cents = ivfadc_centroids(corpus, iters)
+        assigned = ivf_assign(corpus, cents)
+        res = assigned.join(
+            F.broadcast(cents), assigned.cell == cents.centroid_id
+        ).select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda x, c: x.cast("double") - c.cast("double"),
+            ).alias("embedding"),
+        )
+        cache[key] = (corpus, res.localCheckpoint(eager=True))
+    return cache[key][1]
+
+
+def ivfpq_res_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
+) -> DataFrame:
+    """IVFADC proper (residual-encoded IVF-PQ): Lloyd-trained cells
+    prune the scan, PQ codes trained on PER-CELL RESIDUALS price the
+    candidates, full precision refines the survivors — the reference's
+    reduce-then-refine skeleton (``ANNCode.py:525-585``) with
+    cell-relative codes as the reduced representation.
+
+    1. probe the ``IVF_NPROBE`` nearest trained cells per query;
+    2. ADC in residual space: score = d²(q − centroid(cell),
+       recon(residual codes)) — exactly d²(q, centroid + recon) by
+       algebra, computed in the residual frame so the codebook and the
+       scan operate where the distribution is tight;
+    3. exact re-rank of the top r·K candidates on the ORIGINAL
+       vectors (late materialization).
+
+    The query residual is per (query, probed cell) — q·nprobe tiny
+    rows, broadcast; the corpus-sized side only ever carries codes."""
+    from .simsearch import IVF_NPROBE, ivf_probes
+    from .topk import exact_l2_rerank
+
+    cents = ivfadc_centroids(corpus)
+    res = ivf_residuals(corpus)
+    recon = pq_reconstruct(res)
+    probed = ivf_probes(queries, cents, IVF_NPROBE)
+    qres = probed.join(
+        F.broadcast(cents), probed.cell == cents.centroid_id
+    ).select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            "qvec", "cvec", lambda a, b: a.cast("double") - b.cast("double")
+        ).alias("qres"),
+    )
+    cand = (
+        F.broadcast(qres)
+        .join(res.select("vec_id", "cell"), "cell")
+        .join(recon, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2("qres", "recon").alias("score"),
+        )
+    )
+    adc_ids = topk_per_query(cand, r * k, ascending=True).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_l2_rerank(adc_ids, corpus, queries, k)
+
+
 def pq_refined_topk(
     queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
 ) -> DataFrame:

@@ -74,23 +74,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: coarse-quantizer replay: same stride seeds, same unrolled Lloyd
 #: iterations as operators/kmeans.py (kmeans_sql_ctes); at the
-#: default IVF_KMEANS_ITERS = 0 this degenerates to the seed CTE,
-#: keeping oracle and engine in sync through one constant.
+#: default IVF_KMEANS_ITERS = 0 this degenerates to the seed CTE.
+#: Kept module-level: registry_dedup / the ivf_cell_sizes oracle
+#: compose these pieces directly.
 _IVF_KM_CTES, _IVF_KM_FINAL = kmeans_sql_ctes(
     "ivfkm_pts", "ivfkm", S.IVF_STRIDE, iters=S.IVF_KMEANS_ITERS,
     dist2_sql=_sql_dist2,
 )
 
-def sql_ivf_body(emb: str = "embeddings", qsrc: str = "q") -> str:
+def sql_ivf_body(
+    emb: str = "embeddings",
+    qsrc: str = "q",
+    iters: int = S.IVF_KMEANS_ITERS,
+    km_prefix: str = "ivfkm",
+) -> str:
     """The IVF pipeline CTE chain over a parameterized corpus CTE
     ``emb`` (vec_id, embedding) and query CTE ``qsrc`` (query_id, qe)
-    — one body serves plain IVF and the permuted-space compositions
-    (IVF-OPQ). Internal CTE names are fixed; a statement never
-    contains two instances."""
+    — one body serves plain IVF, the permuted-space compositions
+    (IVF-OPQ), and the TRAINED-quantizer IVFADC (``iters`` unrolls
+    that many Lloyd rounds in the replay, the operators/kmeans.py
+    contract; at the default IVF_KMEANS_ITERS = 0 this degenerates to
+    the seed CTE). ``cents``/``assigned``/``probes`` names are fixed;
+    a statement never contains two instances."""
+    km_ctes, km_final = kmeans_sql_ctes(
+        f"{km_prefix}_pts", km_prefix, S.IVF_STRIDE, iters=iters,
+        dist2_sql=_sql_dist2,
+    )
     return f"""
-ivfkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM {emb}),
-{_IVF_KM_CTES},
-cents AS (SELECT cid AS centroid_id, cvec FROM {_IVF_KM_FINAL}),
+{km_prefix}_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM {emb}),
+{km_ctes},
+cents AS (SELECT cid AS centroid_id, cvec FROM {km_final}),
 assigned AS (
   SELECT vec_id, embedding, centroid_id AS cell FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1482,3 +1495,125 @@ SIMSEARCH_QUERIES["ann_ivfopq_topk"] = q_ann_ivfopq_topk
 SIMSEARCH_ORACLES["ann_ivfopq_topk"] = SQL_ANN_IVFOPQ_TOPK
 SIMSEARCH_QUERIES["ann_ivfopq_recall"] = q_ann_ivfopq_recall
 SIMSEARCH_ORACLES["ann_ivfopq_recall"] = SQL_ANN_IVFOPQ_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ — IVFADC proper (operators/pq.ivfpq_res_topk; r08
+# verdict #2): PQ trained and scored on per-cell residuals
+# x − centroid(cell), the production FAISS layout. The oracle composes
+# the existing parameterized bodies: sql_ivf_body gives cents/assigned/
+# probes; the residual corpus is one zip_with CTE; sql_pq_body over it
+# trains/encodes/reconstructs; the ADC joins probes to residual-space
+# query vectors.
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfpq_res_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = P.ivfpq_res_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = P.ivfpq_res_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+#: the residual corpus: assigned vectors minus their cell centroid —
+#: per-coordinate double subtraction, identical shape to the Spark
+#: zip_with (operators/pq.ivf_residuals)
+_SQL_RES_EMB = f"""
+res_emb AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         list_transform(list_zip(a.embedding, c.cvec),
+                        t -> CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) AS embedding
+  FROM assigned a JOIN cents c ON c.centroid_id = a.cell
+)
+"""
+
+#: the trained coarse quantizer (IVFADC_KMEANS_ITERS Lloyd rounds,
+#: distinct km prefix — the plain body's ivfkm CTEs use iters=0)
+SQL_IVFPQ_RES_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{sql_ivf_body(iters=P.IVFADC_KMEANS_ITERS, km_prefix="adckm")},
+{_SQL_RES_EMB},
+{sql_pq_body(emb="res_emb", qsrc="q")},
+ivfres_q AS (
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(p.qe, c.cvec),
+                        t -> CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) AS qres
+  FROM probes p JOIN cents c ON c.centroid_id = p.cell
+),
+ivfres_adc AS (
+  SELECT qr.query_id, a.vec_id AS neighbor_id,
+         {_sql_dist2("qr.qres", "r.recon")} AS score
+  FROM ivfres_q qr
+  JOIN res_emb a ON a.cell = qr.cell
+  JOIN pq_recon r ON r.vec_id = a.vec_id
+),
+ivfres_ids AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM ivfres_adc
+  ) WHERE rank <= {P.PQ_REFINE_R * ANN_K}
+),
+ivfres_cand AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_dist2("q.qe", "e.embedding")} AS score
+  FROM ivfres_ids c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)
+"""
+
+SQL_ANN_IVFPQ_RES_TOPK = f"""
+WITH {SQL_IVFPQ_RES_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM ivfres_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def _sql_recall_l2(cand_cte: str, cand_name: str) -> str:
+    return f"""
+WITH {cand_cte},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM {cand_name}
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_dist2("q.qe", "e.embedding")} ASC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+
+SQL_ANN_IVFPQ_RES_RECALL = _sql_recall_l2(SQL_IVFPQ_RES_CTES, "ivfres_cand")
+
+SIMSEARCH_QUERIES["ann_ivfpq_res_topk"] = q_ann_ivfpq_res_topk
+SIMSEARCH_ORACLES["ann_ivfpq_res_topk"] = SQL_ANN_IVFPQ_RES_TOPK
+SIMSEARCH_QUERIES["ann_ivfpq_res_recall"] = q_ann_ivfpq_res_recall
+SIMSEARCH_ORACLES["ann_ivfpq_res_recall"] = SQL_ANN_IVFPQ_RES_RECALL

@@ -91,3 +91,41 @@ def test_refined_recall_dominates_plain_pq(spark, sf_small):
     ).collect()[0]
     assert refined.recall_at_k >= plain.recall_at_k
     assert refined.n_queries == plain.n_queries
+
+
+def test_ivf_residuals_invert_exactly(spark, sf_small):
+    """Residual + cell centroid must reproduce the original vector to
+    within one double rounding step per coordinate ((x − c) + c is not
+    exact in IEEE arithmetic in general, but its error is bounded by
+    ulp(x − c)/2 ≈ 1e-17 at these magnitudes)."""
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    cents = P.ivfadc_centroids(corpus)
+    res = P.ivf_residuals(corpus)
+    cmap = {r["centroid_id"]: r["cvec"] for r in cents.collect()}
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in corpus.orderBy("vec_id").limit(25).collect()
+    }
+    got = {
+        r["vec_id"]: (r["cell"], r["embedding"])
+        for r in res.where(F.col("vec_id").isin(list(orig))).collect()
+    }
+    assert set(got) == set(orig)
+    for vid, (cell, rvec) in got.items():
+        cvec = cmap[cell]
+        for x, rr, cc in zip(orig[vid], rvec, cvec):
+            assert abs((rr + cc) - float(x)) < 1e-12
+
+
+def test_ivfadc_serve_shape_and_memoization(spark, sf_small):
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    out = P.ivfpq_res_topk(queries, corpus, 5)
+    assert out.columns == ["query_id", "rank", "neighbor_id", "score"]
+    n_q = queries.count()
+    assert out.count() == 5 * n_q
+    # the residual frame and trained quantizer are built once
+    assert P.ivf_residuals(corpus) is P.ivf_residuals(corpus)
+    assert P.ivfadc_centroids(corpus) is P.ivfadc_centroids(corpus)

@@ -40,6 +40,7 @@ RECALL_QUERIES = [
     "ann_pq_recall",
     "ann_opq_recall",
     "ann_ivfpq_recall",
+    "ann_ivfpq_res_recall",
     "ann_ivfopq_recall",
     "ann_lsh_multiprobe_recall",
     "ann_graph_centroid_recall",
