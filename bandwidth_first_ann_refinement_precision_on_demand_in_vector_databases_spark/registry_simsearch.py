@@ -1617,3 +1617,74 @@ SIMSEARCH_QUERIES["ann_ivfpq_res_topk"] = q_ann_ivfpq_res_topk
 SIMSEARCH_ORACLES["ann_ivfpq_res_topk"] = SQL_ANN_IVFPQ_RES_TOPK
 SIMSEARCH_QUERIES["ann_ivfpq_res_recall"] = q_ann_ivfpq_res_recall
 SIMSEARCH_ORACLES["ann_ivfpq_res_recall"] = SQL_ANN_IVFPQ_RES_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Learned-rotation OPQ (r08 verdict #4): the Ge et al. alternation is
+# trained OFFLINE (tools/train_opq_rotation.py) and frozen as a
+# literal orthogonal matrix; the serve path is one matmul expression
+# (the lsh_planes idiom) feeding the parameterized PQ body — fully
+# oracle-able. reports/OPQ_ROTATION.csv holds the 3-fixture ADC
+# comparison (identity / snake permutation / learned rotation).
+# ---------------------------------------------------------------------------
+
+def q_ann_opq_rot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import opq as O
+
+    out = O.opq_rot_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_opq_rot_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import opq as O
+
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = O.opq_rot_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "l2")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+def _sql_rot_list(vec: str) -> str:
+    """R·x as a DuckDB list literal-of-dots — one strict in-order fold
+    per output coordinate against the frozen matrix row, the same fold
+    shape as the Spark ``rotate_expr``."""
+    from .operators.opq_rotation_matrix import OPQ_ROTATION
+
+    return (
+        "["
+        + ", ".join(_sql_dot(vec, _sql_plane_lit(row)) for row in OPQ_ROTATION)
+        + "]"
+    )
+
+
+SQL_OPQ_ROT_CTES = f"""
+q AS ({SQL_Q_CTE}),
+rot_emb AS MATERIALIZED (
+  SELECT vec_id, {_sql_rot_list("embedding")} AS embedding FROM embeddings
+),
+rot_q AS MATERIALIZED (
+  SELECT query_id, {_sql_rot_list("qe")} AS qe FROM q
+),
+{sql_pq_body(emb="rot_emb", qsrc="rot_q")}
+"""
+
+SQL_ANN_OPQ_ROT_TOPK = f"""
+WITH {SQL_OPQ_ROT_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS INT) AS rank
+  FROM pq_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_OPQ_ROT_RECALL = _sql_recall_l2(SQL_OPQ_ROT_CTES, "pq_cand")
+
+SIMSEARCH_QUERIES["ann_opq_rot_topk"] = q_ann_opq_rot_topk
+SIMSEARCH_ORACLES["ann_opq_rot_topk"] = SQL_ANN_OPQ_ROT_TOPK
+SIMSEARCH_QUERIES["ann_opq_rot_recall"] = q_ann_opq_rot_recall
+SIMSEARCH_ORACLES["ann_opq_rot_recall"] = SQL_ANN_OPQ_ROT_RECALL

@@ -137,3 +137,44 @@ def test_opq_trainer_fixture_is_inside_headroom(spark, sf_small):
     corpus = load_table(spark, sf_small, "embeddings")
     perm = O.opq_permutation(corpus)
     assert sorted(perm) == list(range(len(perm)))
+
+
+def test_frozen_rotation_is_orthogonal():
+    """The checked-in literal matrix must be orthogonal to float
+    precision — L2-invariance (and therefore comparability of rotated
+    ADC scores to original-space exact search) depends on it."""
+    import numpy as np
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.opq_rotation_matrix import (
+        OPQ_ROTATION,
+    )
+
+    R = np.array(OPQ_ROTATION)
+    assert R.shape == (64, 64)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+
+
+def test_opq_rot_corpus_is_narrow_and_rotates(spark, sf_small):
+    """The rotated view is a pure map (no Exchange) and each row equals
+    the numpy matmul of the frozen matrix with the original vector."""
+    import numpy as np
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.opq_rotation_matrix import (
+        OPQ_ROTATION,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    rc = O.opq_rot_corpus(corpus)
+    assert "Exchange" not in rc._jdf.queryExecution().executedPlan().toString()
+    R = np.array(OPQ_ROTATION)
+    rows = corpus.orderBy("vec_id").limit(5).collect()
+    got = {
+        r["vec_id"]: np.array(r["embedding"])
+        for r in rc.where(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        ).collect()
+    }
+    for r in rows:
+        want = R @ np.array(r["embedding"], dtype=np.float64)
+        assert np.allclose(got[r["vec_id"]], want, atol=1e-12)
+    assert O.opq_rot_corpus(corpus) is rc

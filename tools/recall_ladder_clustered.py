@@ -39,6 +39,7 @@ RECALL_QUERIES = [
     "ann_lsh_recall",
     "ann_pq_recall",
     "ann_opq_recall",
+    "ann_opq_rot_recall",
     "ann_ivfpq_recall",
     "ann_ivfpq_res_recall",
     "ann_ivfopq_recall",
