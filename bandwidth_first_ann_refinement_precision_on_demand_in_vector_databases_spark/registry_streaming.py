@@ -532,3 +532,120 @@ FROM mg JOIN wh ON wh.bin = mg.bin
 
 STREAMING_QUERIES["hist_merge_halves"] = q_hist_merge_halves
 STREAMING_ORACLES["hist_merge_halves"] = SQL_HIST_MERGE_HALVES
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (operators/quantile.py; r08 verdict #5):
+# fixed-universe integer rank statistics — the KLL-alternative that
+# stays deterministic and SQL-replayable. Unlike hist_merge_halves,
+# the bucketing is universe-fixed (no data min/max), so shard/day
+# sketches merge by addition into exactly the single-pass sketch, and
+# the registered query extracts the rank quantiles, not just counts.
+# ---------------------------------------------------------------------------
+
+def _lineitem_cents(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phi, q_bucket, q_value_lb): price quantiles (in cents) served
+    from the bounded sketch — build is one map-side-combined aggregate
+    to ≤ 4096 rows; extraction never touches the data again."""
+    from .operators import quantile as Q
+
+    sk = Q.quantile_sketch(_lineitem_cents(spark, sf_dir), "cents")
+    return Q.sketch_quantiles(sk)
+
+
+def q_quantile_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof at the RANK level: quantiles extracted from
+    the sum-merged half sketches equal the single-pass sketch's —
+    the property that makes per-shard rollup correct at 100 TB. Halves
+    split on l_orderkey parity (% 2 != 0 for the odd half —
+    negative-safe, the ADVICE rule)."""
+    from pyspark.sql import functions as F
+
+    from .operators import quantile as Q
+
+    li = _lineitem_cents(spark, sf_dir)
+    left = Q.quantile_sketch(li.where(F.col("l_orderkey") % 2 == 0), "cents")
+    right = Q.quantile_sketch(li.where(F.col("l_orderkey") % 2 != 0), "cents")
+    merged = Q.merge_sketches(left, right)
+    whole = Q.quantile_sketch(li, "cents")
+    qm = Q.sketch_quantiles(merged).select(
+        "phi", F.col("q_value_lb").alias("q_merged")
+    )
+    qw = Q.sketch_quantiles(whole).select(
+        "phi", F.col("q_value_lb").alias("q_whole")
+    )
+    return qm.join(qw, "phi").select("phi", "q_merged", "q_whole")
+
+
+def _sql_quantile_ctes(src_filter: str, prefix: str) -> str:
+    """Sketch + cumulative + targets over lineitem cents, with the
+    same dyadic shift (24→12 bits) as operators/quantile.py."""
+    return f"""
+{prefix}_v AS (
+  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM lineitem {src_filter}
+),
+{prefix}_sk AS (
+  SELECT CAST(cents >> 12 AS INT) AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM {prefix}_v GROUP BY 1
+)"""
+
+
+def _sql_quantile_extract(sk: str, prefix: str, value_alias: str) -> str:
+    return f"""
+{prefix}_cum AS (
+  SELECT a.bucket AS b, CAST(sum(b2.c) AS BIGINT) AS cum
+  FROM {sk} a JOIN {sk} b2 ON b2.bucket <= a.bucket GROUP BY a.bucket
+),
+{prefix}_t AS (
+  SELECT phi, CAST(ceil(phi * CAST(n AS DOUBLE)) AS BIGINT) AS target
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS n FROM {sk})
+  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS phi)
+),
+{prefix}_hit AS (
+  SELECT phi, CAST(min(b) AS INT) AS q_bucket
+  FROM {prefix}_t t JOIN {prefix}_cum c ON c.cum >= t.target GROUP BY phi
+),
+{prefix}_q AS (
+  SELECT phi, q_bucket,
+         CAST(q_bucket AS BIGINT) << 12 AS {value_alias}
+  FROM {prefix}_hit
+)"""
+
+
+SQL_QUANTILE_SKETCH = f"""
+WITH {_sql_quantile_ctes("", "qs")},
+{_sql_quantile_extract("qs_sk", "qs", "q_value_lb")}
+SELECT phi, q_bucket, q_value_lb FROM qs_q
+"""
+
+SQL_QUANTILE_MERGE_HALVES = f"""
+WITH {_sql_quantile_ctes("WHERE l_orderkey % 2 = 0", "ql")},
+{_sql_quantile_ctes("WHERE l_orderkey % 2 <> 0", "qr")},
+{_sql_quantile_ctes("", "qw")},
+qm_sk AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT * FROM ql_sk UNION ALL SELECT * FROM qr_sk
+  ) GROUP BY bucket
+),
+{_sql_quantile_extract("qm_sk", "qm", "q_merged")},
+{_sql_quantile_extract("qw_sk", "qw2", "q_whole")}
+SELECT qm_q.phi, qm_q.q_merged, qw2_q.q_whole
+FROM qm_q JOIN qw2_q ON qw2_q.phi = qm_q.phi
+"""
+
+STREAMING_QUERIES["quantile_sketch"] = q_quantile_sketch
+STREAMING_ORACLES["quantile_sketch"] = SQL_QUANTILE_SKETCH
+STREAMING_QUERIES["quantile_merge_halves"] = q_quantile_merge_halves
+STREAMING_ORACLES["quantile_merge_halves"] = SQL_QUANTILE_MERGE_HALVES

@@ -93,3 +93,59 @@ def test_merge_halves_partition_covers_negative_ids(spark):
         merged.exceptAll(whole).count() == 0
         and whole.exceptAll(merged).count() == 0
     )
+
+
+def test_quantile_sketch_guarantees(spark, sf_small):
+    """The sketch's defining guarantees, independent of the oracle:
+    (a) bounded state (≤ 2^sketch_bits rows); (b) each extracted
+    lower bound is within one bucket width of the true φ-quantile;
+    (c) three-way shard merge equals the single-pass sketch exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        quantile as Q,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    sk = Q.quantile_sketch(li, "cents")
+    rows = sk.collect()
+    assert 0 < len(rows) <= 2**Q.QUANTILE_SKETCH_BITS
+
+    got = {r["phi"]: r["q_value_lb"] for r in Q.sketch_quantiles(sk).collect()}
+    vals = sorted(r["cents"] for r in li.collect())
+    width = 1 << (Q.QUANTILE_UNIVERSE_BITS - Q.QUANTILE_SKETCH_BITS)
+    for phi in Q.QUANTILE_PHIS:
+        true_q = vals[math.ceil(phi * len(vals)) - 1]
+        assert got[phi] <= true_q < got[phi] + width, (phi, got[phi], true_q)
+
+    parts = [
+        Q.quantile_sketch(li.where(F.col("l_orderkey") % 3 == i), "cents")
+        for i in range(3)
+    ]
+    merged = {
+        r["bucket"]: r["c"] for r in Q.merge_sketches(*parts).collect()
+    }
+    whole = {r["bucket"]: r["c"] for r in rows}
+    assert merged == whole
+
+
+def test_quantile_sketch_raises_outside_universe(spark):
+    import pytest
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        quantile as Q,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 1 << 30)], "id: long, v: long")
+    with pytest.raises(Exception, match="outside"):
+        Q.quantile_sketch(df, "v").collect()
