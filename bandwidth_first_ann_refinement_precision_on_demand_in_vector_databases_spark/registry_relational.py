@@ -1299,3 +1299,205 @@ RELATIONAL_QUERIES["important_parts"] = q_important_parts
 RELATIONAL_ORACLES["important_parts"] = SQL_IMPORTANT_PARTS
 RELATIONAL_QUERIES["supplier_part_counts"] = q_supplier_part_counts
 RELATIONAL_ORACLES["supplier_part_counts"] = SQL_SUPPLIER_PART_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# r09 TPC-H join-shape tail (r08 verdict #6): Q13 / Q18 / Q21
+# ---------------------------------------------------------------------------
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): LEFT join customers to
+    a FILTERED orders scan, count per customer (zero-order customers
+    survive as count 0 — count(o_orderkey) skips the null-extended
+    rows), then the count-of-counts distribution. Two aggregates, both
+    map-side combined; the filter (priority ≠ 1-URGENT — the fixture
+    stand-in for Q13's comment NOT LIKE) pushes into the orders scan
+    BEFORE the join."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+#: Q18 volume threshold: p99 of per-order quantity sums is ~262-270
+#: across SFs (max 378/458) — 250 keeps the class non-empty at every
+#: SF while staying a genuine tail filter.
+Q18_QTY_THRESHOLD = 250
+Q18_LIMIT = 100
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped
+    aggregate (orders whose quantity sum exceeds the threshold —
+    decorrelated to a semi-joinable one-column frame) feeding a
+    customer/orders/lineitem join, re-aggregated per order, then
+    TakeOrdered: ORDER BY o_totalprice DESC LIMIT 100 plans as
+    TakeOrderedAndProject — each partition keeps its local top-100,
+    never a global sort (o_orderkey breaks price/date ties
+    deterministically)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("__q"))
+        .where(F.col("__q") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(Q18_LIMIT)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            (F.round(F.col("o_totalprice"), 2) + F.lit(0.0)).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDER_CUSTOMERS = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS orderdate,
+       round(o_totalprice, 2) + 0.0 AS totalprice,
+       total_qty
+FROM (
+  SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         sum(CAST(l.l_quantity AS DOUBLE)) AS total_qty
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DOUBLE)) > {Q18_QTY_THRESHOLD}
+  )
+  GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+  ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+  LIMIT {Q18_LIMIT}
+)
+"""
+
+
+#: Q21 lateness: the fixture has no commit/receipt dates, so "kept
+#: waiting" = shipped more than 60 days after the order date (~half
+#: the lines — the multi-supplier only-late-one composition below is
+#: what thins it to a real tail: 10 suppliers at sf0.001).
+Q21_LATE_DAYS = 60
+Q21_LIMIT = 50
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    chained EXISTS / NOT EXISTS self-join pair, decorrelated to one
+    SEMI and one ANTI join over the late-pairs frame — a supplier
+    counts for an order iff it shipped late on a finished order, SOME
+    other supplier shipped in that order (semi), and NO other supplier
+    shipped late in it (anti). No correlated re-execution, no row
+    multiplication: both probes key on l_orderkey with a suppkey
+    inequality residual; the supplier-name join broadcasts the dim."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    late3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    counted = (
+        late.join(
+            others,
+            (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late3,
+            (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        counted.join(F.broadcast(s), counted.l_suppkey == s.s_suppkey)
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(Q21_LIMIT)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+SQL_WAITING_SUPPLIERS = f"""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s.s_suppkey, s.s_name, w.numwait
+FROM (
+  SELECT l1.l_suppkey, count(*) AS numwait
+  FROM late l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+  GROUP BY l1.l_suppkey
+) w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+ORDER BY w.numwait DESC, s.s_name ASC
+LIMIT {Q21_LIMIT}
+"""
+
+RELATIONAL_QUERIES["customer_order_counts"] = q_customer_order_counts
+RELATIONAL_ORACLES["customer_order_counts"] = SQL_CUSTOMER_ORDER_COUNTS
+RELATIONAL_QUERIES["large_order_customers"] = q_large_order_customers
+RELATIONAL_ORACLES["large_order_customers"] = SQL_LARGE_ORDER_CUSTOMERS
+RELATIONAL_QUERIES["waiting_suppliers"] = q_waiting_suppliers
+RELATIONAL_ORACLES["waiting_suppliers"] = SQL_WAITING_SUPPLIERS
