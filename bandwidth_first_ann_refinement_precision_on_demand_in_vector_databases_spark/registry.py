@@ -761,98 +761,98 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r08 rotation. Policy unchanged: (1) queries whose semantics or
-    # plan CHANGED this round, plus queries NEW this round — they need
-    # a driver hash before anything else; (2) the oldest green rows:
-    # the 28 queries whose latest driver row is r03/r04 (the r07
-    # window clipped them — VERDICT r07 "What's wrong" #3 lists them
-    # verbatim). (1) + (2) fit inside the ~50-slot window together.
-    # -- NEW r08 entries are prepended here as they land --
-    # -- NEW r08: TPC-H Q5/Q12/Q19 + Q17/Q2 decorrelation shapes --
-    "local_supplier_volume",
-    "priority_line_counts",
-    "brand_discount_revenue",
-    "small_quantity_revenue",
-    "min_cost_supplier",
-    "idle_customer_balance",
-    "important_parts",
-    "supplier_part_counts",
-    # -- NEW r08: IVF-OPQ (production composition, permuted space) --
-    "ann_ivfopq_topk",
-    "ann_ivfopq_recall",
-    # -- NEW r08: drift monitor + histogram mergeability --
-    "embedding_drift_psi",
-    "hist_merge_halves",
-    # -- NEW r08: OPQ (variance-balanced permutation × PQ) --
-    "ann_opq_topk",
-    "ann_opq_refined_topk",
-    "ann_opq_recall",
-    # -- NEW r08: multi-probe LSH (flipped lowest-margin bits) --
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_multiprobe_recall",
-    # -- NEW r08: centroid-seeded graph beam entries --
-    "ann_graph_centroid_topk",
-    "ann_graph_centroid_recall",
-    # -- NEW r08: streaming CDC ingest end-to-end (foreachBatch ->
-    # -- cell-routed delta store -> merge-on-read serve) --
-    "ann_stream_fresh_topk",
-    # -- NEW r08: multi-probe LSH × cushion composition --
-    "ann_lsh_multiprobe_cushion_topk",
-    "ann_lsh_multiprobe_cushion_metrics",
-    # -- CHANGED r08 (results changed): MaxSim pool knee p=50 -> 100 --
-    "ann_maxsim_rerank",
-    "ann_maxsim_recall",
-    "ann_maxsim_index_topk",
-    "ann_ivf_maxsim_topk",
-    "ann_ivf_maxsim_recall",
-    # -- r03/r04-stale (28): every query whose latest green driver row
-    # -- is r03 or r04. dedup_components first: its operator was
-    # -- rewritten in r07 (fixpoint + pointer-jumping) and its driver
-    # -- row still dates from r04.
-    "dedup_components",
-    "ann_filtered_ivf_topk",
-    "ann_filtered_topk",
-    "ann_ivfsq_recall",
-    "ann_ivfsq_topk",
-    "ann_knn_graph",
-    "ann_knn_graph_recall",
-    "ann_lsh_cushion_metrics",
-    "ann_lsh_cushion_tuned_metrics",
-    "ann_mmr_rerank",
-    "ann_range_search",
-    "ann_sq_recall",
-    "ann_sq_refined_topk",
-    "ann_sq_topk",
-    "compression_model",
-    "compression_model_tuned",
-    "decontamination",
-    "doc_chunks",
-    "hybrid_bm25_rrf",
-    "hybrid_rrf",
-    "ivf_cell_sizes",
-    "media_features",
-    "pq_codebook",
+    # r09 rotation. Policy unchanged: (1) the oldest green rows FIRST
+    # this round — the 5 r04-stale queries the r08 window clipped
+    # (VERDICT r08 "Next round" #1 asks for exactly these); (2) queries
+    # NEW this round; (3) queries whose RESULTS may have changed this
+    # round (the OPQ trainer's scale/overflow fix can reorder the
+    # variance ranking); (4) fill the remaining ~31 window slots with
+    # the oldest remaining rows (latest driver row r05 — 49 of them
+    # exist; the tail past the window leads the r10 rotation).
+    # -- r04-stale (5): the only pre-r05 driver rows left --
     "refine_l2_tz_exact_metrics",
     "sq_codes",
     "stream_ann_topk",
     "stream_dedup_events",
     "stream_interval_join",
-    # -- CHANGED r08, results IDENTICAL (plan/oracle-text only) — these
-    # -- sit past the ~50-slot window on purpose: their r05–r07 green
-    # -- rows still represent their values, and the full local gate
-    # -- re-verified all of them against the updated oracles this
-    # -- round. ranking_metrics (dedup guard), merge-halves
-    # -- (negative-safe split), persists/splits memoization consumers.
-    "ann_ivf_ranking_metrics",
-    "ann_lsh_ranking_metrics",
-    "hll_merge_halves",
-    "cms_merge_halves",
+    # -- NEW r09: IVFADC (residual-encoded IVF-PQ, trained cells) --
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_res_recall",
+    # -- NEW r09: frozen learned-rotation OPQ (Ge et al. serve path) --
+    "ann_opq_rot_topk",
+    "ann_opq_rot_recall",
+    # -- NEW r09: fixed-universe mergeable quantile sketch --
+    "quantile_sketch",
+    "quantile_merge_halves",
+    # -- NEW r09: TPC-H Q13/Q18/Q21 shapes --
+    "customer_order_counts",
+    "large_order_customers",
+    "waiting_suppliers",
+    # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
+    # -- multiply (the overflow fix). The variance RANKING was verified
+    # -- identical at both scales on all three fixtures, so results are
+    # -- expected unchanged — kept in-window anyway: the trainer code
+    # -- was rewritten and a fresh independent driver hash is cheap --
+    "ann_opq_topk",
+    "ann_opq_refined_topk",
+    "ann_opq_recall",
+    "ann_ivfopq_topk",
+    "ann_ivfopq_recall",
+    # -- r05-stale fill (registry-stable order; pairs adjacent so the
+    # -- driver session reuses memoized index artifacts) --
+    "ann_bq_topk",
+    "ann_bq_refined_topk",
+    "ann_bq_recall",
+    "bq_codes",
+    "ann_graph_topk",
+    "ann_graph_recall",
+    "ann_graph_index_topk",
+    "ann_graph_cushion_topk",
+    "ann_graph_cushion_metrics",
+    "ann_ivf_index_topk",
+    "ann_pq_index_topk",
+    "ann_mrl_topk",
+    "ann_mrl_refined_topk",
+    "ann_mrl_recall",
+    "ann_delta_topk",
+    "ivf_delta_compact",
+    "ivf_ingest_assign",
+    "refine_cos_hoeff_tuned_metrics",
+    "refine_l2_tz_served_topk",
+    "anti_join",
+    "semi_join",
+    "asof_join",
+    "range_join",
+    "set_ops",
+    "top_orders",
+    "region_revenue",
+    "rollup_lineitem",
+    "cube_orders",
+    "salted_agg",
+    "count_distinct",
+    "approx_count_distinct",
+    # (remaining r05 rows — window will clip around here; the rest
+    # lead r10: window_rank, window_running, scalar_*, dedup_*,
+    # minhash_signatures, simhash_sketch, fingerprint, lang_id,
+    # doc_packing, corpus_dsir_weights, value_quantiles, bm25_topn)
+    "window_rank",
+    "window_running",
+    "scalar_text",
+    "scalar_json",
+    "scalar_datetime",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_chunks",
+    "minhash_signatures",
+    "simhash_sketch",
+    "fingerprint",
+    "lang_id",
+    "doc_packing",
+    "corpus_dsir_weights",
+    "value_quantiles",
     "bm25_topn",
-    "tfidf_topn",
-    "cms_heavy_hitters",
-    "hll_distinct_tokens",
-    "corpus_dsir_select",
-    "global_rank_events",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
