@@ -160,6 +160,16 @@ def _suite():
         "idle_customer_balance",
         "important_parts",
         "supplier_part_counts",
+        # r09
+        "ann_ivfpq_res_topk",
+        "ann_ivfpq_res_recall",
+        "ann_opq_rot_topk",
+        "ann_opq_rot_recall",
+        "quantile_sketch",
+        "quantile_merge_halves",
+        "customer_order_counts",
+        "large_order_customers",
+        "waiting_suppliers",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
