@@ -375,6 +375,60 @@ def ivfpq_res_topk(
     return exact_l2_rerank(adc_ids, corpus, queries, k)
 
 
+def ivfadc_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    r: int = PQ_REFINE_R,
+) -> DataFrame:
+    """IVFADC served entirely from the stored index
+    (``sources/layout.write_ivfadc_index``): probes are computed
+    against the broadcast stored quantizer; the probe list drives a
+    PARTITION-PRUNED scan of the cell-partitioned codes table (only
+    probed directories open, only the thin code columns read);
+    residual reconstruction + ADC come from codes + broadcast
+    codebook; the raw corpus is touched ONLY to fetch the r·K
+    re-rank survivors (late materialization). Identical result to the
+    in-session ``ivfpq_res_topk`` over the corpus the index was built
+    from."""
+    from ..functions.vector import dist2 as _dist2
+    from ..sources.layout import read_ivfadc_index
+    from .simsearch import IVF_NPROBE, ivf_probes
+    from .topk import exact_l2_rerank
+
+    cents, cb, codes = read_ivfadc_index(spark, index_path)
+    probed = ivf_probes(queries, cents, IVF_NPROBE)
+    cells = [int(r_.cell) for r_ in probed.select("cell").distinct().collect()]
+    pruned = codes.where(F.col("cell").isin(cells))
+    recon = reconstruct_from_codes(pruned.select("vec_id", "m", "code"), cb)
+    vc = pruned.select("vec_id", "cell").distinct()
+    qres = probed.join(
+        F.broadcast(cents), probed.cell == cents.centroid_id
+    ).select(
+        "query_id",
+        "cell",
+        F.zip_with(
+            "qvec", "cvec", lambda a, b: a.cast("double") - b.cast("double")
+        ).alias("qres"),
+    )
+    cand = (
+        F.broadcast(qres)
+        .join(vc, "cell")
+        .join(recon, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dist2("qres", "recon").alias("score"),
+        )
+    )
+    adc_ids = topk_per_query(cand, r * k, ascending=True).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_l2_rerank(adc_ids, corpus, queries, k)
+
+
 def pq_refined_topk(
     queries: DataFrame, corpus: DataFrame, k: int, r: int = PQ_REFINE_R
 ) -> DataFrame:

@@ -1688,3 +1688,34 @@ SIMSEARCH_QUERIES["ann_opq_rot_topk"] = q_ann_opq_rot_topk
 SIMSEARCH_ORACLES["ann_opq_rot_topk"] = SQL_ANN_OPQ_ROT_TOPK
 SIMSEARCH_QUERIES["ann_opq_rot_recall"] = q_ann_opq_rot_recall
 SIMSEARCH_ORACLES["ann_opq_rot_recall"] = SQL_ANN_OPQ_ROT_RECALL
+
+
+# ---------------------------------------------------------------------------
+# IVFADC served from the stored index (r09): the cell-partitioned
+# residual-code layout — partition pruning × 32× column shrink in one
+# table. Shares the in-session oracle by result identity.
+# ---------------------------------------------------------------------------
+
+def q_ann_ivfadc_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_ivfpq_res_topk``: quantizer, residual
+    codebook and cell-partitioned codes are WRITTEN once
+    (``layout.write_ivfadc_index``) and the serve plan reads ONLY the
+    stored tables until the r·K exact re-rank fetch (PartitionFilters
+    + thin ReadSchema asserted in ``tests/test_layout.py``)."""
+    from .operators.pq import ivfadc_topk_from_index
+    from .sources.layout import write_ivfadc_index
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "ivfadc-index", lambda p: write_ivfadc_index(corpus, p)
+    )
+    out = ivfadc_topk_from_index(
+        spark, path, queries_view(spark, sf_dir), corpus, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SIMSEARCH_QUERIES["ann_ivfadc_index_topk"] = q_ann_ivfadc_index_topk
+SIMSEARCH_ORACLES["ann_ivfadc_index_topk"] = SQL_ANN_IVFPQ_RES_TOPK

@@ -161,6 +161,54 @@ def ivf_topk_from_store(
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
+def write_ivfadc_index(corpus: DataFrame, out_path: str) -> None:
+    """Materialize the IVFADC index — the full production FAISS-style
+    layout (trained coarse quantizer + residual PQ), three tables:
+
+    * ``{out}/centroids`` — (centroid_id, cvec): the Lloyd-trained
+      coarse quantizer, broadcast-sized;
+    * ``{out}/codebook`` — (m, cid, cvec): the residual-space PQ
+      codebook, broadcast-sized;
+    * ``{out}/codes`` — (vec_id, m, code) PARTITIONED BY cell: 8 small
+      codes per vector laid out so a probed query opens only its
+      cells' directories AND reads only the thin code columns — the
+      two bandwidth wins (partition pruning × 32× column shrink)
+      compose in one layout.
+
+    Training (quantizer, residuals, codebook) is paid exactly once,
+    here; serving (``operators/pq.ivfadc_topk_from_index``) touches no
+    raw corpus column until the r·K exact re-rank."""
+    from ..operators.pq import ivf_residuals, ivfadc_centroids, pq_codebook, pq_codes
+
+    cents = ivfadc_centroids(corpus)
+    res = ivf_residuals(corpus)
+    cb = pq_codebook(res)
+    cents.write.mode("overwrite").parquet(f"{out_path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{out_path}/codebook")
+    (
+        pq_codes(res, cb)
+        .join(res.select("vec_id", "cell"), "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_path}/codes")
+    )
+
+
+def read_ivfadc_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebook, codes) scans of a stored IVFADC index.
+    The codes scan carries ``cell`` as a partition column — a
+    ``cell IN (...)`` predicate prunes directories before any byte is
+    read (`PartitionFilters`, asserted in ``tests/test_layout.py``)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebook"),
+        spark.read.parquet(f"{path}/codes"),
+    )
+
+
 def write_cascade_index(corpus: DataFrame, out_path: str) -> None:
     """Materialize the cascade's two sketch tables — the offline half
     of the three-stage serve path (``operators/bq.cascade_topk_from_

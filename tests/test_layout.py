@@ -421,3 +421,41 @@ def test_zorder_rejects_out_of_range_inputs(spark, tmp_path):
     negative = spark.createDataFrame([(-1, 5), (1, 2)], "a bigint, b bigint")
     with pytest.raises(ValueError, match="spans"):
         write_zordered(negative, str(tmp_path / "zn"), "a", "b", bits=16)
+
+
+def test_ivfadc_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """Offline-build/online-serve for the full IVFADC layout: the
+    stored-index serve equals the live in-session residual IVF-PQ, the
+    codes scan is PARTITION-PRUNED to the probed cells, and it reads
+    only the thin code columns — never an embedding."""
+    import re
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.pq import (
+        ivfadc_topk_from_index,
+        ivfpq_res_topk,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        write_ivfadc_index,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "ivfadc_index")
+    write_ivfadc_index(corpus, out)
+
+    live = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+            for r in ivfpq_res_topk(queries, corpus, 10).collect()}
+    served_df = ivfadc_topk_from_index(spark, out, queries, corpus, 10)
+    stored = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+              for r in served_df.collect()}
+    assert stored == live
+
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        if "code" in m.group(1):
+            assert "embedding" not in m.group(1)
