@@ -649,3 +649,29 @@ STREAMING_QUERIES["quantile_sketch"] = q_quantile_sketch
 STREAMING_ORACLES["quantile_sketch"] = SQL_QUANTILE_SKETCH
 STREAMING_QUERIES["quantile_merge_halves"] = q_quantile_merge_halves
 STREAMING_ORACLES["quantile_merge_halves"] = SQL_QUANTILE_MERGE_HALVES
+
+
+def q_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming quantile sketch over events values
+    (the plan is mode-agnostic; ``tests/test_streaming.py`` proves the
+    readStream replay produces the identical ≤4096-row bucket table).
+    The bounded-state streaming substitute for percentile monitoring."""
+    from .streaming.windows import quantile_value_sketch
+
+    return quantile_value_sketch(load_table(spark, sf_dir, "events"))
+
+
+def _sql_stream_quantile() -> str:
+    from .operators.quantile import QUANTILE_SKETCH_BITS
+    from .streaming.windows import QUANTILE_EVENT_UNIVERSE_BITS
+
+    shift = QUANTILE_EVENT_UNIVERSE_BITS - QUANTILE_SKETCH_BITS
+    return f"""
+SELECT CAST(CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) >> {shift} AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS c
+FROM events GROUP BY 1
+"""
+
+
+STREAMING_QUERIES["stream_quantile_sketch"] = q_stream_quantile_sketch
+STREAMING_ORACLES["stream_quantile_sketch"] = _sql_stream_quantile()

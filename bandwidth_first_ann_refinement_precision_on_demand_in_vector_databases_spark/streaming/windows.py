@@ -221,3 +221,31 @@ def hll_user_registers(events: DataFrame, late: str = LATE_THRESHOLD) -> DataFra
     return hll_registers(
         events.select(poly_hash(F.col("user_id").cast("string")).alias("v"))
     )
+
+
+#: quantile-sketch universe for the events value column: cents of a
+#: value measured in [0, ~560] — 2^16 cents covers it with the guard
+#: raising if the generator ever drifts past $655.36.
+QUANTILE_EVENT_UNIVERSE_BITS = 16
+
+
+def quantile_value_sketch(
+    events: DataFrame, late: str = LATE_THRESHOLD
+) -> DataFrame:
+    """(bucket, c): the fixed-universe quantile sketch of the events
+    ``value`` column (micro-quantized to cents) — the rank-statistics
+    member of the streaming sketch family next to CMS counts and HLL
+    registers. One incremental count aggregate whose state is at most
+    ``2^QUANTILE_SKETCH_BITS`` rows forever (``operators/quantile``),
+    and per-shard/per-day sketches merge by addition
+    (``quantile_merge_halves`` is the proof). Mode-agnostic: no
+    event-time window, no watermark; ``late`` is accepted for the
+    shared batch≡stream test harness signature and ignored."""
+    from ..operators.quantile import quantile_sketch
+
+    cents = events.select(
+        F.floor(F.col("value").cast("double") * 100).cast("bigint").alias("cents")
+    )
+    return quantile_sketch(
+        cents, "cents", universe_bits=QUANTILE_EVENT_UNIVERSE_BITS
+    )

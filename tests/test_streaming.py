@@ -26,6 +26,7 @@ from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spar
     tumbling_counts,
     cms_user_counts,
     hll_user_registers,
+    quantile_value_sketch,
 )
 
 
@@ -96,8 +97,9 @@ WIDE = "60 days"
         (session_windows, ["user_id", "sess_start", "sess_end", "n_events", "sum_value"]),
         (cms_user_counts, ["d", "bucket", "c"]),
         (hll_user_registers, ["bucket", "m"]),
+        (quantile_value_sketch, ["bucket", "c"]),
     ],
-    ids=["tumbling", "sliding", "session", "cms", "hll"],
+    ids=["tumbling", "sliding", "session", "cms", "hll", "quantile"],
 )
 def test_stream_equals_batch(spark, sf_small, stream_dir, fn, cols):
     batch = fn(load_table(spark, sf_small, "events"))
