@@ -784,10 +784,15 @@ _FRONT = [
     # -- NEW r09: fixed-universe mergeable quantile sketch --
     "quantile_sketch",
     "quantile_merge_halves",
-    # -- NEW r09: TPC-H Q13/Q18/Q21 shapes --
+    # -- NEW r09: TPC-H Q13/Q18/Q21 + region-level Q7/Q8 shapes --
     "customer_order_counts",
     "large_order_customers",
     "waiting_suppliers",
+    "region_trade_volume",
+    "region_market_share",
+    # -- NEW r09: IVFADC stored-index serve + streaming quantile --
+    "ann_ivfadc_index_topk",
+    "stream_quantile_sketch",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

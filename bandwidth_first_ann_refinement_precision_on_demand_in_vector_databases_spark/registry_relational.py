@@ -1501,3 +1501,131 @@ RELATIONAL_QUERIES["large_order_customers"] = q_large_order_customers
 RELATIONAL_ORACLES["large_order_customers"] = SQL_LARGE_ORDER_CUSTOMERS
 RELATIONAL_QUERIES["waiting_suppliers"] = q_waiting_suppliers
 RELATIONAL_ORACLES["waiting_suppliers"] = SQL_WAITING_SUPPLIERS
+
+
+# ---------------------------------------------------------------------------
+# r09 TPC-H cross-nation trade shapes: Q7 / Q8 (region-level — the
+# fixture's 25 synthetic nations make single-nation pairs empty at
+# sf0.001, so the shape keeps TPC-H's two-sided OR pair predicate and
+# the share-of-market ratio at region granularity, where every SF has
+# members)
+# ---------------------------------------------------------------------------
+
+def q_region_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    specific regions in BOTH directions, by (supplier region, customer
+    region, ship year). The two-sided pair predicate stays one OR
+    filter over the joined frame (never a UNION of two plans); all
+    four dims broadcast; the single fact-fact join (lineitem×orders)
+    is the only shuffle. DECIMAL revenue sums exact; year() is integer
+    on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_regionkey").alias("supp_region")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("cn"), F.col("n_regionkey").alias("cust_region")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("sn"))
+        .join(nc, F.col("c_nationkey") == F.col("cn"))
+        .where(
+            ((F.col("supp_region") == 2) & (F.col("cust_region") == 3))
+            | ((F.col("supp_region") == 3) & (F.col("cust_region") == 2))
+        )
+        .groupBy("supp_region", "cust_region", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_REGION_TRADE_VOLUME = """
+SELECT ns.n_regionkey AS supp_region, nc.n_regionkey AS cust_region,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE (ns.n_regionkey = 2 AND nc.n_regionkey = 3)
+   OR (ns.n_regionkey = 3 AND nc.n_regionkey = 2)
+GROUP BY ns.n_regionkey, nc.n_regionkey, year(l.l_shipdate)
+"""
+
+
+def q_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): within one consuming market
+    (EUROPE-region customers buying ECONOMY-type parts), the fraction
+    of yearly revenue supplied from ASIA-region suppliers — the
+    conditional-sum-over-sum ratio, computed in ONE aggregate pass
+    (sum(CASE)) rather than two scans. DECIMAL sums exact; the share
+    is a single double division (IEEE-deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    ns = F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_regionkey").alias("supp_region")))
+    nc = F.broadcast(n.select(F.col("n_nationkey").alias("cn"), F.col("n_regionkey").alias("cust_region")))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)") * F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("cn"))
+        .where(F.col("cust_region") == 3)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("sn"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_region") == 2, rev).otherwise(zero)).alias("__n"),
+            F.sum(rev).alias("__d"),
+        )
+        .select(
+            "ship_year",
+            (
+                F.round(F.col("__n").cast("double") / F.col("__d").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("mkt_share"),
+            F.col("__d").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_REGION_MARKET_SHARE = """
+SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       round(
+         CAST(sum(CASE WHEN ns.n_regionkey = 2
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) + 0.0 AS mkt_share,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey AND nc.n_regionkey = 3
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+GROUP BY year(l.l_shipdate)
+"""
+
+RELATIONAL_QUERIES["region_trade_volume"] = q_region_trade_volume
+RELATIONAL_ORACLES["region_trade_volume"] = SQL_REGION_TRADE_VOLUME
+RELATIONAL_QUERIES["region_market_share"] = q_region_market_share
+RELATIONAL_ORACLES["region_market_share"] = SQL_REGION_MARKET_SHARE

@@ -170,6 +170,10 @@ def _suite():
         "customer_order_counts",
         "large_order_customers",
         "waiting_suppliers",
+        "region_trade_volume",
+        "region_market_share",
+        "ann_ivfadc_index_topk",
+        "stream_quantile_sketch",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
