@@ -149,3 +149,48 @@ def test_quantile_sketch_raises_outside_universe(spark):
     df = spark.createDataFrame([(1, 5), (2, 1 << 30)], "id: long, v: long")
     with pytest.raises(Exception, match="outside"):
         Q.quantile_sketch(df, "v").collect()
+
+
+def test_quantile_sketch_properties(spark):
+    """Property test over adversarial integer corpora: for any value
+    list inside the universe and any shard split, (a) the merged shard
+    sketches equal the single-pass sketch exactly; (b) every extracted
+    quantile lower bound brackets the true rank quantile within one
+    bucket width."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        quantile as Q,
+    )
+
+    U, B = 16, 12
+    width = 1 << (U - B)
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << U) - 1), min_size=1, max_size=300),
+        st.integers(min_value=1, max_value=5),
+    )
+    def check(vals, n_shards):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id: long, v: long")
+        sk = Q.quantile_sketch(df, "v", universe_bits=U, sketch_bits=B)
+        whole = {r["bucket"]: r["c"] for r in sk.collect()}
+        parts = [
+            Q.quantile_sketch(df.where(df.id % n_shards == i), "v", universe_bits=U, sketch_bits=B)
+            for i in range(n_shards)
+        ]
+        merged = {r["bucket"]: r["c"] for r in Q.merge_sketches(*parts).collect()}
+        assert merged == whole
+        got = {
+            r["phi"]: r["q_value_lb"]
+            for r in Q.sketch_quantiles(sk, universe_bits=U, sketch_bits=B).collect()
+        }
+        svals = sorted(vals)
+        for phi in Q.QUANTILE_PHIS:
+            true_q = svals[math.ceil(phi * len(svals)) - 1]
+            assert got[phi] <= true_q < got[phi] + width, (phi, got[phi], true_q)
+
+    check()
