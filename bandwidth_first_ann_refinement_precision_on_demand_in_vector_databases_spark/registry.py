@@ -793,6 +793,13 @@ _FRONT = [
     # -- NEW r09: IVFADC stored-index serve + streaming quantile --
     "ann_ivfadc_index_topk",
     "stream_quantile_sketch",
+    # -- NEW r09 (second session): TPC-H Q6/Q14/Q15/Q9/Q20 shapes —
+    # -- completes the per-query TPC-H shape inventory --
+    "forecast_revenue",
+    "promo_revenue",
+    "top_supplier",
+    "nation_profit",
+    "dominant_suppliers",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

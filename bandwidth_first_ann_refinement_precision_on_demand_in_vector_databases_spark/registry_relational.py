@@ -1629,3 +1629,245 @@ RELATIONAL_QUERIES["region_trade_volume"] = q_region_trade_volume
 RELATIONAL_ORACLES["region_trade_volume"] = SQL_REGION_TRADE_VOLUME
 RELATIONAL_QUERIES["region_market_share"] = q_region_market_share
 RELATIONAL_ORACLES["region_market_share"] = SQL_REGION_MARKET_SHARE
+
+
+# ---------------------------------------------------------------------------
+# r09 second-session TPC-H tail: Q6 / Q14 / Q15 / Q9 / Q20 shapes —
+# completes the public-suite join/agg shape inventory (every TPC-H
+# query now has a fixture-adapted representative). The fixture has no
+# partsupp table, so Q9's supplycost is a retailprice-derived proxy
+# and Q20's availqty is the supplier's own shipped quantity; both keep
+# the reference query's JOIN/nesting shape exactly.
+# ---------------------------------------------------------------------------
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a single scan with
+    every predicate pushed to parquet (date range, discount band,
+    quantity cap) and ONE scalar DECIMAL aggregate — the canonical
+    filter-pushdown + map-side-combine probe. No joins, no shuffle
+    beyond the final scalar partial merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of one ship-month's
+    revenue from PROMO-type parts — conditional-sum-over-sum in ONE
+    aggregate pass over the month's lines, part dim broadcast. The
+    ratio is a single double division of exact DECIMAL sums."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)") * F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("__p"),
+            F.sum(rev).alias("__t"),
+        )
+        .select(
+            (
+                F.round(
+                    F.lit(100.0) * F.col("__p").cast("double") / F.col("__t").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("promo_pct"),
+            F.col("__t").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) + 0.0 AS promo_pct,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarter revenue per supplier
+    (the Q15 view), then the suppliers tied at the maximum — the
+    scalar-subquery-on-an-agg pattern. The per-supplier revenue frame
+    is built ONCE and self-compared via a broadcast 1-row max (exact
+    DECIMAL equality, so ties are well-defined); supplier dim
+    broadcasts into the survivors."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__r"))
+    mx = per.agg(F.max("__r").alias("__mx"))
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        per.join(F.broadcast(mx), per.__r == mx.__mx)
+        .join(s, per.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)
+"""
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit by (supplier
+    nation, ship year) over a part-name class. The fixture has no
+    partsupp, so supplycost is the deterministic proxy
+    ``0.1 × p_retailprice`` — the join tree (lineitem × part(filtered,
+    broadcast) × supplier(broadcast) × nation(broadcast)) and the
+    amount expression rev − cost·qty keep Q9's exact shape. All money
+    math DECIMAL; l_quantity is integral so cost·qty is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * F.lit(0.1).cast("decimal(18,2)") * _dec(
+        "l_quantity"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n.n_name, CAST(year(l.l_shipdate) AS INT) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, year(l.l_shipdate)
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose own
+    shipped quantity of some part exceeds 20% of that part's total —
+    the nested agg-over-agg threshold feeding a SEMI join into the
+    supplier dim (availqty ↦ the supplier's shipped quantity; the
+    fixture has no partsupp). The threshold compare is integer-exact:
+    quantities are integral, so ``5·q > t`` over DECIMAL sums has no
+    float in the predicate. Per-pair and per-part aggs share one
+    shuffle key prefix (l_partkey); the supplier-name join broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("__q")
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("__q").alias("__t"))
+    dominant = (
+        per.join(tot, "l_partkey")
+        .where(F.lit(5).cast("decimal(18,2)") * F.col("__q") > F.col("__t"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return dominant.join(s, dominant.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "n_dominant_parts"
+    )
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, sum(q) AS t FROM per GROUP BY l_partkey)
+SELECT s.s_suppkey, s.s_name, d.n_dominant_parts
+FROM (
+  SELECT per.l_suppkey, count(*) AS n_dominant_parts
+  FROM per JOIN tot ON tot.l_partkey = per.l_partkey
+  WHERE CAST(5 AS DECIMAL(18,2)) * per.q > tot.t
+  GROUP BY per.l_suppkey
+) d
+JOIN supplier s ON s.s_suppkey = d.l_suppkey
+"""
+
+RELATIONAL_QUERIES["forecast_revenue"] = q_forecast_revenue
+RELATIONAL_ORACLES["forecast_revenue"] = SQL_FORECAST_REVENUE
+RELATIONAL_QUERIES["promo_revenue"] = q_promo_revenue
+RELATIONAL_ORACLES["promo_revenue"] = SQL_PROMO_REVENUE
+RELATIONAL_QUERIES["top_supplier"] = q_top_supplier
+RELATIONAL_ORACLES["top_supplier"] = SQL_TOP_SUPPLIER
+RELATIONAL_QUERIES["nation_profit"] = q_nation_profit
+RELATIONAL_ORACLES["nation_profit"] = SQL_NATION_PROFIT
+RELATIONAL_QUERIES["dominant_suppliers"] = q_dominant_suppliers
+RELATIONAL_ORACLES["dominant_suppliers"] = SQL_DOMINANT_SUPPLIERS

@@ -174,6 +174,11 @@ def _suite():
         "region_market_share",
         "ann_ivfadc_index_topk",
         "stream_quantile_sketch",
+        "forecast_revenue",
+        "promo_revenue",
+        "top_supplier",
+        "nation_profit",
+        "dominant_suppliers",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
