@@ -343,12 +343,25 @@ def ivfpq_res_topk(
 
     The query residual is per (query, probed cell) — q·nprobe tiny
     rows, broadcast; the corpus-sized side only ever carries codes."""
-    from .simsearch import IVF_NPROBE, ivf_probes
     from .topk import exact_l2_rerank
 
+    adc_ids = ivfadc_candidates(queries, corpus, r * k)
+    return exact_l2_rerank(adc_ids, corpus, queries, k)
+
+
+def ivfadc_candidates(queries: DataFrame, corpus: DataFrame, n: int) -> DataFrame:
+    """(query_id, neighbor_id): the IVFADC ADC pre-rank — the top ``n``
+    candidates per query by residual-space asymmetric distance (steps
+    1–2 of ``ivfpq_res_topk``, without the exact re-rank). Factored
+    so the cushion composition (``refine.ivfadc_cushion_topk``) and
+    the plain IVFADC serve path share one candidate generator: the
+    probed trained cells bound the scan, codes price it, and only
+    these n ids ever leave the index."""
     cents = ivfadc_centroids(corpus)
     res = ivf_residuals(corpus)
     recon = pq_reconstruct(res)
+    from .simsearch import IVF_NPROBE, ivf_probes
+
     probed = ivf_probes(queries, cents, IVF_NPROBE)
     qres = probed.join(
         F.broadcast(cents), probed.cell == cents.centroid_id
@@ -369,10 +382,9 @@ def ivfpq_res_topk(
             dist2("qres", "recon").alias("score"),
         )
     )
-    adc_ids = topk_per_query(cand, r * k, ascending=True).select(
+    return topk_per_query(cand, n, ascending=True).select(
         "query_id", "neighbor_id"
     )
-    return exact_l2_rerank(adc_ids, corpus, queries, k)
 
 
 def ivfadc_topk_from_index(

@@ -685,6 +685,44 @@ def ivf_cushion_topk(
     )
 
 
+def ivfadc_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """IVFADC ADC pre-rank × cushioned refinement — the round's
+    flagship index behind the reference's precision-on-demand
+    re-scorer (the same "orthogonal to index choice" composition as
+    ``ivf_cushion_topk``, applied to a COMPRESSED index: the candidate
+    stream comes from 8-byte residual codes, never from raw vectors,
+    so the composed pipeline touches full precision only for seeds
+    and cushion-admitted survivors of an R·K-deep code scan).
+
+    Zero-miss composition law: the result equals the exact (fp16)
+    re-rank of the same ADC candidates, so recall vs the raw exact
+    top-K is bounded by ``ann_ivfpq_res_recall``'s candidate quality;
+    the cushion itself loses nothing over the stream."""
+    from .pq import PQ_REFINE_R, ivfadc_candidates
+
+    cand_ids = ivfadc_candidates(queries, corpus, PQ_REFINE_R * k).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=cand_ids,
+    )
+
+
 def lsh_cushion_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -800,6 +800,11 @@ _FRONT = [
     "top_supplier",
     "nation_profit",
     "dominant_suppliers",
+    # -- NEW r09 (second session): IVFADC × cushion composition
+    # -- (adjacent to the other IVFADC rows so the driver session
+    # -- reuses the memoized quantizer/residual/codebook artifacts) --
+    "ann_ivfadc_cushion_topk",
+    "ann_ivfadc_cushion_metrics",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are
@@ -1798,6 +1803,131 @@ FROM final WHERE rank <= {K_DEFAULT}
 ORACLES["ann_lsh_multiprobe_cushion_metrics"] = f"""
 WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
 {_LSH_MP_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVFADC × cushion (r09): the round's flagship index — residual-coded
+# IVF-PQ — behind the reference's precision-on-demand re-scorer. The
+# candidate stream comes entirely from 8-byte codes (an R·K-deep ADC
+# pre-rank over the probed trained cells); full precision is touched
+# only for seeds and cushion-admitted survivors.
+# ---------------------------------------------------------------------------
+
+def _ivfadc_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized IVFADC×cushion build shared by the topk and metrics
+    queries (l2-tz — the L2 index family's flagship cushion; the
+    R·K=60 stream makes K=20 seeds a third of it, the seed-dominated
+    regime like plain IVF's, documented honestly in the metrics)."""
+    from .operators.refine import ivfadc_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "ivfadc_cushion")
+    if sf_dir not in cache:
+        res = ivfadc_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "l2-tz",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_ivfadc_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC candidates × cushioned refinement — a compressed index
+    (residual PQ codes) feeding the reference's re-scorer: the whole
+    pre-rank runs on 8-byte codes, and the refine phase prices the
+    full-precision fetches over just R·K ids/query. Zero-miss over
+    the stream: equals the exact fp16 re-rank of the same ADC
+    candidates."""
+    return _rounded_topk(_ivfadc_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_ivfadc_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the IVFADC×cushion composition. The ADC
+    stream is the NARROWEST of the cushion compositions (R·K = 60 vs
+    LSH's hundreds), so seeds dominate and save_vs_exact_rerank is
+    expectedly small/negative — the end-to-end story is
+    save_vs_full_scan: code-priced pruning × cushion composed."""
+    res = _ivfadc_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_ivfadc_cushion_topk"] = q_ann_ivfadc_cushion_topk
+QUERIES["ann_ivfadc_cushion_metrics"] = q_ann_ivfadc_cushion_metrics
+
+from .registry_simsearch import (  # noqa: E402
+    _SQL_RES_EMB as _SQL_ADC_RES_EMB,
+    _sql_dist2 as _sql_adc_dist2,
+    sql_ivf_body as _sql_adc_ivf_body,
+    sql_pq_body as _sql_adc_pq_body,
+)
+from .operators.pq import (  # noqa: E402
+    IVFADC_KMEANS_ITERS as _ADC_ITERS,
+    PQ_REFINE_R as _ADC_R,
+)
+
+#: the IVFADC candidate chain re-expressed over refine_body's ``q``
+#: CTE (which exposes raw ``qe``): trained coarse quantizer (adckm
+#: prefix), residual corpus, residual-trained PQ, per-(query, cell)
+#: residual queries, ADC scores, and the R·K pre-rank as ``cand_ids``
+_IVFADC_CUSHION_EXTRA = f"""{_sql_adc_ivf_body(iters=_ADC_ITERS, km_prefix="adckm")},
+{_SQL_ADC_RES_EMB},
+{_sql_adc_pq_body(emb="res_emb", qsrc="q")},
+ivfres_q AS (
+  SELECT p.query_id, p.cell,
+         list_transform(list_zip(p.qe, c.cvec),
+                        t -> CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)) AS qres
+  FROM probes p JOIN cents c ON c.centroid_id = p.cell
+),
+ivfres_adc AS (
+  SELECT qr.query_id, a.vec_id AS neighbor_id,
+         {_sql_adc_dist2("qr.qres", "r.recon")} AS score
+  FROM ivfres_q qr
+  JOIN res_emb a ON a.cell = qr.cell
+  JOIN pq_recon r ON r.vec_id = a.vec_id
+),
+cand_ids AS (
+  SELECT query_id, neighbor_id AS vec_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+    FROM ivfres_adc
+  ) WHERE rank <= {_ADC_R * K_DEFAULT}
+),
+"""
+
+_IVFADC_CUSHION_BODY = duck_oracle.refine_body(
+    "l2-tz", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_IVFADC_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_ivfadc_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_IVFADC_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_ivfadc_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_IVFADC_CUSHION_BODY},
 pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
 fetch_n AS (
   SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched

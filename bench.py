@@ -179,6 +179,8 @@ def _suite():
         "top_supplier",
         "nation_profit",
         "dominant_suppliers",
+        "ann_ivfadc_cushion_topk",
+        "ann_ivfadc_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
