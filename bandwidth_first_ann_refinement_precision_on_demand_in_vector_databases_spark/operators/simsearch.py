@@ -198,6 +198,77 @@ def ivf_topk(
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
+#: candidate budget for adaptive probing — matched to the fixed
+#: operating point's AVERAGE work (nprobe=3 × mean cell ≈ 75 at
+#: stride 25) so the two strategies are comparable; under cell skew
+#: the fixed strategy's worst query scans nprobe×max_cell while the
+#: adaptive one stays ≈ budget + one cell.
+IVF_ADAPTIVE_BUDGET = 75
+
+
+def ivf_adaptive_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    budget: int = IVF_ADAPTIVE_BUDGET,
+) -> DataFrame:
+    """(query_id, qvec, cell): the SHORTEST prefix of distance-ranked
+    cells whose cumulative population reaches ``budget`` — per-query
+    work is bounded by data volume, not cell count. Fixed ``nprobe``
+    under a skewed quantizer scans nprobe×max_cell for an unlucky
+    query; the budget form caps every query at ≈ budget + one cell
+    (the last admitted cell may overshoot), which is the property a
+    1000-executor scan wants: uniform per-query cost → no straggler
+    tasks. A cell is admitted iff the population BEFORE it is still
+    under budget, so every query probes ≥ 1 cell. Both windows are
+    per-query over n_cells rows (broadcast-sized), never over data."""
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("__csz"))
+    ranked = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        F.col("embedding").alias("qvec"),
+        "centroid_id",
+        dist2("embedding", "cvec").alias("__d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("centroid_id").asc()
+    )
+    ranked = ranked.withColumn("__r", F.row_number().over(wp))
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.join(F.broadcast(sizes), ranked.centroid_id == sizes.cell)
+        .withColumn("__prev", F.coalesce(F.sum("__csz").over(wcum), F.lit(0)))
+        .where(F.col("__prev") < budget)
+        .select("query_id", "qvec", "cell")
+    )
+
+
+def ivf_adaptive_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    stride: int = IVF_STRIDE,
+    budget: int = IVF_ADAPTIVE_BUDGET,
+) -> DataFrame:
+    """IVF ANN top-K (cosine) under a per-query CANDIDATE BUDGET
+    instead of a fixed probe count (``ivf_adaptive_probes``): probe
+    ranked cells until ``budget`` candidates are admitted, score
+    exhaustively inside them. Same partition-pruned cell equi-join as
+    ``ivf_topk``; the probe set adapts to quantizer skew."""
+    cents = ivf_centroids(corpus, stride)
+    assigned = ivf_assign(corpus, cents)
+    probed = ivf_adaptive_probes(queries, cents, assigned, budget)
+    cand = F.broadcast(probed).join(assigned, "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine("qvec", "embedding").alias("score"),
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)
+
+
 def _planes_array_sql(dim: int) -> str:
     """The 16×``dim`` hyperplane matrix as one SQL array-of-arrays
     literal. Building this as a string parsed JVM-side replaces ~1k

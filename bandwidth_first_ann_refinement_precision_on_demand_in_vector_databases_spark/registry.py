@@ -805,6 +805,9 @@ _FRONT = [
     # -- reuses the memoized quantizer/residual/codebook artifacts) --
     "ann_ivfadc_cushion_topk",
     "ann_ivfadc_cushion_metrics",
+    # -- NEW r09 (second session): budget-adaptive IVF probing --
+    "ann_ivf_adaptive_topk",
+    "ann_ivf_adaptive_recall",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

@@ -1719,3 +1719,73 @@ def q_ann_ivfadc_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMSEARCH_QUERIES["ann_ivfadc_index_topk"] = q_ann_ivfadc_index_topk
 SIMSEARCH_ORACLES["ann_ivfadc_index_topk"] = SQL_ANN_IVFPQ_RES_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Budget-adaptive IVF probing (r09): probe ranked cells until a
+# per-query CANDIDATE BUDGET is reached instead of a fixed nprobe —
+# the skew-robust strategy a 1000-executor scan wants (uniform
+# per-query cost, no straggler from one giant cell). Same quantizer,
+# same partition-pruned cell equi-join as plain IVF.
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.ivf_adaptive_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_ivf_adaptive_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = S.ivf_adaptive_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+#: adaptive probe replay: rank all cells per query, running-sum the
+#: BROADCAST-SIZED cell populations (window over n_cells rows, never
+#: over data), admit cells while the population BEFORE them is under
+#: budget — identical tie-breaks to ivf_adaptive_probes
+SQL_IVF_ADAPTIVE_CTES = f"""
+q AS ({SQL_Q_CTE}),
+{SQL_IVF_BODY},
+cell_sizes AS (SELECT cell, count(*) AS csz FROM assigned GROUP BY cell),
+aranked AS (
+  SELECT q.query_id, q.qe, c.centroid_id AS cell,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_sql_dist2("q.qe", "c.cvec")} ASC, c.centroid_id ASC) AS r
+  FROM q CROSS JOIN cents c
+),
+acum AS (
+  SELECT a.query_id, a.qe, a.cell,
+    coalesce(sum(s.csz) OVER (PARTITION BY a.query_id ORDER BY a.r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM aranked a JOIN cell_sizes s ON s.cell = a.cell
+),
+aprobes AS (SELECT query_id, qe, cell FROM acum WHERE prev < {S.IVF_ADAPTIVE_BUDGET}),
+ivfa_cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_cos("p.qe", "a.embedding")} AS score
+  FROM aprobes p JOIN assigned a ON a.cell = p.cell
+)
+"""
+
+SQL_ANN_IVF_ADAPTIVE_TOPK = f"""
+WITH {SQL_IVF_ADAPTIVE_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM ivfa_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_IVF_ADAPTIVE_RECALL = _sql_recall(SQL_IVF_ADAPTIVE_CTES, "ivfa_cand")
+
+SIMSEARCH_QUERIES["ann_ivf_adaptive_topk"] = q_ann_ivf_adaptive_topk
+SIMSEARCH_ORACLES["ann_ivf_adaptive_topk"] = SQL_ANN_IVF_ADAPTIVE_TOPK
+SIMSEARCH_QUERIES["ann_ivf_adaptive_recall"] = q_ann_ivf_adaptive_recall
+SIMSEARCH_ORACLES["ann_ivf_adaptive_recall"] = SQL_ANN_IVF_ADAPTIVE_RECALL

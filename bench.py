@@ -181,6 +181,8 @@ def _suite():
         "dominant_suppliers",
         "ann_ivfadc_cushion_topk",
         "ann_ivfadc_cushion_metrics",
+        "ann_ivf_adaptive_topk",
+        "ann_ivf_adaptive_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

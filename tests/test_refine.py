@@ -378,3 +378,58 @@ def test_cos_zero_miss_holds_on_reference_domain(spark, data, keep_m):
     Per-coordinate the generator still mixes zeros, denormals, and
     values across eight binades before normalization."""
     _check_zero_miss(spark, data, "cos-l1", keep_m)
+
+
+def test_ivfadc_cushion_composition_law(spark, sf_small):
+    """The IVFADC composition obeys the zero-miss law too: cushioned
+    refinement over the ADC pre-rank's R·K candidates equals the exact
+    (fp16) L2 re-rank of those candidates — the code-priced stream
+    loses nothing to the cushion."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+        dist2,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.pq import (
+        PQ_REFINE_R,
+        ivfadc_candidates,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+        ivfadc_cushion_topk,
+        prepare_corpus,
+        prepare_queries,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+        topk_per_query,
+    )
+
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    mode, keep_m = "l2-tz", 4
+
+    res = ivfadc_cushion_topk(queries, corpus, mode, K, keep_m)
+    got = {
+        (r.query_id, r.rank, r.neighbor_id) for r in res.topk.collect()
+    }
+
+    cand = ivfadc_candidates(queries, corpus, PQ_REFINE_R * K).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    corp = prepare_corpus(corpus, keep_m, mode)
+    qs = prepare_queries(queries, mode)
+    rerank = topk_per_query(
+        cand.join(corp.select("vec_id", "full"), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2("full", "q").alias("score"),
+        ),
+        K,
+        ascending=True,
+        salted=False,
+    )
+    want = {
+        (r.query_id, r.rank, r.neighbor_id) for r in rerank.collect()
+    }
+    assert got == want
