@@ -808,6 +808,9 @@ _FRONT = [
     # -- NEW r09 (second session): budget-adaptive IVF probing --
     "ann_ivf_adaptive_topk",
     "ann_ivf_adaptive_recall",
+    # -- NEW r09 (second session): RaBitQ rotated 1-bit estimator --
+    "ann_rabitq_topk",
+    "ann_rabitq_recall",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

@@ -1757,3 +1757,140 @@ VECTORDB_QUERIES["ann_ivf_maxsim_topk"] = q_ann_ivf_maxsim_topk
 VECTORDB_ORACLES["ann_ivf_maxsim_topk"] = SQL_ANN_IVF_MAXSIM_TOPK
 VECTORDB_QUERIES["ann_ivf_maxsim_recall"] = q_ann_ivf_maxsim_recall
 VECTORDB_ORACLES["ann_ivf_maxsim_recall"] = SQL_ANN_IVF_MAXSIM_RECALL
+
+
+# ---------------------------------------------------------------------------
+# RaBitQ-style rotated 1-bit quantization (r09, operators/rabitq.py):
+# frozen random rotation + per-vector scalar-corrected sign estimator
+# — the modern public upgrade of plain BQ (Gao & Long, SIGMOD 2024).
+# Same R·K candidate budget as BQ so the ladder compares estimators
+# at equal bytes.
+# ---------------------------------------------------------------------------
+
+from .operators import rabitq as RBT  # noqa: E402
+from .registry_simsearch import _sql_dot as _sql_rbt_dot  # noqa: E402
+from .registry_simsearch import _sql_plane_lit as _sql_rbt_plane  # noqa: E402
+
+
+def _sql_rbt_rot_list(vec: str) -> str:
+    """R·x as a DuckDB list of literal-row dots — the OPQ-rotation
+    oracle idiom over the frozen RaBitQ matrix."""
+    from .operators.rabitq_rotation_matrix import RABITQ_ROTATION
+
+    return (
+        "["
+        + ", ".join(_sql_rbt_dot(vec, _sql_rbt_plane(row)) for row in RABITQ_ROTATION)
+        + "]"
+    )
+
+
+def q_ann_rabitq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = RBT.rabitq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_rabitq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the refined RaBitQ path vs exact cosine — read next
+    to ``ann_bq_recall``: same candidate budget (R·K), same re-rank;
+    the only change is the pre-rank estimator (rotated scalar-corrected
+    signed dot vs raw Hamming)."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = RBT.rabitq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+_SQL_RBT_CTES = f"""
+q AS ({SQL_Q_CTE}),
+rbt_y AS MATERIALIZED (
+  SELECT vec_id, {{rot_emb}} AS y FROM embeddings
+),
+rbt_corp AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(y, v -> CASE WHEN v >= 0 THEN 1.0 ELSE -1.0 END) AS s,
+    sqrt(list_sum(list_transform(y, v -> v * v)))
+      / greatest(list_sum(list_transform(y, v -> abs(v))), 1e-12) AS inv
+  FROM rbt_y
+),
+rbt_q AS MATERIALIZED (
+  SELECT query_id, yq,
+         greatest(sqrt(list_sum(list_transform(yq, v -> v * v))), 1e-12) AS qn
+  FROM (SELECT query_id, {{rot_q}} AS yq FROM q)
+),
+rbt_est AS (
+  SELECT q2.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(c.s, q2.yq),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * c.inv / q2.qn AS score
+  FROM rbt_corp c CROSS JOIN rbt_q q2
+),
+rbt_ids AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM rbt_est
+  ) WHERE r <= {RBT.RABITQ_REFINE_R * ANN_K}
+),
+rbt_cand AS (
+  SELECT c.query_id, c.neighbor_id, {_sql_cos("q.qe", "e.embedding")} AS score
+  FROM rbt_ids c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)
+"""
+
+
+def _rbt_ctes() -> str:
+    return _SQL_RBT_CTES.format(
+        rot_emb=_sql_rbt_rot_list("embedding"), rot_q=_sql_rbt_rot_list("qe")
+    )
+
+
+SQL_ANN_RABITQ_TOPK = f"""
+WITH {_rbt_ctes()}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM rbt_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_RABITQ_RECALL = f"""
+WITH {_rbt_ctes()},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rank
+    FROM rbt_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+VECTORDB_QUERIES["ann_rabitq_topk"] = q_ann_rabitq_topk
+VECTORDB_ORACLES["ann_rabitq_topk"] = SQL_ANN_RABITQ_TOPK
+VECTORDB_QUERIES["ann_rabitq_recall"] = q_ann_rabitq_recall
+VECTORDB_ORACLES["ann_rabitq_recall"] = SQL_ANN_RABITQ_RECALL

@@ -183,6 +183,8 @@ def _suite():
         "ann_ivfadc_cushion_metrics",
         "ann_ivf_adaptive_topk",
         "ann_ivf_adaptive_recall",
+        "ann_rabitq_topk",
+        "ann_rabitq_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
