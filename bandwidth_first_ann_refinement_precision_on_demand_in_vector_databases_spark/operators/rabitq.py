@@ -104,14 +104,11 @@ def rabitq_corpus(corpus: DataFrame) -> DataFrame:
     return cache[key][1]
 
 
-def rabitq_topk(
-    queries: DataFrame, corpus: DataFrame, k: int, r: int = RABITQ_REFINE_R
-) -> DataFrame:
-    """(query_id, rank, neighbor_id, score): estimator pre-rank over
-    the RaBitQ code table, exact cosine re-rank of the top r·K. The
-    query side is rotated once (q·1 rows, broadcast); the corpus-sized
-    scan touches only (s, inv)."""
-    rq = queries.select(
+def rabitq_queries(queries: DataFrame) -> DataFrame:
+    """(query_id, yq, qn): the rotated query frame with its norm floor
+    — q rows, broadcast-sized; shared by the plain and IVF-composed
+    serve paths."""
+    return queries.select(
         "query_id", F.expr(rotate_expr("embedding")).alias("yq")
     ).select(
         "query_id",
@@ -121,10 +118,52 @@ def rabitq_topk(
             F.lit(NORM_EPS),
         ).alias("qn"),
     )
+
+
+def rabitq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = RABITQ_REFINE_R
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score): estimator pre-rank over
+    the RaBitQ code table, exact cosine re-rank of the top r·K. The
+    query side is rotated once (q·1 rows, broadcast); the corpus-sized
+    scan touches only (s, inv)."""
+    rq = rabitq_queries(queries)
     est = rabitq_corpus(corpus).crossJoin(F.broadcast(rq)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         (dot("s", "yq") * F.col("inv") / F.col("qn")).alias("score"),
+    )
+    ids = topk_per_query(est, r * k, ascending=False, salted=False).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_cosine_rerank(ids, corpus, queries, k)
+
+
+def ivfrabitq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int, r: int = RABITQ_REFINE_R
+) -> DataFrame:
+    """IVF × RaBitQ composition: cell pruning × scalar-corrected 1-bit
+    estimator pricing × exact cosine refinement — the memory-lean
+    production stack (FAISS's IVF + RaBitQ pairing): the probed-cell
+    scan touches only the 12-byte (s, inv) code rows, and full
+    precision late-materializes for R·K ids/query. Mirrors
+    ``bq.ivfbq_topk`` with the estimator replacing raw Hamming."""
+    from .simsearch import IVF_NPROBE, ivf_assign, ivf_centroids, ivf_probes
+
+    cents = ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents)
+    probed = ivf_probes(queries, cents, IVF_NPROBE)
+    rq = rabitq_queries(queries)
+    est = (
+        F.broadcast(probed.select("query_id", "cell"))
+        .join(assigned.select("vec_id", "cell"), "cell")
+        .join(rabitq_corpus(corpus), "vec_id")
+        .join(F.broadcast(rq), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("s", "yq") * F.col("inv") / F.col("qn")).alias("score"),
+        )
     )
     ids = topk_per_query(est, r * k, ascending=False, salted=False).select(
         "query_id", "neighbor_id"

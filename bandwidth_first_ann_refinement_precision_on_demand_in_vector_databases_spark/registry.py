@@ -811,6 +811,8 @@ _FRONT = [
     # -- NEW r09 (second session): RaBitQ rotated 1-bit estimator --
     "ann_rabitq_topk",
     "ann_rabitq_recall",
+    "ann_ivfrabitq_topk",
+    "ann_ivfrabitq_recall",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

@@ -1805,10 +1805,12 @@ def q_ann_rabitq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(ann, exact, ANN_K)
 
 
-_SQL_RBT_CTES = f"""
-q AS ({SQL_Q_CTE}),
+def _rbt_base_ctes() -> str:
+    """The RaBitQ code-table replay (rbt_y → rbt_corp, rbt_q) — shared
+    by the plain and IVF-composed oracles; needs ``q`` in scope."""
+    return f"""
 rbt_y AS MATERIALIZED (
-  SELECT vec_id, {{rot_emb}} AS y FROM embeddings
+  SELECT vec_id, {_sql_rbt_rot_list("embedding")} AS y FROM embeddings
 ),
 rbt_corp AS MATERIALIZED (
   SELECT vec_id,
@@ -1820,20 +1822,26 @@ rbt_corp AS MATERIALIZED (
 rbt_q AS MATERIALIZED (
   SELECT query_id, yq,
          greatest(sqrt(list_sum(list_transform(yq, v -> v * v))), 1e-12) AS qn
-  FROM (SELECT query_id, {{rot_q}} AS yq FROM q)
-),
-rbt_est AS (
-  SELECT q2.query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(c.s, q2.yq),
-           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * c.inv / q2.qn AS score
-  FROM rbt_corp c CROSS JOIN rbt_q q2
-),
+  FROM (SELECT query_id, {_sql_rbt_rot_list("qe")} AS yq FROM q)
+)"""
+
+
+_SQL_RBT_EST = (
+    "list_sum(list_transform(list_zip(c.s, q2.yq), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) * c.inv / q2.qn"
+)
+
+
+def _rbt_tail_ctes(est_cte: str) -> str:
+    """rank-R·K ids → exact cosine re-rank, over any estimator CTE
+    named ``{est_cte}`` with (query_id, neighbor_id, score)."""
+    return f"""
 rbt_ids AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
       row_number() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id) AS r
-    FROM rbt_est
+    FROM {est_cte}
   ) WHERE r <= {RBT.RABITQ_REFINE_R * ANN_K}
 ),
 rbt_cand AS (
@@ -1841,14 +1849,19 @@ rbt_cand AS (
   FROM rbt_ids c
   JOIN embeddings e ON e.vec_id = c.neighbor_id
   JOIN q ON q.query_id = c.query_id
-)
-"""
+)"""
 
 
 def _rbt_ctes() -> str:
-    return _SQL_RBT_CTES.format(
-        rot_emb=_sql_rbt_rot_list("embedding"), rot_q=_sql_rbt_rot_list("qe")
-    )
+    return f"""
+q AS ({SQL_Q_CTE}),
+{_rbt_base_ctes()},
+rbt_est AS (
+  SELECT q2.query_id, c.vec_id AS neighbor_id, {_SQL_RBT_EST} AS score
+  FROM rbt_corp c CROSS JOIN rbt_q q2
+),
+{_rbt_tail_ctes("rbt_est")}
+"""
 
 
 SQL_ANN_RABITQ_TOPK = f"""
@@ -1894,3 +1907,85 @@ VECTORDB_QUERIES["ann_rabitq_topk"] = q_ann_rabitq_topk
 VECTORDB_ORACLES["ann_rabitq_topk"] = SQL_ANN_RABITQ_TOPK
 VECTORDB_QUERIES["ann_rabitq_recall"] = q_ann_rabitq_recall
 VECTORDB_ORACLES["ann_rabitq_recall"] = SQL_ANN_RABITQ_RECALL
+
+
+def q_ann_ivfrabitq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × RaBitQ (operators/rabitq.ivfrabitq_topk): cell pruning ×
+    scalar-corrected 1-bit estimator × exact cosine refinement — the
+    memory-lean production pairing; compare ``ann_ivfbq_topk`` (same
+    cells, raw Hamming pricing)."""
+    out = RBT.ivfrabitq_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_ivfrabitq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = RBT.ivfrabitq_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+def _ivfrbt_ctes() -> str:
+    return f"""
+q AS ({SQL_Q_CTE}),
+{_SQL_IVF_BODY},
+{_rbt_base_ctes()},
+ivfrbt_est AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, {_SQL_RBT_EST} AS score
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN rbt_corp c ON c.vec_id = a.vec_id
+  JOIN rbt_q q2 ON q2.query_id = p.query_id
+),
+{_rbt_tail_ctes("ivfrbt_est")}
+"""
+
+
+SQL_ANN_IVFRABITQ_TOPK = f"""
+WITH {_ivfrbt_ctes()}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM rbt_cand
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_IVFRABITQ_RECALL = f"""
+WITH {_ivfrbt_ctes()},
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS rank
+    FROM rbt_cand
+  ) WHERE rank <= {ANN_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rank <= {ANN_K}
+),
+hits AS (
+  SELECT exact.query_id, count(*) AS n_hit
+  FROM exact JOIN ann USING (query_id, neighbor_id) GROUP BY exact.query_id
+),
+per_q AS (
+  SELECT q2.query_id, CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {ANN_K} AS recall
+  FROM (SELECT DISTINCT query_id FROM exact) q2 LEFT JOIN hits h USING (query_id)
+)
+SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
+"""
+
+VECTORDB_QUERIES["ann_ivfrabitq_topk"] = q_ann_ivfrabitq_topk
+VECTORDB_ORACLES["ann_ivfrabitq_topk"] = SQL_ANN_IVFRABITQ_TOPK
+VECTORDB_QUERIES["ann_ivfrabitq_recall"] = q_ann_ivfrabitq_recall
+VECTORDB_ORACLES["ann_ivfrabitq_recall"] = SQL_ANN_IVFRABITQ_RECALL

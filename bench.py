@@ -185,6 +185,8 @@ def _suite():
         "ann_ivf_adaptive_recall",
         "ann_rabitq_topk",
         "ann_rabitq_recall",
+        "ann_ivfrabitq_topk",
+        "ann_ivfrabitq_recall",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
