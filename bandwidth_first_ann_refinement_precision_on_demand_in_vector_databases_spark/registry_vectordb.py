@@ -1989,3 +1989,43 @@ VECTORDB_QUERIES["ann_ivfrabitq_topk"] = q_ann_ivfrabitq_topk
 VECTORDB_ORACLES["ann_ivfrabitq_topk"] = SQL_ANN_IVFRABITQ_TOPK
 VECTORDB_QUERIES["ann_ivfrabitq_recall"] = q_ann_ivfrabitq_recall
 VECTORDB_ORACLES["ann_ivfrabitq_recall"] = SQL_ANN_IVFRABITQ_RECALL
+
+
+def q_rabitq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RaBitQ code table in driver-hashable long form (vec_id,
+    word, wcode, inv_micro): D bits packed 32/word by the shared
+    ``bq.bq_encode`` over the sign array, plus the per-vector scalar
+    floor-quantized to micro-units (floor BEFORE the BIGINT cast —
+    Spark truncates, DuckDB rounds). D/8 + 8 bytes per vector at
+    rest — the 12-byte claim of `reports/RABITQ.md`, materialized."""
+    from .operators import bq as _BQE
+
+    rc = RBT.rabitq_corpus(load_table(spark, sf_dir, "embeddings"))
+    enc = _BQE.bq_encode(rc, "s", "vec_id").join(
+        rc.select("vec_id", F.floor(F.col("inv") * 1e6).cast("bigint").alias("inv_micro")),
+        F.col("id") == F.col("vec_id"),
+    )
+    return enc.select(
+        "vec_id",
+        F.posexplode("words").alias("word", "wcode"),
+        "inv_micro",
+    ).select("vec_id", "word", "wcode", "inv_micro")
+
+
+SQL_RABITQ_CODES = f"""
+WITH rbt_y AS MATERIALIZED (
+  SELECT vec_id, {_sql_rbt_rot_list("embedding")} AS y FROM embeddings
+),
+{_sql_bq_words("rbt_y", "vec_id", "y", "rbt_cw")},
+rbt_inv AS (
+  SELECT vec_id,
+    CAST(floor((sqrt(list_sum(list_transform(y, v -> v * v)))
+      / greatest(list_sum(list_transform(y, v -> abs(v))), 1e-12)) * 1000000) AS BIGINT) AS inv_micro
+  FROM rbt_y
+)
+SELECT w.id AS vec_id, CAST(w.w AS INT) AS word, w.wcode, i.inv_micro
+FROM rbt_cw w JOIN rbt_inv i ON i.vec_id = w.id
+"""
+
+VECTORDB_QUERIES["rabitq_codes"] = q_rabitq_codes
+VECTORDB_ORACLES["rabitq_codes"] = SQL_RABITQ_CODES

@@ -187,6 +187,7 @@ def _suite():
         "ann_rabitq_recall",
         "ann_ivfrabitq_topk",
         "ann_ivfrabitq_recall",
+        "rabitq_codes",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
