@@ -175,3 +175,53 @@ def ivfrabitq_topk(
         "query_id", "neighbor_id"
     )
     return exact_cosine_rerank(ids, corpus, queries, k)
+
+
+def _unpack_signs_expr(words_col: str, dim: int) -> str:
+    """SQL text unpacking the packed sign words back to the ±1.0
+    array: bit d of word d//32 set ⟺ y_d ≥ 0 at encode time, so the
+    unpacked array equals ``rabitq_corpus``'s ``s`` exactly — the
+    stored serve path is result-identical to the in-session one (one
+    shared oracle). ``words_col`` must be a stored attribute (parquet
+    scan), so per-element access is an array lookup, not a re-run
+    lambda."""
+    from .bq import BQ_WORD
+
+    return (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"IF((shiftright(element_at({words_col}, CAST(d / {BQ_WORD} AS INT) + 1), "
+        f"d % {BQ_WORD}) & 1) = 1, CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)))"
+    )
+
+
+def rabitq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    r: int = RABITQ_REFINE_R,
+) -> DataFrame:
+    """RaBitQ served entirely from the stored index
+    (``layout.write_rabitq_index``): the estimator scan reads ONLY the
+    12-byte (words, inv) rows and unpacks signs in codegen; raw
+    vectors are touched exactly once, in the r·K exact re-rank
+    (late materialization). Result-identical to ``rabitq_topk`` —
+    shares its DuckDB oracle."""
+    from ..sources.layout import read_rabitq_index
+    from .simsearch import embedding_dim
+
+    dim = embedding_dim(corpus)
+    codes = read_rabitq_index(spark, path).select(
+        "vec_id", F.expr(_unpack_signs_expr("words", dim)).alias("s"), "inv"
+    )
+    rq = rabitq_queries(queries)
+    est = codes.crossJoin(F.broadcast(rq)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("s", "yq") * F.col("inv") / F.col("qn")).alias("score"),
+    )
+    ids = topk_per_query(est, r * k, ascending=False, salted=False).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_cosine_rerank(ids, corpus, queries, k)

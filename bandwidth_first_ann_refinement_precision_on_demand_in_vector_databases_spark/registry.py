@@ -814,6 +814,7 @@ _FRONT = [
     "ann_ivfrabitq_topk",
     "ann_ivfrabitq_recall",
     "rabitq_codes",
+    "ann_rabitq_index_topk",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

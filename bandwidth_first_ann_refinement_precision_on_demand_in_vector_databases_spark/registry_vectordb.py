@@ -2029,3 +2029,30 @@ FROM rbt_cw w JOIN rbt_inv i ON i.vec_id = w.id
 
 VECTORDB_QUERIES["rabitq_codes"] = q_rabitq_codes
 VECTORDB_ORACLES["rabitq_codes"] = SQL_RABITQ_CODES
+
+
+def q_ann_rabitq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_rabitq_topk``: the 12-byte/vector
+    code table (packed sign words + per-vector scalar) is WRITTEN
+    once (``layout.write_rabitq_index``) and the estimator scan reads
+    ONLY the stored table, unpacking signs in codegen; raw vectors are
+    touched exactly once in the r·K exact re-rank. Result-identical
+    to the in-session path — shares its oracle."""
+    from .operators.rabitq import rabitq_topk_from_index
+    from .registry_simsearch import _index_store_path
+    from .sources.layout import write_rabitq_index
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "rabitq-index", lambda p: write_rabitq_index(corpus, p)
+    )
+    out = rabitq_topk_from_index(
+        spark, path, queries_view(spark, sf_dir), corpus, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+VECTORDB_QUERIES["ann_rabitq_index_topk"] = q_ann_rabitq_index_topk
+VECTORDB_ORACLES["ann_rabitq_index_topk"] = SQL_ANN_RABITQ_TOPK

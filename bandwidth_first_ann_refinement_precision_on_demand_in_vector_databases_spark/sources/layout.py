@@ -327,3 +327,31 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def write_rabitq_index(corpus: DataFrame, out_path: str) -> None:
+    """Materialize the RaBitQ code table — ONE parquet table
+    ``{out}/codes`` of (vec_id, words array<bigint>, inv double):
+    D bits packed 32/word (the ``bq.bq_encode`` arithmetic over the
+    sign array) plus the per-vector scalar, D/8 + 8 bytes per vector.
+    The serve path (``operators/rabitq.rabitq_topk_from_index``)
+    unpacks signs from the stored words — no rotation, no corpus
+    column, no float folds over raw vectors until the exact re-rank."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bq import bq_encode
+    from ..operators.rabitq import rabitq_corpus
+
+    rc = rabitq_corpus(corpus)
+    codes = bq_encode(rc, "s", "vec_id").join(
+        rc.select(F.col("vec_id").alias("rid"), "inv"),
+        F.col("id") == F.col("rid"),
+    ).select(F.col("id").alias("vec_id"), "words", "inv")
+    codes.write.mode("overwrite").parquet(f"{out_path}/codes")
+
+
+def read_rabitq_index(spark: SparkSession, path: str) -> DataFrame:
+    """(vec_id, words, inv) scan of a stored RaBitQ index — 12 B of
+    payload per vector at D=64; ``ReadSchema`` shows no vector
+    column."""
+    return spark.read.parquet(f"{path}/codes")

@@ -188,6 +188,7 @@ def _suite():
         "ann_ivfrabitq_topk",
         "ann_ivfrabitq_recall",
         "rabitq_codes",
+        "ann_rabitq_index_topk",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

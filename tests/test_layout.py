@@ -459,3 +459,41 @@ def test_ivfadc_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path)
     for m in re.finditer(r"ReadSchema: (\S+)", plan):
         if "code" in m.group(1):
             assert "embedding" not in m.group(1)
+
+
+def test_rabitq_index_serves_identically(spark, sf_small, tmp_path):
+    """Stored-vs-live result identity for the RaBitQ code table: the
+    unpacked signs equal rabitq_corpus's s exactly (bit d set ⟺
+    y_d ≥ 0), and the estimator/rerank pipeline is the same folds —
+    so the served top-K matches the in-session path value-for-value.
+    The codes scan must carry no vector column."""
+    import re
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.rabitq import (
+        rabitq_topk,
+        rabitq_topk_from_index,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        write_rabitq_index,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "rabitq_index")
+    write_rabitq_index(corpus, out)
+
+    live = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+            for r in rabitq_topk(queries, corpus, 10).collect()}
+    served_df = rabitq_topk_from_index(spark, out, queries, corpus, 10)
+    stored = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+              for r in served_df.collect()}
+    assert stored == live
+
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"ReadSchema: (\S+)", plan):
+        if "words" in m.group(1):
+            assert "embedding" not in m.group(1)
