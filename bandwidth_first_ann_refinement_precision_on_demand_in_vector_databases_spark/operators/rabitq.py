@@ -126,6 +126,22 @@ def rabitq_queries(queries: DataFrame) -> DataFrame:
     )
 
 
+def rabitq_candidates(queries: DataFrame, corpus: DataFrame, n: int) -> DataFrame:
+    """(query_id, neighbor_id): the top ``n`` per query by the RaBitQ
+    estimator — the candidate generator shared by the plain serve path
+    and the cushion composition; only these n ids ever leave the
+    code-table scan."""
+    rq = rabitq_queries(queries)
+    est = rabitq_corpus(corpus).crossJoin(F.broadcast(rq)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot("s", "yq") * F.col("inv") / F.col("qn")).alias("score"),
+    )
+    return topk_per_query(est, n, ascending=False, salted=False).select(
+        "query_id", "neighbor_id"
+    )
+
+
 def rabitq_topk(
     queries: DataFrame, corpus: DataFrame, k: int, r: int = RABITQ_REFINE_R
 ) -> DataFrame:
@@ -133,15 +149,7 @@ def rabitq_topk(
     the RaBitQ code table, exact cosine re-rank of the top r·K. The
     query side is rotated once (q·1 rows, broadcast); the corpus-sized
     scan touches only (s, inv)."""
-    rq = rabitq_queries(queries)
-    est = rabitq_corpus(corpus).crossJoin(F.broadcast(rq)).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot("s", "yq") * F.col("inv") / F.col("qn")).alias("score"),
-    )
-    ids = topk_per_query(est, r * k, ascending=False, salted=False).select(
-        "query_id", "neighbor_id"
-    )
+    ids = rabitq_candidates(queries, corpus, r * k)
     return exact_cosine_rerank(ids, corpus, queries, k)
 
 

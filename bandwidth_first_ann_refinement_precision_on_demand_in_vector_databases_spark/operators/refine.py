@@ -723,6 +723,39 @@ def ivfadc_cushion_topk(
     )
 
 
+def rabitq_cushion_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    mode: str,
+    k: int,
+    keep_m: int,
+    delta: float | None = None,
+    cache_key: str | None = None,
+) -> RefineResult:
+    """RaBitQ estimator pre-rank × cushioned refinement — the cosine
+    counterpart of ``ivfadc_cushion_topk``'s compressed-index
+    composition: candidates come from the 12-byte rotated 1-bit code
+    table (never from raw vectors), and the cushioned re-scorer
+    prices their full-precision fetches. Zero-miss over the stream:
+    equals the exact (fp16) re-rank of the same R·K estimator
+    candidates."""
+    from .rabitq import RABITQ_REFINE_R, rabitq_candidates
+
+    cand_ids = rabitq_candidates(queries, corpus, RABITQ_REFINE_R * k).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    return refine_topk(
+        queries,
+        corpus,
+        mode,
+        k,
+        keep_m,
+        delta,
+        cache_key=cache_key,
+        candidate_ids=cand_ids,
+    )
+
+
 def lsh_cushion_topk(
     queries: DataFrame,
     corpus: DataFrame,

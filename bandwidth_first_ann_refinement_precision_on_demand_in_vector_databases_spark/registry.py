@@ -815,6 +815,8 @@ _FRONT = [
     "ann_ivfrabitq_recall",
     "rabitq_codes",
     "ann_rabitq_index_topk",
+    "ann_rabitq_cushion_topk",
+    "ann_rabitq_cushion_metrics",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are
@@ -1938,6 +1940,104 @@ FROM final WHERE rank <= {K_DEFAULT}
 ORACLES["ann_ivfadc_cushion_metrics"] = f"""
 WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
 {_IVFADC_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+
+# ---------------------------------------------------------------------------
+# RaBitQ × cushion (r09 second session): the cosine counterpart of the
+# IVFADC composition — a compressed 1-bit index feeds the
+# precision-on-demand re-scorer.
+# ---------------------------------------------------------------------------
+
+def _rabitq_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized RaBitQ×cushion build shared by the topk and metrics
+    queries (cos-l1 — the cosine-family cushion; candidates are the
+    R·K = 60 estimator pre-rank, the seed-dominated regime like
+    IVFADC's, documented honestly in the metrics)."""
+    from .operators.refine import rabitq_cushion_topk
+    from .session import session_cache
+
+    cache = session_cache(spark, "rabitq_cushion")
+    if sf_dir not in cache:
+        res = rabitq_cushion_topk(
+            queries_view(spark, sf_dir),
+            load_table(spark, sf_dir, "embeddings"),
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_rabitq_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RaBitQ candidates × cushioned refinement: the whole pre-rank
+    runs on 12-byte rotated sign codes, the refine phase prices the
+    full-precision fetches over R·K ids/query. Zero-miss over the
+    stream (equals the exact fp16 re-rank of the same candidates)."""
+    return _rounded_topk(_rabitq_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_rabitq_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the RaBitQ×cushion composition — like the
+    IVFADC stream, R·K = 60 candidates/query makes the K seeds a
+    third of the stream (seed-dominated save_vs_exact_rerank); the
+    end-to-end story is save_vs_full_scan over the 1-bit pricing."""
+    res = _rabitq_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_rabitq_cushion_topk"] = q_ann_rabitq_cushion_topk
+QUERIES["ann_rabitq_cushion_metrics"] = q_ann_rabitq_cushion_metrics
+
+from .registry_vectordb import _SQL_RBT_EST, _rbt_base_ctes  # noqa: E402
+from .operators.rabitq import RABITQ_REFINE_R as _RBT_R  # noqa: E402
+
+_RBT_CUSHION_EXTRA = f"""{_rbt_base_ctes().lstrip()},
+rbt_est AS (
+  SELECT q2.query_id, c.vec_id AS neighbor_id, {_SQL_RBT_EST} AS score
+  FROM rbt_corp c CROSS JOIN rbt_q q2
+),
+cand_ids AS (
+  SELECT query_id, neighbor_id AS vec_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM rbt_est
+  ) WHERE r <= {_RBT_R * K_DEFAULT}
+),
+"""
+
+_RBT_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_RBT_CUSHION_EXTRA, candidate_cte="cand_ids",
+)
+
+ORACLES["ann_rabitq_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_RBT_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_rabitq_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_RBT_CUSHION_BODY},
 pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
 fetch_n AS (
   SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched

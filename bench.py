@@ -189,6 +189,8 @@ def _suite():
         "ann_ivfrabitq_recall",
         "rabitq_codes",
         "ann_rabitq_index_topk",
+        "ann_rabitq_cushion_topk",
+        "ann_rabitq_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
