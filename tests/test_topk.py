@@ -183,3 +183,75 @@ def test_centroid_seeded_entries_bounded_and_dominating(spark, sf_small):
     med = S.cell_medoids(corpus)
     legal = probes.join(med, "cell").select("query_id", "vec_id")
     assert entries.select("query_id", "vec_id").exceptAll(legal).count() == 0
+
+
+def test_adaptive_probes_prefix_invariant(spark, sf_small):
+    """Budget-adaptive probing admits exactly the shortest ranked-cell
+    prefix reaching the budget: every admitted cell has prior
+    population < budget (so ≥1 cell per query), and adding the next
+    ranked cell would only ever start at ≥ budget — i.e. per-query
+    admitted population ≥ budget unless the query exhausted all
+    cells."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_adaptive_probes,
+        ivf_assign,
+        ivf_centroids,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    budget = 40
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    cents = ivf_centroids(corpus)
+    assigned = ivf_assign(corpus, cents)
+    total = assigned.count()
+    probes = ivf_adaptive_probes(queries, cents, assigned, budget)
+    pop = (
+        probes.join(assigned.select("vec_id", "cell"), "cell")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    n_queries = queries.count()
+    assert len(pop) == n_queries  # every query probes >= 1 cell
+    for r in pop:
+        # reached the budget, or ran out of corpus entirely
+        assert r["n"] >= min(budget, total)
+
+
+def test_rabitq_self_estimate_is_one(spark, sf_small):
+    """The RaBitQ estimator is exactly 1 for a vector against itself:
+    est(x, x) = <s, y>·(‖y‖/Σ|y|)/‖y‖ = (Σ|y|)·(‖y‖/Σ|y|)/‖y‖ = 1 —
+    the correction divides out the vector's own quantization quality
+    (the defining property raw Hamming lacks)."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.functions.vector import (
+        dot,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.rabitq import (
+        rabitq_corpus,
+        rabitq_queries,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings").limit(25)
+    rq = rabitq_queries(
+        corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    est = (
+        rabitq_corpus(corpus)
+        .join(rq, F.col("vec_id") == F.col("query_id"))
+        .select((dot("s", "yq") * F.col("inv") / F.col("qn")).alias("e"))
+        .collect()
+    )
+    assert len(est) == 25
+    for r in est:
+        assert abs(r["e"] - 1.0) < 1e-9
