@@ -20,8 +20,9 @@ codes production-grade:
    over-scored.
 
 At-rest representation: D bits + one float = D/8 + 4 bytes per
-vector (9 B at D=64, vs 256 B FP32 — the same 32×-class shrink as
-BQ/PQ, no training). The estimator pre-ranks, the exact cosine
+vector (12 B at D=64, vs 256 B FP32 — the same 32×-class shrink as
+BQ/PQ, no training; the stored index keeps the scalar as a DOUBLE for
+exact replay, 16 B). The estimator pre-ranks, the exact cosine
 re-rank refines — the reference's reduce-then-refine skeleton
 (``ANNCode.py:525-585``) at the 1-bit rung.
 

@@ -817,6 +817,7 @@ _FRONT = [
     "ann_rabitq_index_topk",
     "ann_rabitq_cushion_topk",
     "ann_rabitq_cushion_metrics",
+    "ann_rabitq_recall_tuned",
     # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
     # -- multiply (the overflow fix). The variance RANKING was verified
     # -- identical at both scales on all three fixtures, so results are

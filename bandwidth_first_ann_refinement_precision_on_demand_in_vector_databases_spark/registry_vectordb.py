@@ -1832,9 +1832,10 @@ _SQL_RBT_EST = (
 )
 
 
-def _rbt_tail_ctes(est_cte: str) -> str:
-    """rank-R·K ids → exact cosine re-rank, over any estimator CTE
+def _rbt_tail_ctes(est_cte: str, r: int | None = None) -> str:
+    """rank-r·K ids → exact cosine re-rank, over any estimator CTE
     named ``{est_cte}`` with (query_id, neighbor_id, score)."""
+    r = RBT.RABITQ_REFINE_R if r is None else r
     return f"""
 rbt_ids AS (
   SELECT query_id, neighbor_id FROM (
@@ -1842,7 +1843,7 @@ rbt_ids AS (
       row_number() OVER (PARTITION BY query_id
         ORDER BY score DESC, neighbor_id) AS r
     FROM {est_cte}
-  ) WHERE r <= {RBT.RABITQ_REFINE_R * ANN_K}
+  ) WHERE r <= {r * ANN_K}
 ),
 rbt_cand AS (
   SELECT c.query_id, c.neighbor_id, {_sql_cos("q.qe", "e.embedding")} AS score
@@ -1852,7 +1853,7 @@ rbt_cand AS (
 )"""
 
 
-def _rbt_ctes() -> str:
+def _rbt_ctes(r: int | None = None) -> str:
     return f"""
 q AS ({SQL_Q_CTE}),
 {_rbt_base_ctes()},
@@ -1860,7 +1861,7 @@ rbt_est AS (
   SELECT q2.query_id, c.vec_id AS neighbor_id, {_SQL_RBT_EST} AS score
   FROM rbt_corp c CROSS JOIN rbt_q q2
 ),
-{_rbt_tail_ctes("rbt_est")}
+{_rbt_tail_ctes("rbt_est", r)}
 """
 
 
@@ -1874,8 +1875,9 @@ SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
 ) WHERE rank <= {ANN_K}
 """
 
-SQL_ANN_RABITQ_RECALL = f"""
-WITH {_rbt_ctes()},
+def _rbt_recall_sql(r: int | None = None) -> str:
+    return f"""
+WITH {_rbt_ctes(r)},
 ann AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -1902,6 +1904,29 @@ per_q AS (
 )
 SELECT round(avg(recall), 6) AS recall_at_k, count(*) AS n_queries FROM per_q
 """
+
+
+SQL_ANN_RABITQ_RECALL = _rbt_recall_sql()
+
+#: the swept frontier point (tools/sweep_rabitq_r.py): R=5 reaches
+#: 0.7975 at sf0.1 — above Hamming-BQ at R=12 with 2.4× fewer
+#: full-precision fetches
+RABITQ_R_TUNED = 5
+
+
+def q_ann_rabitq_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the RaBitQ refined path at the swept operating
+    point R=5 (house style: measured optima get a registered
+    ``_tuned`` row — `reports/sweep_rabitq_r.csv`)."""
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = RBT.rabitq_topk(queries, corpus, ANN_K, r=RABITQ_R_TUNED)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return ann_recall(ann, exact, ANN_K)
+
+
+VECTORDB_QUERIES["ann_rabitq_recall_tuned"] = q_ann_rabitq_recall_tuned
+VECTORDB_ORACLES["ann_rabitq_recall_tuned"] = _rbt_recall_sql(RABITQ_R_TUNED)
 
 VECTORDB_QUERIES["ann_rabitq_topk"] = q_ann_rabitq_topk
 VECTORDB_ORACLES["ann_rabitq_topk"] = SQL_ANN_RABITQ_TOPK

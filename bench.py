@@ -191,6 +191,7 @@ def _suite():
         "ann_rabitq_index_topk",
         "ann_rabitq_cushion_topk",
         "ann_rabitq_cushion_metrics",
+        "ann_rabitq_recall_tuned",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
