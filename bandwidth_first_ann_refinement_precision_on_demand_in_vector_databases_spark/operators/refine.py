@@ -706,6 +706,12 @@ def ivfadc_cushion_topk(
     re-rank of the same ADC candidates, so recall vs the raw exact
     top-K is bounded by ``ann_ivfpq_res_recall``'s candidate quality;
     the cushion itself loses nothing over the stream."""
+    if is_cosine(mode):
+        raise ValueError(
+            "ivfadc_cushion_topk pre-ranks by L2-family ADC over residual "
+            "codes; use an l2-* mode (a cosine cushion would silently "
+            "re-rank an L2 pre-rank)"
+        )
     from .pq import PQ_REFINE_R, ivfadc_candidates
 
     cand_ids = ivfadc_candidates(queries, corpus, PQ_REFINE_R * k).select(
@@ -739,6 +745,12 @@ def rabitq_cushion_topk(
     prices their full-precision fetches. Zero-miss over the stream:
     equals the exact (fp16) re-rank of the same R·K estimator
     candidates."""
+    if not is_cosine(mode):
+        raise ValueError(
+            "rabitq_cushion_topk pre-ranks by a cosine estimator; use a "
+            "cos-* mode (an l2 cushion would silently re-rank a cosine "
+            "pre-rank)"
+        )
     from .rabitq import RABITQ_REFINE_R, rabitq_candidates
 
     cand_ids = rabitq_candidates(queries, corpus, RABITQ_REFINE_R * k).select(

@@ -2021,8 +2021,10 @@ def q_rabitq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     word, wcode, inv_micro): D bits packed 32/word by the shared
     ``bq.bq_encode`` over the sign array, plus the per-vector scalar
     floor-quantized to micro-units (floor BEFORE the BIGINT cast —
-    Spark truncates, DuckDB rounds). D/8 + 8 bytes per vector at
-    rest — the 12-byte claim of `reports/RABITQ.md`, materialized."""
+    Spark truncates, DuckDB rounds). D/8 + 8 bytes per vector in the
+    stored replay form (16 B at D=64: the DOUBLE scalar is kept for
+    hash-exactness; `reports/RABITQ.md`'s 12 B is the conceptual
+    D-bits + float32 at-rest figure)."""
     from .operators import bq as _BQE
 
     rc = RBT.rabitq_corpus(load_table(spark, sf_dir, "embeddings"))
@@ -2057,8 +2059,9 @@ VECTORDB_ORACLES["rabitq_codes"] = SQL_RABITQ_CODES
 
 
 def q_ann_rabitq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serve-path twin of ``ann_rabitq_topk``: the 12-byte/vector
-    code table (packed sign words + per-vector scalar) is WRITTEN
+    """Serve-path twin of ``ann_rabitq_topk``: the compact code
+    table (packed sign words + per-vector DOUBLE scalar — 16 B/vector
+    stored; 12 B is the conceptual bits+float32 figure) is WRITTEN
     once (``layout.write_rabitq_index``) and the estimator scan reads
     ONLY the stored table, unpacking signs in codegen; raw vectors are
     touched exactly once in the r·K exact re-rank. Result-identical

@@ -351,7 +351,10 @@ def write_rabitq_index(corpus: DataFrame, out_path: str) -> None:
 
 
 def read_rabitq_index(spark: SparkSession, path: str) -> DataFrame:
-    """(vec_id, words, inv) scan of a stored RaBitQ index — 12 B of
-    payload per vector at D=64; ``ReadSchema`` shows no vector
-    column."""
+    """(vec_id, words, inv) scan of a stored RaBitQ index — 16 B of
+    payload per vector at D=64 as stored (8 B packed sign words +
+    8 B DOUBLE ``inv``; the 12 B figure in ``reports/RABITQ.md`` is
+    the conceptual D-bits + float32 at-rest form — the replay table
+    keeps the scalar as DOUBLE for hash-exactness); ``ReadSchema``
+    shows no vector column."""
     return spark.read.parquet(f"{path}/codes")

@@ -433,3 +433,22 @@ def test_ivfadc_cushion_composition_law(spark, sf_small):
         (r.query_id, r.rank, r.neighbor_id) for r in rerank.collect()
     }
     assert got == want
+
+
+def test_cushion_metric_family_guards(spark, sf_small):
+    """Compressed-index cushion compositions refuse metric-family
+    mismatches (r09 ADVICE): the RaBitQ pre-rank is a cosine
+    estimator, IVFADC's is L2-family ADC — a crossed mode would
+    silently re-rank one family's candidates with the other's
+    cushion instead of failing loud."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.refine import (
+        ivfadc_cushion_topk,
+        rabitq_cushion_topk,
+    )
+
+    queries = queries_view(spark, sf_small)
+    corpus = load_table(spark, sf_small, "embeddings")
+    with pytest.raises(ValueError, match="cos-\\* mode"):
+        rabitq_cushion_topk(queries, corpus, "l2-tz", K, 4)
+    with pytest.raises(ValueError, match="l2-\\* mode"):
+        ivfadc_cushion_topk(queries, corpus, "cos-l2", K, 4)

@@ -1,7 +1,9 @@
 """RaBitQ stored-index 10× scale experiment: the serve path's cost
-model is a LINEAR scan of the 12-byte code table (estimator) plus an
+model is a LINEAR scan of the compact code table (estimator) plus an
 O(R·K) late-materialization — the claim to verify is that (a) scan
-BYTES grow exactly with N while staying ~21× below the raw column,
+BYTES grow exactly with N while staying well below the raw column
+(ideal payload ratio 21× = 256/12; measured ~7-10× after parquet
+encoding/metadata overhead — see reports/SCALE_RABITQ_10X.md),
 (b) the plan SKELETON (scan → broadcast-joined estimator project →
 rank → rerank) is unchanged at 10×, and (c) full-precision fetches
 stay R·K per query, independent of N.
