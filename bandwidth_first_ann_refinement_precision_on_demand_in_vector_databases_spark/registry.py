@@ -761,92 +761,23 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r09 rotation. Policy unchanged: (1) the oldest green rows FIRST
-    # this round — the 5 r04-stale queries the r08 window clipped
-    # (VERDICT r08 "Next round" #1 asks for exactly these); (2) queries
-    # NEW this round; (3) queries whose RESULTS may have changed this
-    # round (the OPQ trainer's scale/overflow fix can reorder the
-    # variance ranking); (4) fill the remaining ~31 window slots with
-    # the oldest remaining rows (latest driver row r05 — 49 of them
-    # exist; the tail past the window leads the r10 rotation).
-    # -- r04-stale (5): the only pre-r05 driver rows left --
-    "refine_l2_tz_exact_metrics",
-    "sq_codes",
-    "stream_ann_topk",
-    "stream_dedup_events",
-    "stream_interval_join",
-    # -- NEW r09: IVFADC (residual-encoded IVF-PQ, trained cells) --
-    "ann_ivfpq_res_topk",
-    "ann_ivfpq_res_recall",
-    # -- NEW r09: frozen learned-rotation OPQ (Ge et al. serve path) --
-    "ann_opq_rot_topk",
-    "ann_opq_rot_recall",
-    # -- NEW r09: fixed-universe mergeable quantile sketch --
-    "quantile_sketch",
-    "quantile_merge_halves",
-    # -- NEW r09: TPC-H Q13/Q18/Q21 + region-level Q7/Q8 shapes --
-    "customer_order_counts",
-    "large_order_customers",
-    "waiting_suppliers",
-    "region_trade_volume",
-    "region_market_share",
-    # -- NEW r09: IVFADC stored-index serve + streaming quantile --
-    "ann_ivfadc_index_topk",
-    "stream_quantile_sketch",
-    # -- NEW r09 (second session): TPC-H Q6/Q14/Q15/Q9/Q20 shapes —
-    # -- completes the per-query TPC-H shape inventory --
-    "forecast_revenue",
-    "promo_revenue",
-    "top_supplier",
-    "nation_profit",
-    "dominant_suppliers",
-    # -- NEW r09 (second session): IVFADC × cushion composition
-    # -- (adjacent to the other IVFADC rows so the driver session
-    # -- reuses the memoized quantizer/residual/codebook artifacts) --
-    "ann_ivfadc_cushion_topk",
-    "ann_ivfadc_cushion_metrics",
-    # -- NEW r09 (second session): budget-adaptive IVF probing --
-    "ann_ivf_adaptive_topk",
-    "ann_ivf_adaptive_recall",
-    # -- NEW r09 (second session): RaBitQ rotated 1-bit estimator --
-    "ann_rabitq_topk",
-    "ann_rabitq_recall",
-    "ann_ivfrabitq_topk",
-    "ann_ivfrabitq_recall",
-    "rabitq_codes",
-    "ann_rabitq_index_topk",
-    "ann_rabitq_cushion_topk",
-    "ann_rabitq_cushion_metrics",
-    "ann_rabitq_recall_tuned",
-    # -- CHANGED r09: OPQ_SCALE 1e6 -> 1e4 + out-of-engine variance-key
-    # -- multiply (the overflow fix). The variance RANKING was verified
-    # -- identical at both scales on all three fixtures, so results are
-    # -- expected unchanged — kept in-window anyway: the trainer code
-    # -- was rewritten and a fresh independent driver hash is cheap --
-    "ann_opq_topk",
-    "ann_opq_refined_topk",
-    "ann_opq_recall",
-    "ann_ivfopq_topk",
-    "ann_ivfopq_recall",
-    # -- r05-stale fill (registry-stable order; pairs adjacent so the
-    # -- driver session reuses memoized index artifacts) --
-    "ann_bq_topk",
-    "ann_bq_refined_topk",
-    "ann_bq_recall",
-    "bq_codes",
-    "ann_graph_topk",
-    "ann_graph_recall",
-    "ann_graph_index_topk",
-    "ann_graph_cushion_topk",
-    "ann_graph_cushion_metrics",
-    "ann_ivf_index_topk",
-    "ann_pq_index_topk",
+    # r10 rotation. VERDICT r09 "Next round" #1: the 40 r05-stale rows
+    # (the relational/text/dedup/ANN-serve cohort the r06-r09 windows
+    # never reached) lead the window — ">=40 of the r10 window are
+    # these rows" is the done criterion, so they come FIRST and the
+    # queries NEW this round follow at slots 41+ (they have local
+    # oracle-harness green rows; their first driver row lands in the
+    # same window if it stretches, else they lead r11).
+    # -- r05-stale (40), pairs adjacent so the driver session reuses
+    # -- memoized index/posting artifacts --
     "ann_mrl_topk",
     "ann_mrl_refined_topk",
     "ann_mrl_recall",
     "ann_delta_topk",
     "ivf_delta_compact",
     "ivf_ingest_assign",
+    "ann_ivf_index_topk",
+    "ann_pq_index_topk",
     "refine_cos_hoeff_tuned_metrics",
     "refine_l2_tz_served_topk",
     "anti_join",
@@ -861,10 +792,6 @@ _FRONT = [
     "salted_agg",
     "count_distinct",
     "approx_count_distinct",
-    # (remaining r05 rows — window will clip around here; the rest
-    # lead r10: window_rank, window_running, scalar_*, dedup_*,
-    # minhash_signatures, simhash_sketch, fingerprint, lang_id,
-    # doc_packing, corpus_dsir_weights, value_quantiles, bm25_topn)
     "window_rank",
     "window_running",
     "scalar_text",
@@ -883,6 +810,7 @@ _FRONT = [
     "corpus_dsir_weights",
     "value_quantiles",
     "bm25_topn",
+    # -- NEW r10 (appended as built; see registration sites) --
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
