@@ -1,0 +1,218 @@
+"""Vamana/DiskANN-style α-pruned graph construction (Subramanya et
+al., "DiskANN: Fast Accurate Billion-point Nearest Neighbor Search on
+a Single Node", NeurIPS 2019 — public method), batched for Spark.
+
+The r09 verdict identified graph construction quality as the engine's
+only construction-limited index family: the banded KNN build
+(``simsearch.knn_graph``) reaches construction recall 0.4356@5 and
+caps the beam walk at 0.7375 even with centroid entries. This module
+adds the two public levers Vamana contributes:
+
+1. **Candidate enrichment** — each node's candidate pool is its
+   current neighbors ∪ 2-hop neighbors over the symmetrized banded
+   base graph, exactly scored (the NN-Descent observation, Dong et
+   al. WWW 2011: a neighbor's neighbor is likely a neighbor).
+2. **RobustPrune (α-occlusion)** — the pool is scanned in ascending
+   distance order; candidate v is kept iff no already-kept u occludes
+   it (α²·d²(u,v) ≤ d²(p,v) in unit-vector space, d² = 2−2·cos) and
+   the degree budget is open. α > 1 preserves long-range "highway"
+   edges that pure-nearest pruning destroys — the property that makes
+   the Vamana graph walkable at small beam widths.
+
+Spark realization — everything is one declarative pass, no driver
+loop over rows:
+
+* 2-hop expansion = one self-join of the edge frame on ``dst = src``
+  (shuffle keyed by node id, never all-pairs);
+* exact scoring re-attaches vectors by id join;
+* per-node top-L pool = the salted two-phase rank;
+* the sequential prune folds over the ≤L-element pool with a single
+  BIGINT accumulator: candidates are encoded ``bit·2²⁵ + occ`` where
+  ``occ`` is the precomputed occlusion bitmask of closer candidates
+  (pair space = L²/node, bounded), and the fold keeps ``cnt·2³⁰ +
+  kept_mask``. Pure integer arithmetic ⇒ bit-identical in the DuckDB
+  twin (``registry_simsearch`` replays it with ``list_reduce``).
+
+Scale shape: build cost is O(N·L²) candidate scorings, shuffled by
+node id — the standard published graph-build budget; the output is
+the same (src, dst) edge-table artifact the existing serve path
+(``simsearch.beam_candidates`` / ``sources/layout.write_graph_index``)
+already consumes, so serving is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from .simsearch import GRAPH_DEGREE, symmetric_knn_edges
+from .topk import topk_per_query
+
+#: candidate-pool size per node (top-L of 1-hop ∪ 2-hop by exact
+#: cosine). Must stay ≤ 24: the prune fold packs the kept-set bitmask
+#: into the low 24 bits of one BIGINT accumulator (see module doc).
+VAMANA_L = 24
+#: α² for the occlusion test in squared unit-distance space
+#: (α = 1.2, the DiskANN paper's recommended build value; the test
+#: α·d(u,v) ≤ d(p,v) is squared to avoid sqrt on both engines).
+VAMANA_ALPHA2 = 1.44
+#: out-degree budget of the pruned graph — kept equal to the banded
+#: graph's GRAPH_DEGREE so the two builds compare at the same budget.
+VAMANA_DEGREE = GRAPH_DEGREE
+
+# fold-encoding constants (shared literally with the DuckDB twin)
+_ENC = 1 << 25  # elem = bit·_ENC + occ  (bit ≤ 2²³, occ < 2²⁴)
+_CNT = 1 << 30  # acc  = cnt·_CNT + kept_mask  (mask < 2²⁴)
+
+assert VAMANA_L <= 24, "kept-set bitmask packs into 24 bits"
+
+
+def vamana_candidate_pool(corpus: DataFrame, edges: DataFrame) -> DataFrame:
+    """(node_id, j, bit, cand_id, score): each node's top-``VAMANA_L``
+    exact-cosine candidates from 1-hop ∪ 2-hop over ``edges``,
+    rank-indexed ``j`` = 0..L−1 (score DESC, cand_id ASC — the
+    registry-wide tie-break) with ``bit = 2^j``."""
+    two_hop = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .where(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("node_id"), F.col("e2.dst").alias("cand_id"))
+    )
+    one_hop = edges.select(F.col("src").alias("node_id"), F.col("dst").alias("cand_id"))
+    cand = two_hop.unionByName(one_hop).distinct()
+    nv = corpus.select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("nvec"))
+    cv = corpus.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        cand.join(nv, "node_id")
+        .join(cv, "cand_id")
+        .select("node_id", "cand_id", cosine("nvec", "cvec").alias("score"))
+    )
+    pool = topk_per_query(
+        scored.select(
+            F.col("node_id").alias("query_id"),
+            F.col("cand_id").alias("neighbor_id"),
+            "score",
+        ),
+        VAMANA_L,
+        ascending=False,
+    )
+    return pool.select(
+        F.col("query_id").alias("node_id"),
+        (F.col("rank") - 1).cast("long").alias("j"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rank - 1 AS INT))").alias("bit"),
+        F.col("neighbor_id").alias("cand_id"),
+        "score",
+    )
+
+
+def vamana_kept_edges(
+    corpus: DataFrame,
+    base: DataFrame,
+    degree: int = VAMANA_DEGREE,
+) -> DataFrame:
+    """Directed (src, dst) kept edges: the RobustPrune of each node's
+    candidate pool over the ``base`` graph — per-node out-degree ≤
+    ``degree`` by the fold's budget counter (asserted in
+    ``tests/test_vamana.py``)."""
+    # the pool frame feeds three consumers (occlusion pairs ×2,
+    # encode, kept-edge extraction) — checkpoint it so the 16
+    # hyperplane projections and the salted rank run once, and the
+    # self-join below stays shallow
+    pool = vamana_candidate_pool(corpus, base).localCheckpoint(eager=True)
+    pi = pool.select(
+        "node_id", F.col("j").alias("ji"), F.col("bit").alias("biti"),
+        F.col("cand_id").alias("ci"),
+    ).join(
+        corpus.select(F.col("vec_id").alias("ci"), F.col("embedding").alias("ivec")),
+        "ci",
+    )
+    pj = pool.select(
+        "node_id", F.col("j").alias("jj"), F.col("cand_id").alias("cj"),
+        F.col("score").alias("scorej"),
+    ).join(
+        corpus.select(F.col("vec_id").alias("cj"), F.col("embedding").alias("jvec")),
+        "cj",
+    )
+    # occlusion pairs: i strictly closer than j (ji < jj); the test
+    # runs in squared unit-distance space d² = 2 − 2·cos so no sqrt
+    # appears on either engine
+    occ = (
+        pi.join(pj, "node_id")
+        .where(F.col("ji") < F.col("jj"))
+        .where(
+            F.lit(VAMANA_ALPHA2) * (F.lit(2.0) - F.lit(2.0) * cosine("ivec", "jvec"))
+            <= (F.lit(2.0) - F.lit(2.0) * F.col("scorej"))
+        )
+        .groupBy("node_id", "jj")
+        .agg(F.sum("biti").alias("occ"))
+        .select(F.col("node_id").alias("onid"), "jj", "occ")
+    )
+    enc = (
+        pool.join(
+            occ,
+            (F.col("node_id") == F.col("onid")) & (F.col("j") == F.col("jj")),
+            "left",
+        )
+        .select(
+            "node_id",
+            "j",
+            "bit",
+            "cand_id",
+            (F.col("bit") * F.lit(_ENC) + F.coalesce("occ", F.lit(0).cast("long"))).alias("elem"),
+        )
+    )
+    elems = enc.groupBy("node_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "elem"))), lambda s: s["elem"]
+        ).alias("elems")
+    )
+    # RobustPrune as one integer fold: acc = cnt·2³⁰ + kept_mask;
+    # elem = bit·2²⁵ + occ. Keep iff budget open and no kept closer
+    # candidate occludes — then cnt++ and set the bit.
+    mask = elems.select(
+        "node_id",
+        F.expr(
+            f"aggregate(elems, CAST(0 AS BIGINT), (acc, e) -> "
+            f"IF((acc div {_CNT}) < {degree} "
+            f"AND ((acc % {_CNT}) & (e % {_ENC})) = 0, "
+            f"acc + {_CNT} + (e div {_ENC}), acc))"
+        ).alias("acc"),
+    )
+    return (
+        pool.join(mask, "node_id")
+        .where(((F.col("acc") % F.lit(_CNT)).bitwiseAND(F.col("bit"))) != 0)
+        .select(F.col("node_id").alias("src"), F.col("cand_id").alias("dst"))
+    )
+
+
+def vamana_edges(
+    corpus: DataFrame,
+    degree: int = VAMANA_DEGREE,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Symmetrized (src, dst) edge set of the α-pruned Vamana graph.
+
+    Build = banded base graph → 2-hop candidate pool → RobustPrune
+    bitmask fold → symmetrize. Memoized + persisted per (session,
+    corpus) exactly like :func:`simsearch.symmetric_knn_edges` — an
+    offline index artifact, built once and served many times."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "vamana_edges")
+    key = (cache_key if cache_key is not None else id(corpus), degree)
+    if key not in cache:
+        base = symmetric_knn_edges(
+            corpus, GRAPH_DEGREE,
+            cache_key=None if cache_key is None else f"vamana-base:{cache_key}",
+        )
+        kept = vamana_kept_edges(corpus, base, degree)
+        out = (
+            kept.unionByName(
+                kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .persist()
+        )
+        cache[key] = (corpus, out)
+    return cache[key][1]

@@ -811,6 +811,10 @@ _FRONT = [
     "value_quantiles",
     "bm25_topn",
     # -- NEW r10 (appended as built; see registration sites) --
+    # Vamana α-pruned graph (VERDICT r09 #2): construction recall@5
+    # 0.81 vs banded 0.44, walk recall@20 0.945 vs 0.83 at sf0.01
+    "ann_vamana_topk",
+    "ann_vamana_recall",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

@@ -698,6 +698,8 @@ def _sql_graph_beam_ctes(
     q_cte: str = SQL_Q_CTE,
     pre_ctes: tuple[str, ...] = (),
     c0_ctes: tuple[str, ...] = (),
+    post_edges_ctes: tuple[str, ...] = (),
+    edges_name: str = "edges",
 ) -> tuple[str, str]:
     """CTE chain replaying ``graph_beam_search``; returns
     ``(ctes, final_candidate_cte)`` where the final CTE has columns
@@ -708,7 +710,11 @@ def _sql_graph_beam_ctes(
     walker set — the fixture queries by default, the incoming upsert
     batch for the delta-insert oracle. ``pre_ctes`` are injected after
     ``q`` (e.g. the IVF body for centroid seeding); ``c0_ctes``, when
-    given, REPLACE the default stride-seed ``c0`` entry CTE."""
+    given, REPLACE the default stride-seed ``c0`` entry CTE.
+    ``post_edges_ctes`` are injected after the banded ``edges`` CTE
+    (e.g. the Vamana α-prune chain), and ``edges_name`` names the edge
+    table the expansion rounds walk (``edges`` by default, the pruned
+    ``vedges`` for the Vamana twin)."""
     parts = [
         f"q AS ({q_cte})",
         *pre_ctes,
@@ -734,6 +740,7 @@ def _sql_graph_beam_ctes(
   UNION
   SELECT neighbor_id AS src, node_id AS dst FROM graph
 )""",
+        *post_edges_ctes,
         *(
             c0_ctes
             or (
@@ -758,7 +765,7 @@ def _sql_graph_beam_ctes(
 )""")
         parts.append(f"""n{i} AS (
   SELECT DISTINCT f.query_id, e.dst AS vec_id
-  FROM f{i} f JOIN edges e ON e.src = f.vec_id
+  FROM f{i} f JOIN {edges_name} e ON e.src = f.vec_id
 )""")
         parts.append(f"""s{i} AS (
   SELECT n.query_id, n.vec_id, {_sql_cos("q.qe", "c.embedding")} AS score
@@ -1789,3 +1796,135 @@ SIMSEARCH_QUERIES["ann_ivf_adaptive_topk"] = q_ann_ivf_adaptive_topk
 SIMSEARCH_ORACLES["ann_ivf_adaptive_topk"] = SQL_ANN_IVF_ADAPTIVE_TOPK
 SIMSEARCH_QUERIES["ann_ivf_adaptive_recall"] = q_ann_ivf_adaptive_recall
 SIMSEARCH_ORACLES["ann_ivf_adaptive_recall"] = SQL_ANN_IVF_ADAPTIVE_RECALL
+
+
+# ---------------------------------------------------------------------------
+# Vamana/DiskANN-style α-pruned graph (Subramanya et al. NeurIPS 2019)
+# ---------------------------------------------------------------------------
+
+def q_ann_vamana_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the α-pruned Vamana graph
+    (``operators/vamana.vamana_edges``): banded base graph → 2-hop
+    candidate enrichment → RobustPrune bitmask fold → symmetrize →
+    the same beam walk as ``ann_graph_topk``. Construction recall@5
+    0.81 vs the banded build's 0.44 (sf0.01) lifts walk recall@20 to
+    0.945 vs 0.83 at the same degree budget and FEWER visited
+    (sf0.1: 0.80 vs 0.7125 at 287 vs 306 visited/query) — the
+    construction-limited family unblocked (r09 verdict #2). The
+    oracle replays the base build, the prune fold (pure-integer
+    ``list_reduce``), and every expansion round."""
+    from .operators.vamana import vamana_edges
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    edges = vamana_edges(corpus, cache_key=f"fixture:{sf_dir}")
+    out = S.graph_topk_from_index(
+        queries_view(spark, sf_dir), corpus, edges, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def q_ann_vamana_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.vamana import vamana_edges
+
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    edges = vamana_edges(corpus, cache_key=f"fixture:{sf_dir}")
+    ann = S.graph_topk_from_index(queries, corpus, edges, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+def _sql_vamana_ctes() -> tuple[str, ...]:
+    """The α-prune chain, replayed after the banded ``edges`` CTE.
+    Constants are shared literally with ``operators/vamana.py``:
+    L=VAMANA_L candidates, α²=VAMANA_ALPHA2 in d²=2−2·cos space,
+    elem = bit·2²⁵ + occ, acc = cnt·2³⁰ + kept_mask — the whole prune
+    is integer arithmetic over bit-identical cosine comparisons, so
+    the DuckDB fold reproduces the Spark fold exactly."""
+    from .operators.vamana import VAMANA_ALPHA2, VAMANA_DEGREE, VAMANA_L, _CNT, _ENC
+
+    return (
+        """vcand AS MATERIALIZED (
+  SELECT e1.src AS node_id, e2.dst AS cand_id
+  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+  WHERE e2.dst != e1.src
+  UNION
+  SELECT src AS node_id, dst AS cand_id FROM edges
+)""",
+        f"""vpool AS MATERIALIZED (
+  SELECT node_id, cand_id, score,
+         CAST(r - 1 AS BIGINT) AS j,
+         (CAST(1 AS BIGINT) << CAST(r - 1 AS INT)) AS bit
+  FROM (
+    SELECT node_id, cand_id, score,
+      row_number() OVER (PARTITION BY node_id
+        ORDER BY score DESC, cand_id) AS r
+    FROM (
+      SELECT v.node_id, v.cand_id,
+             {_sql_cos("a.embedding", "b.embedding")} AS score
+      FROM vcand v
+      JOIN embeddings a ON a.vec_id = v.node_id
+      JOIN embeddings b ON b.vec_id = v.cand_id
+    )
+  ) WHERE r <= {VAMANA_L}
+)""",
+        f"""vocc AS MATERIALIZED (
+  SELECT i.node_id, j.j, CAST(sum(i.bit) AS BIGINT) AS occ
+  FROM vpool i
+  JOIN vpool j ON j.node_id = i.node_id AND i.j < j.j
+  JOIN embeddings iv ON iv.vec_id = i.cand_id
+  JOIN embeddings jv ON jv.vec_id = j.cand_id
+  WHERE CAST({VAMANA_ALPHA2} AS DOUBLE)
+          * (2.0 - 2.0 * ({_sql_cos("iv.embedding", "jv.embedding")}))
+        <= (2.0 - 2.0 * j.score)
+  GROUP BY i.node_id, j.j
+)""",
+        f"""vmask AS MATERIALIZED (
+  SELECT node_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list(elem ORDER BY j)),
+      (acc, e) -> CASE WHEN (acc // {_CNT}) < {VAMANA_DEGREE}
+                        AND ((acc % {_CNT}) & (e % {_ENC})) = 0
+                   THEN acc + {_CNT} + (e // {_ENC}) ELSE acc END
+    ) AS acc
+  FROM (
+    SELECT p.node_id, p.j,
+           p.bit * {_ENC} + coalesce(o.occ, CAST(0 AS BIGINT)) AS elem
+    FROM vpool p LEFT JOIN vocc o ON o.node_id = p.node_id AND o.j = p.j
+  ) GROUP BY node_id
+)""",
+        f"""vkept AS (
+  SELECT p.node_id AS src, p.cand_id AS dst
+  FROM vpool p JOIN vmask m ON m.node_id = p.node_id
+  WHERE ((m.acc % {_CNT}) & p.bit) != 0
+)""",
+        """vedges AS MATERIALIZED (
+  SELECT src, dst FROM vkept
+  UNION
+  SELECT dst AS src, src AS dst FROM vkept
+)""",
+    )
+
+
+_VAMANA_BEAM_CTES, _VAMANA_BEAM_FINAL = _sql_graph_beam_ctes(
+    post_edges_ctes=_sql_vamana_ctes(), edges_name="vedges"
+)
+
+SQL_ANN_VAMANA_TOPK = f"""
+WITH {_VAMANA_BEAM_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM {_VAMANA_BEAM_FINAL}
+) WHERE rank <= {ANN_K}
+"""
+
+SQL_ANN_VAMANA_RECALL = _sql_recall(_VAMANA_BEAM_CTES, _VAMANA_BEAM_FINAL)
+
+SIMSEARCH_QUERIES["ann_vamana_topk"] = q_ann_vamana_topk
+SIMSEARCH_ORACLES["ann_vamana_topk"] = SQL_ANN_VAMANA_TOPK
+SIMSEARCH_QUERIES["ann_vamana_recall"] = q_ann_vamana_recall
+SIMSEARCH_ORACLES["ann_vamana_recall"] = SQL_ANN_VAMANA_RECALL

@@ -1,0 +1,119 @@
+"""Vamana α-pruned graph build (operators/vamana.py): prune-fold
+semantics, edge-set invariants, and the construction-quality claim
+(the r09 verdict's "construction-limited family" fix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    simsearch as S,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+    vamana as V,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.topk import (
+    exact_topk_fixture_cached,
+)
+from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+    load_table,
+    queries_view,
+)
+
+K = 20
+
+
+def _python_robust_prune(elems: list[int], degree: int) -> int:
+    """Reference fold: sequential RobustPrune over (bit, occ)-encoded
+    candidates — keep j iff budget open and no kept closer candidate
+    occludes it. Mirrors the SQL/Spark fold bit-for-bit."""
+    acc = 0
+    for e in elems:
+        bit, occ = divmod(e, V._ENC)
+        cnt, mask = divmod(acc, V._CNT)
+        if cnt < degree and (mask & occ) == 0:
+            acc = acc + V._CNT + bit
+    return acc
+
+
+def test_prune_fold_matches_python_replica(spark):
+    """The registered Spark fold expression equals the sequential
+    reference on crafted pools: occlusion chains, budget exhaustion,
+    and the all-kept case."""
+    cases = [
+        # three candidates, second occluded by first
+        [(1 << 25) * 1 + 0, (1 << 25) * 2 + 1, (1 << 25) * 4 + 0],
+        # occlusion by a candidate that was itself occluded (bit 1 is
+        # dropped, so bit 2's occ mask referencing bit 1 never fires)
+        [(1 << 25) * 1 + 0, (1 << 25) * 2 + 1, (1 << 25) * 4 + 2],
+        # budget exhaustion at degree 2
+        [(1 << 25) * 1, (1 << 25) * 2, (1 << 25) * 4, (1 << 25) * 8],
+        [],
+    ]
+    for degree in (2, 16):
+        for elems in cases:
+            want = _python_robust_prune(elems, degree)
+            got = spark.sql(
+                f"SELECT aggregate(array({', '.join(f'CAST({e} AS BIGINT)' for e in elems)}), "
+                f"CAST(0 AS BIGINT), (acc, e) -> "
+                f"IF((acc div {V._CNT}) < {degree} "
+                f"AND ((acc % {V._CNT}) & (e % {V._ENC})) = 0, "
+                f"acc + {V._CNT} + (e div {V._ENC}), acc)) AS acc"
+                if elems
+                else f"SELECT CAST(0 AS BIGINT) AS acc"
+            ).collect()[0].acc
+            assert got == want, (degree, elems)
+
+
+def test_vamana_edges_invariants(spark, sf_small):
+    """Symmetric, self-loop-free, and every directed kept edge comes
+    from the candidate pool (the prune only drops, never invents)."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    edges = V.vamana_edges(corpus, cache_key=f"test:{sf_small}")
+    rows = {(r.src, r.dst) for r in edges.collect()}
+    assert rows, "empty graph"
+    assert all(s != d for s, d in rows)
+    assert all((d, s) in rows for s, d in rows), "not symmetric"
+    base = S.symmetric_knn_edges(corpus, S.GRAPH_DEGREE, cache_key=f"test-base:{sf_small}")
+    pool = {
+        (r.node_id, r.cand_id)
+        for r in V.vamana_candidate_pool(corpus, base).collect()
+    }
+    assert all((s, d) in pool or (d, s) in pool for s, d in rows)
+
+
+def test_vamana_beats_banded_walk_recall(spark, sf_small):
+    """The headline claim: at the same degree budget and walk
+    parameters, the α-pruned graph's beam-walk recall@20 strictly
+    exceeds the banded build's (0.915 vs 0.785 at sf0.001)."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    exact = exact_topk_fixture_cached(spark, sf_small, K, "cosine")
+    ve = V.vamana_edges(corpus, cache_key=f"test:{sf_small}")
+    be = S.symmetric_knn_edges(corpus, S.GRAPH_DEGREE, cache_key=f"test-base:{sf_small}")
+    rv = S.ann_recall(
+        S.graph_topk_from_index(queries, corpus, ve, K), exact, K
+    ).collect()[0].recall_at_k
+    rb = S.ann_recall(
+        S.graph_topk_from_index(queries, corpus, be, K), exact, K
+    ).collect()[0].recall_at_k
+    assert rv > rb, (rv, rb)
+    assert rv >= 0.85
+
+
+def test_vamana_directed_degree_bounded(spark, sf_small):
+    """The prune's kept-set size never exceeds the degree budget:
+    every node's directed out-degree ≤ VAMANA_DEGREE, and the nearest
+    candidate (j = 0) is always kept."""
+    corpus = load_table(spark, sf_small, "embeddings")
+    base = S.symmetric_knn_edges(corpus, S.GRAPH_DEGREE, cache_key=f"test-base:{sf_small}")
+    kept = V.vamana_kept_edges(corpus, base).persist()
+    mx = kept.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= V.VAMANA_DEGREE
+    nearest = V.vamana_candidate_pool(corpus, base).where(F.col("j") == 0)
+    n_nodes = nearest.count()
+    n_kept_nearest = nearest.join(
+        kept.select(F.col("src").alias("node_id"), F.col("dst").alias("cand_id")),
+        ["node_id", "cand_id"],
+    ).count()
+    assert n_kept_nearest == n_nodes
