@@ -815,6 +815,9 @@ _FRONT = [
     # 0.81 vs banded 0.44, walk recall@20 0.945 vs 0.83 at sf0.01
     "ann_vamana_topk",
     "ann_vamana_recall",
+    # Streaming MinHash near-dup (VERDICT r09 #4): real foreachBatch
+    # ingest over the sketch store, batch≡stream proven
+    "stream_dedup_neardup",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

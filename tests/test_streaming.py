@@ -483,3 +483,64 @@ def test_streaming_ingest_end_to_end_equals_batch(spark, sf_small, tmp_path):
         ["query_id", "rank"], ignore_index=True
     )
     assert served.equals(want)
+
+
+def test_streaming_neardup_equals_batch(spark, sf_small, tmp_path):
+    """Batch ≡ stream for the continuous near-dup filter: the REAL
+    foreachBatch ingest (4 ascending-id micro-batches over the sketch
+    store) produces the same per-doc decision log as the one-shot
+    conservative-filter form — decisions key on (existing ∪
+    smaller-id) partners, never on batch boundaries."""
+    import os
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        INC_MOD,
+        INC_REM,
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        init_neardup_store,
+        neardup_decisions,
+        read_decisions,
+        start_neardup_ingest,
+        write_ordered_stream_source,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+
+    root = str(tmp_path / "neardup")
+    src, store, ckpt = (os.path.join(root, d) for d in ("src", "store", "ckpt"))
+    init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+    write_ordered_stream_source(docs.where(inc_pred).select("doc_id", "text"), src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_neardup_ingest(stream, store, ckpt, n=SHINGLE_N, threshold=MINHASH_TAU)
+    assert q.awaitTermination(300), "ingest did not drain"
+
+    # the stream really ran as >1 micro-batch
+    n_batches = (
+        spark.read.parquet(f"{store}/decisions")
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_batches >= 2
+
+    streamed = {
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in read_decisions(spark, store).collect()
+    }
+    batch = {
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in neardup_decisions(
+            docs, INC_MOD, INC_REM, n=SHINGLE_N, threshold=MINHASH_TAU
+        ).collect()
+    }
+    assert streamed == batch
+    assert any(d for (_, d, _) in streamed), "fixture has no near-dups"
