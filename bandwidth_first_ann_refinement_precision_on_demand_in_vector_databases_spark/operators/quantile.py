@@ -122,3 +122,72 @@ def sketch_quantiles(
         "q_bucket",
         F.shiftleft(F.col("q_bucket").cast("bigint"), shift).alias("q_value_lb"),
     ).orderBy("phi")
+
+
+# ---------------------------------------------------------------------------
+# General-domain float ingestion (r09 verdict #6): the documented
+# quantize-to-universe contract
+# ---------------------------------------------------------------------------
+
+def float_key(
+    value: Column | str, scale: float, offset: int
+) -> Column:
+    """The ingestion contract for float columns: ``key =
+    floor(value·scale) + offset`` — ORDER-PRESERVING on all of ℝ at
+    resolution ``1/scale`` (floor is monotone; both engines floor
+    toward −∞, so negatives are safe), BIGINT-exact after the floor.
+    The caller declares the domain by choosing (scale, offset,
+    universe_bits): the sketch's bucket guard raises on any value
+    whose key falls outside [0, 2^universe_bits) — a domain violation
+    fails loud instead of silently folding (the ``write_zordered``
+    rule). Rank error of a sketch over keys is ≤ 2^(U−B) keys
+    = 2^(U−B)/scale in ORIGINAL value units, deterministically."""
+    v = F.col(value) if isinstance(value, str) else value
+    return (
+        F.floor(v.cast("double") * F.lit(float(scale))).cast("bigint")
+        + F.lit(int(offset)).cast("bigint")
+    )
+
+
+def float_quantile_sketch(
+    df: DataFrame,
+    value: Column | str,
+    scale: float,
+    offset: int = 0,
+    universe_bits: int = QUANTILE_UNIVERSE_BITS,
+    sketch_bits: int = QUANTILE_SKETCH_BITS,
+) -> DataFrame:
+    """(bucket, c): the bounded sketch of a RAW float column under
+    the :func:`float_key` contract — one aggregate, ≤ 2^sketch_bits
+    rows, merge-by-addition like the integer form (same bucket
+    space, so :func:`merge_sketches` applies unchanged)."""
+    return quantile_sketch(
+        df.select(float_key(value, scale, offset).alias("__k")),
+        "__k",
+        universe_bits,
+        sketch_bits,
+    )
+
+
+def float_sketch_quantiles(
+    sketch: DataFrame,
+    scale: float,
+    offset: int = 0,
+    phis: tuple[float, ...] = QUANTILE_PHIS,
+    universe_bits: int = QUANTILE_UNIVERSE_BITS,
+    sketch_bits: int = QUANTILE_SKETCH_BITS,
+) -> DataFrame:
+    """(phi, q_bucket, q_value): rank extraction mapped back to
+    ORIGINAL value units — ``q_value = (bucket·2^(U−B) − offset) /
+    scale``, the value-space lower bound of the φ-quantile, within
+    2^(U−B)/scale of the true quantile."""
+    out = sketch_quantiles(sketch, phis, universe_bits, sketch_bits)
+    return out.select(
+        "phi",
+        "q_bucket",
+        F.round(
+            (F.col("q_value_lb") - F.lit(int(offset))).cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("q_value"),
+    )

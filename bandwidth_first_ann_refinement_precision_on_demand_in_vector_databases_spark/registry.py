@@ -818,6 +818,10 @@ _FRONT = [
     # Streaming MinHash near-dup (VERDICT r09 #4): real foreachBatch
     # ingest over the sketch store, batch≡stream proven
     "stream_dedup_neardup",
+    # General-domain float quantiles (VERDICT r09 #6): declared
+    # (scale, offset) contract over a raw signed float column
+    "quantile_float_sketch",
+    "quantile_float_merge_halves",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

@@ -774,3 +774,141 @@ FROM inc LEFT JOIN near_ids n ON n.doc_id = inc.doc_id
 
 STREAMING_QUERIES["stream_dedup_neardup"] = q_stream_dedup_neardup
 STREAMING_ORACLES["stream_dedup_neardup"] = _sql_stream_neardup()
+
+
+# ---------------------------------------------------------------------------
+# General-domain float quantiles (r09 verdict #6): the documented
+# quantize-to-universe ingestion contract over a RAW SIGNED float
+# column — discount delta (net − gross revenue per line item, ≤ 0),
+# scale 100 (cents), offset 2^21 to shift the signed domain into the
+# universe, universe 22 bits, sketch 12 bits ⇒ value error ≤ 2^10
+# cents = $10.24, deterministic. Same merge-by-addition contract as
+# the integer sketch; the guard raises on any value outside the
+# declared domain instead of silently folding.
+# ---------------------------------------------------------------------------
+
+FLOAT_Q_SCALE = 100.0
+FLOAT_Q_OFFSET = 1 << 21
+FLOAT_Q_UNIVERSE = 22
+FLOAT_Q_SHIFT = FLOAT_Q_UNIVERSE - 12  # sketch keeps the 12-bit default
+
+
+def _lineitem_delta(spark: SparkSession, sf_dir: str):
+    """RAW float value under test: per-line revenue delta
+    ep·(1−disc) − ep (the explicit net-minus-gross shape — both
+    engines must fold the identical expression, not the algebraic
+    −ep·disc twin)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    return li.select(
+        "l_partkey", (ep * (F.lit(1.0) - disc) - ep).alias("delta")
+    )
+
+
+def q_quantile_float_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phi, q_bucket, q_value): quantiles of the raw float column in
+    ORIGINAL units, served from the bounded sketch via the
+    ``float_key`` contract (``operators/quantile.py``)."""
+    from .operators import quantile as Q
+
+    sk = Q.float_quantile_sketch(
+        _lineitem_delta(spark, sf_dir),
+        "delta",
+        FLOAT_Q_SCALE,
+        FLOAT_Q_OFFSET,
+        FLOAT_Q_UNIVERSE,
+    )
+    return Q.float_sketch_quantiles(
+        sk, FLOAT_Q_SCALE, FLOAT_Q_OFFSET, universe_bits=FLOAT_Q_UNIVERSE
+    )
+
+
+def q_quantile_float_merge_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge proof over the raw float column: quantiles from the
+    sum-merged half sketches (l_partkey parity; % 2 != 0 for the odd
+    half — negative-safe) equal the single-pass sketch's."""
+    from pyspark.sql import functions as F
+
+    from .operators import quantile as Q
+
+    li = _lineitem_delta(spark, sf_dir)
+    args = ("delta", FLOAT_Q_SCALE, FLOAT_Q_OFFSET, FLOAT_Q_UNIVERSE)
+    left = Q.float_quantile_sketch(li.where(F.col("l_partkey") % 2 == 0), *args)
+    right = Q.float_quantile_sketch(li.where(F.col("l_partkey") % 2 != 0), *args)
+    merged = Q.merge_sketches(left, right)
+    whole = Q.float_quantile_sketch(li, *args)
+    kw = dict(universe_bits=FLOAT_Q_UNIVERSE)
+    qm = Q.float_sketch_quantiles(merged, FLOAT_Q_SCALE, FLOAT_Q_OFFSET, **kw).select(
+        "phi", F.col("q_value").alias("q_merged")
+    )
+    qw = Q.float_sketch_quantiles(whole, FLOAT_Q_SCALE, FLOAT_Q_OFFSET, **kw).select(
+        "phi", F.col("q_value").alias("q_whole")
+    )
+    return qm.join(qw, "phi").select("phi", "q_merged", "q_whole")
+
+
+def _sql_fq_ctes(src_filter: str, prefix: str) -> str:
+    return f"""
+{prefix}_v AS (
+  SELECT CAST(floor((CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))
+                     - CAST(l_extendedprice AS DOUBLE)) * 100.0) AS BIGINT)
+         + {FLOAT_Q_OFFSET} AS k
+  FROM lineitem {src_filter}
+),
+{prefix}_sk AS (
+  SELECT CAST(k >> {FLOAT_Q_SHIFT} AS INT) AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM {prefix}_v GROUP BY 1
+)"""
+
+
+def _sql_fq_extract(sk: str, prefix: str, value_alias: str) -> str:
+    return f"""
+{prefix}_cum AS (
+  SELECT a.bucket AS b, CAST(sum(b2.c) AS BIGINT) AS cum
+  FROM {sk} a JOIN {sk} b2 ON b2.bucket <= a.bucket GROUP BY a.bucket
+),
+{prefix}_t AS (
+  SELECT phi, CAST(ceil(phi * CAST(n AS DOUBLE)) AS BIGINT) AS target
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS n FROM {sk})
+  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS phi)
+),
+{prefix}_hit AS (
+  SELECT phi, CAST(min(b) AS INT) AS q_bucket
+  FROM {prefix}_t t JOIN {prefix}_cum c ON c.cum >= t.target GROUP BY phi
+),
+{prefix}_q AS (
+  SELECT phi, q_bucket,
+         round(CAST((CAST(q_bucket AS BIGINT) << {FLOAT_Q_SHIFT}) - {FLOAT_Q_OFFSET} AS DOUBLE)
+               / 100.0, 6) AS {value_alias}
+  FROM {prefix}_hit
+)"""
+
+
+SQL_QUANTILE_FLOAT_SKETCH = f"""
+WITH {_sql_fq_ctes("", "fq")},
+{_sql_fq_extract("fq_sk", "fq", "q_value")}
+SELECT phi, q_bucket, q_value FROM fq_q
+"""
+
+SQL_QUANTILE_FLOAT_MERGE_HALVES = f"""
+WITH {_sql_fq_ctes("WHERE l_partkey % 2 = 0", "fl")},
+{_sql_fq_ctes("WHERE l_partkey % 2 <> 0", "fr")},
+{_sql_fq_ctes("", "fw")},
+fm_sk AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS c FROM (
+    SELECT * FROM fl_sk UNION ALL SELECT * FROM fr_sk
+  ) GROUP BY bucket
+),
+{_sql_fq_extract("fm_sk", "fm", "q_merged")},
+{_sql_fq_extract("fw_sk", "fw2", "q_whole")}
+SELECT fm_q.phi, fm_q.q_merged, fw2_q.q_whole
+FROM fm_q JOIN fw2_q ON fw2_q.phi = fm_q.phi
+"""
+
+STREAMING_QUERIES["quantile_float_sketch"] = q_quantile_float_sketch
+STREAMING_ORACLES["quantile_float_sketch"] = SQL_QUANTILE_FLOAT_SKETCH
+STREAMING_QUERIES["quantile_float_merge_halves"] = q_quantile_float_merge_halves
+STREAMING_ORACLES["quantile_float_merge_halves"] = SQL_QUANTILE_FLOAT_MERGE_HALVES

@@ -194,3 +194,68 @@ def test_quantile_sketch_properties(spark):
             assert got[phi] <= true_q < got[phi] + width, (phi, got[phi], true_q)
 
     check()
+
+
+def test_float_quantile_contract(spark, sf_small):
+    """The float ingestion contract (r10): (a) float_key is
+    order-preserving on signed doubles (floor toward −∞ on both
+    engines); (b) a domain violation RAISES instead of folding;
+    (c) the extracted q_value brackets the true float quantile within
+    one bucket width in original units; (d) half-merge equals
+    single-pass over the raw float column."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        quantile as Q,
+    )
+
+    # (a) order preservation incl. negatives
+    vals = [-3.21, -3.2, -0.01, 0.0, 0.005, 0.01, 2.0, 2.009]
+    df = spark.createDataFrame([(v,) for v in vals], "v: double")
+    keys = [
+        r.k
+        for r in df.select(Q.float_key("v", 100.0, 1 << 11).alias("k"))
+        .orderBy("v")
+        .collect()
+    ]
+    assert keys == sorted(keys)
+    assert keys[0] >= 0
+
+    # (b) loud domain violation
+    bad = spark.createDataFrame([(1e9,)], "v: double")
+    with pytest.raises(Exception, match="outside"):
+        Q.float_quantile_sketch(bad, "v", 100.0, 0, universe_bits=16).collect()
+
+    # (c)+(d) on the registered signed column
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_streaming import (
+        FLOAT_Q_OFFSET,
+        FLOAT_Q_SCALE,
+        FLOAT_Q_UNIVERSE,
+        _lineitem_delta,
+    )
+
+    li = _lineitem_delta(spark, sf_small)
+    args = ("delta", FLOAT_Q_SCALE, FLOAT_Q_OFFSET, FLOAT_Q_UNIVERSE)
+    sk = Q.float_quantile_sketch(li, *args)
+    got = {
+        r.phi: r.q_value
+        for r in Q.float_sketch_quantiles(
+            sk, FLOAT_Q_SCALE, FLOAT_Q_OFFSET, universe_bits=FLOAT_Q_UNIVERSE
+        ).collect()
+    }
+    vals = sorted(r.delta for r in li.collect())
+    width = (1 << (FLOAT_Q_UNIVERSE - Q.QUANTILE_SKETCH_BITS)) / FLOAT_Q_SCALE
+    for phi in Q.QUANTILE_PHIS:
+        true_q = vals[math.ceil(phi * len(vals)) - 1]
+        assert got[phi] - 0.01 <= true_q < got[phi] + width, (phi, got[phi], true_q)
+
+    halves = [
+        Q.float_quantile_sketch(li.where(F.col("l_partkey") % 2 == i), *args)
+        for i in range(2)
+    ]
+    merged = {r.bucket: r.c for r in Q.merge_sketches(*halves).collect()}
+    whole = {r.bucket: r.c for r in sk.collect()}
+    assert merged == whole
