@@ -92,6 +92,55 @@ def filtered_ivf_topk(
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
+#: selectivity threshold for filtered-ANN routing (ACORN-style
+#: strategy choice, Patel et al. SIGMOD 2024 — public method): below
+#: it, pre-filter + exact scan over survivors wins (perfect recall,
+#: cost q·s·N); above it, post-filtered IVF probing wins (index
+#: pruning pays once survivors populate the probed cells). The
+#: crossover on the fixture is measured in reports/FILTER_ROUTING.md.
+ROUTE_SELECTIVITY = 0.05
+
+
+def routed_filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    predicate: Column,
+    threshold: float = ROUTE_SELECTIVITY,
+) -> tuple[DataFrame, str]:
+    """Selectivity-routed filtered top-K: returns ``(result,
+    route)`` with route ∈ {"prefilter", "postfilter"}.
+
+    The router reads one statistic — survivor fraction s — and picks
+    the plan a filtered-vector-database would: ``s ≤ threshold`` →
+    pre-filter + exact rank over survivors (the predicate reaches the
+    scan as a PushedFilter; recall exactly 1.0 at cost q·s·N scored
+    pairs — cheaper than probing once s·N ≪ N/nprobe-cells); else →
+    post-filtered IVF probing (``filtered_ivf_topk`` — the index
+    prunes the scan, and enough survivors land in probed cells to
+    fill K). At a selective predicate the post-filter route is both
+    SLOWER per useful candidate and recall-broken (most survivors
+    live outside the probed cells — measured: recall 0.0688 at s≈2%
+    vs the router's 1.0; reports/FILTER_ROUTING.md), which is why
+    the routing statistic, not a fixed plan, must decide.
+
+    The two counts are scan-light aggregates memoized per (session,
+    corpus, predicate) — the role catalog statistics play in a
+    production planner."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "filter_route_stats")
+    key = (id(corpus), str(predicate))
+    if key not in cache:
+        n = corpus.count()
+        s = corpus.where(predicate).count()
+        cache[key] = (corpus, s / max(n, 1))
+    sel = cache[key][1]
+    if sel <= threshold:
+        return filtered_topk(queries, corpus, k, predicate, metric="cosine"), "prefilter"
+    return filtered_ivf_topk(queries, corpus, k, predicate), "postfilter"
+
+
 def range_search(
     queries: DataFrame, corpus: DataFrame, radius2: float
 ) -> DataFrame:

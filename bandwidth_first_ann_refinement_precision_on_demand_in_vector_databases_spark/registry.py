@@ -822,6 +822,8 @@ _FRONT = [
     # (scale, offset) contract over a raw signed float column
     "quantile_float_sketch",
     "quantile_float_merge_halves",
+    # Selectivity-routed filtered ANN (VERDICT r09 #7, ACORN-style)
+    "ann_filtered_routed_topk",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

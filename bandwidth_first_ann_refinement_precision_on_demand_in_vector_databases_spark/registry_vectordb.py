@@ -2084,3 +2084,57 @@ def q_ann_rabitq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VECTORDB_QUERIES["ann_rabitq_index_topk"] = q_ann_rabitq_index_topk
 VECTORDB_ORACLES["ann_rabitq_index_topk"] = SQL_ANN_RABITQ_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Selectivity-routed filtered ANN (r09 verdict #7, ACORN-style)
+# ---------------------------------------------------------------------------
+
+#: the registered LOW-selectivity predicate (≈2% of the corpus at
+#: every SF — inside the pre-filter regime at ROUTE_SELECTIVITY=5%);
+#: class sizes checked per SF (14/9/45 at sf0.001/0.01/0.1), the r08
+#: rule.
+_SQL_ROUTED_FILTER = "label IN (2, 6) AND vec_id % 8 = 1"
+
+
+def _routed_filter_col() -> Column:
+    return F.col("label").isin(2, 6) & (F.col("vec_id") % 8 == 1)
+
+
+def q_ann_filtered_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-routed filtered top-K (ACORN-style strategy
+    choice): the router reads the survivor fraction and picks
+    pre-filter + exact rank here (≈2% selectivity — the post-filtered
+    IVF route would both scan more useful-candidate bytes and break
+    recall: 0.0688 on this predicate at sf0.1 vs the router's exact
+    1.0; reports/FILTER_ROUTING.md). The oracle replays the chosen
+    route's semantics — exact rank over survivors."""
+    out, route = V.routed_filtered_topk(
+        queries_view(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings"),
+        ANN_K,
+        _routed_filter_col(),
+    )
+    # fixture selectivity sits in the pre-filter regime at every SF;
+    # a silent regime flip would make the oracle compare the wrong
+    # route — fail loud instead (tests assert both routes directly)
+    if route != "prefilter":
+        raise AssertionError(f"expected prefilter route, got {route}")
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ANN_FILTERED_ROUTED_TOPK = f"""
+WITH q AS ({SQL_Q_CTE})
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    {_sql_cos("q.qe", "e.embedding")} AS score,
+    CAST(row_number() OVER (PARTITION BY q.query_id
+      ORDER BY {_sql_cos("q.qe", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+  FROM q CROSS JOIN embeddings e WHERE e.{_SQL_ROUTED_FILTER}
+) WHERE rank <= {ANN_K}
+"""
+
+VECTORDB_QUERIES["ann_filtered_routed_topk"] = q_ann_filtered_routed_topk
+VECTORDB_ORACLES["ann_filtered_routed_topk"] = SQL_ANN_FILTERED_ROUTED_TOPK

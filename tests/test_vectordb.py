@@ -695,3 +695,50 @@ def test_maxsim_union_pool_bounded_by_mp(spark, sf_small):
     assert sizes
     cap = MV.MV_M * MV.MAXSIM_POOL_P
     assert all(r["c"] <= cap for r in sizes), [(r["query_id"], r["c"]) for r in sizes]
+
+
+def test_filtered_routing_picks_the_winning_plan(spark, sf_small):
+    """ACORN-style selectivity routing (r10): (a) the ≈2% predicate
+    routes to pre-filter + exact (and equals the exact filtered
+    top-K); (b) the 40% predicate routes to post-filtered IVF;
+    (c) the motivation is real — the post-filter route on the
+    selective predicate loses most of the answer set (survivors
+    live outside the probed cells)."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        simsearch as S,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        vectordb as V,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_vectordb import (
+        _filter_col,
+        _routed_filter_col,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    K = 20
+
+    routed, route_lo = V.routed_filtered_topk(queries, corpus, K, _routed_filter_col())
+    _, route_hi = V.routed_filtered_topk(queries, corpus, K, _filter_col())
+    assert route_lo == "prefilter"
+    assert route_hi == "postfilter"
+
+    exact = V.filtered_topk(queries, corpus, K, _routed_filter_col(), metric="cosine")
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in routed.collect()}
+    want = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
+    assert got == want
+
+    ivf = V.filtered_ivf_topk(queries, corpus, K, _routed_filter_col())
+    rec = S.ann_recall(
+        ivf.select("query_id", "neighbor_id", "score"),
+        exact.select("query_id", "neighbor_id", "rank", "score"),
+        K,
+    ).collect()[0]
+    assert rec.recall_at_k < 0.5, rec
