@@ -192,6 +192,13 @@ def _suite():
         "ann_rabitq_cushion_topk",
         "ann_rabitq_cushion_metrics",
         "ann_rabitq_recall_tuned",
+        # r10
+        "ann_vamana_topk",
+        "ann_vamana_recall",
+        "stream_dedup_neardup",
+        "quantile_float_sketch",
+        "quantile_float_merge_halves",
+        "ann_filtered_routed_topk",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
