@@ -1928,3 +1928,35 @@ SIMSEARCH_QUERIES["ann_vamana_topk"] = q_ann_vamana_topk
 SIMSEARCH_ORACLES["ann_vamana_topk"] = SQL_ANN_VAMANA_TOPK
 SIMSEARCH_QUERIES["ann_vamana_recall"] = q_ann_vamana_recall
 SIMSEARCH_ORACLES["ann_vamana_recall"] = SQL_ANN_VAMANA_RECALL
+
+
+def q_ann_vamana_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_vamana_topk``: the α-pruned edge set
+    is WRITTEN once per (session, fixture dir) as a stored (src, dst)
+    parquet artifact (``layout.write_vamana_index``) and the query
+    walks the STORED table — identical offline-build/online-serve
+    split as ``ann_graph_index_topk``, so the α-pruned build's cost
+    (the dominant wall of the in-session query) never appears in this
+    plan. Result-identical to the in-session build — shares its
+    oracle."""
+    from .sources.layout import read_graph_index, write_vamana_index
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark,
+        sf_dir,
+        "vamana-index",
+        lambda p: write_vamana_index(corpus, p, cache_key=f"fixture:{sf_dir}"),
+    )
+    edges = read_graph_index(spark, path)
+    out = S.graph_topk_from_index(
+        queries_view(spark, sf_dir), corpus, edges, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SIMSEARCH_QUERIES["ann_vamana_index_topk"] = q_ann_vamana_index_topk
+#: identical results to the in-session build by construction
+SIMSEARCH_ORACLES["ann_vamana_index_topk"] = SQL_ANN_VAMANA_TOPK

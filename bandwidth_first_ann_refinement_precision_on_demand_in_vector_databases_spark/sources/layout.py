@@ -37,7 +37,15 @@ def write_cell_partitioned(
     cents = ivf_centroids(corpus, stride) if stride else ivf_centroids(corpus)
     assigned = ivf_assign(corpus, cents)
     (
+        # sortWithinPartitions on the partition key: the dynamic
+        # partition writer then holds ONE open parquet file per task
+        # instead of one per cell it touches — at n_cells ∝ N the
+        # unsorted write keeps cells/shuffle-partitions writers open
+        # concurrently and OOMs (measured at 8000 cells in the 100×
+        # experiment, reports/SCALE_100X.md); sorted input makes the
+        # write memory O(1) in cell count. Result identical.
         assigned.repartition("cell")
+        .sortWithinPartitions("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(out_path)
@@ -120,6 +128,19 @@ def write_graph_index(
     from ..operators.simsearch import symmetric_knn_edges
 
     edges = symmetric_knn_edges(corpus, graph_k, cache_key=cache_key)
+    edges.repartition("src").write.mode("overwrite").parquet(f"{out_path}/edges")
+
+
+def write_vamana_index(
+    corpus: DataFrame, out_path: str, cache_key: str | None = None
+) -> None:
+    """Materialize the α-pruned Vamana edge set (``operators/vamana.
+    vamana_edges``) in the same (src, dst) stored-graph shape as
+    :func:`write_graph_index` — the serve path is the unchanged
+    stored-edge beam walk, so only the offline build differs."""
+    from ..operators.vamana import vamana_edges
+
+    edges = vamana_edges(corpus, cache_key=cache_key)
     edges.repartition("src").write.mode("overwrite").parquet(f"{out_path}/edges")
 
 

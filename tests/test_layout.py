@@ -497,3 +497,45 @@ def test_rabitq_index_serves_identically(spark, sf_small, tmp_path):
     for m in re.finditer(r"ReadSchema: (\S+)", plan):
         if "words" in m.group(1):
             assert "embedding" not in m.group(1)
+
+
+def test_vamana_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """Offline-build/online-serve for the α-pruned Vamana index (r10):
+    the stored (src, dst) edge walk equals the in-session build, and
+    the serve plan contains no band construction and no prune fold —
+    the α-prune's O(N·L²) build cost is paid exactly once, offline."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        graph_topk_from_index,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.vamana import (
+        vamana_edges,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        read_graph_index,
+        write_vamana_index,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    out = str(tmp_path / "vamana_index")
+    write_vamana_index(corpus, out, cache_key="test-vamana-idx")
+    edges = read_graph_index(spark, out)
+
+    live_edges = vamana_edges(corpus, cache_key="test-vamana-idx")
+    live = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+            for r in graph_topk_from_index(queries, corpus, live_edges, 10).collect()}
+    served = {(r.query_id, r.rank): (r.neighbor_id, round(r.score, 9))
+              for r in graph_topk_from_index(queries, corpus, edges, 10).collect()}
+    assert served == live
+
+    plan = (
+        graph_topk_from_index(queries, corpus, edges, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bkey" not in plan          # no banding in the serve plan
+    assert "aggregate(" not in plan    # no prune fold either

@@ -83,7 +83,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "10g")
+        .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -161,7 +161,13 @@ def main() -> None:
         out = ivf_topk_from_store(spark, path, queries, cents, 20)
         rows = out.count()
         t_serve = time.time() - t1
-        assert rows == 20 * n_q
+        # replica geometry degenerates the stride quantizer's cell
+        # populations (r09 rule) — some probed cell triples can hold
+        # fewer than K rows, so the cost-only read accepts ≤ K per
+        # query; the real-fixture 1x point still asserts exactly K
+        assert 0 < rows <= 20 * n_q
+        if k == 1:
+            assert rows == 20 * n_q
         # probed rows/query measured from the store's cell sizes
         cell_sizes = (
             spark.read.parquet(path).groupBy("cell").count()
