@@ -824,6 +824,8 @@ _FRONT = [
     "quantile_float_merge_halves",
     # Selectivity-routed filtered ANN (VERDICT r09 #7, ACORN-style)
     "ann_filtered_routed_topk",
+    # Stored-edge Vamana serve path (result-identical twin)
+    "ann_vamana_index_topk",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
