@@ -54,6 +54,7 @@ RECALL_QUERIES = [
     "ann_ivf_adaptive_recall",
     "ann_knn_graph_recall",
     "ann_graph_recall",
+    "ann_vamana_recall",
     "ann_mrl_recall",
     "ann_mrl_recall_tuned",
     "ann_maxsim_recall",
