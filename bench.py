@@ -199,6 +199,7 @@ def _suite():
         "quantile_float_sketch",
         "quantile_float_merge_halves",
         "ann_filtered_routed_topk",
+        "ann_vamana_index_topk",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
