@@ -873,6 +873,7 @@ def graph_cushion_topk(
     rounds: int | None = None,
     entry_stride: int | None = None,
     cache_key: str | None = None,
+    edges: DataFrame | None = None,
 ) -> RefineResult:
     """Quantization-guided graph walk × cushioned refinement — the
     third index family behind the same re-scorer, and the one
@@ -886,7 +887,11 @@ def graph_cushion_topk(
 
     Only cosine modes are meaningful here (the walk maximizes
     reduced dot product; an l2 walk would need the lower-bound form
-    per hop — same composition, omitted)."""
+    per hop — same composition, omitted).
+
+    ``edges`` overrides the banded edge set with an explicit (src,
+    dst) frame — the α-pruned Vamana graph for the
+    ``ann_vamana_cushion_*`` composition (same walk, better graph)."""
     from .simsearch import (
         BEAM_ENTRY_STRIDE,
         BEAM_ROUNDS,
@@ -905,7 +910,8 @@ def graph_cushion_topk(
 
     corp = prepare_corpus_cached(corpus, keep_m, mode, cache_key)
     qs = F.broadcast(prepare_queries(queries, mode))
-    edges = symmetric_knn_edges(corpus, graph_k)
+    if edges is None:
+        edges = symmetric_knn_edges(corpus, graph_k)
     red_side = corp.select("vec_id", "redv")
     seeds = F.broadcast(red_side.where(F.col("vec_id") % entry_stride == 0))
     cand = (

@@ -826,6 +826,10 @@ _FRONT = [
     "ann_filtered_routed_topk",
     # Stored-edge Vamana serve path (result-identical twin)
     "ann_vamana_index_topk",
+    # Vamana × cushion composition (eighth index family behind the
+    # reference's re-scorer; per-candidate save +0.172 at sf0.1)
+    "ann_vamana_cushion_topk",
+    "ann_vamana_cushion_metrics",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
@@ -1982,6 +1986,103 @@ FROM final WHERE rank <= {K_DEFAULT}
 ORACLES["ann_rabitq_cushion_metrics"] = f"""
 WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
 {_RBT_CUSHION_BODY},
+pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
+fetch_n AS (
+  SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched
+),
+corp_n AS (SELECT count(*) AS n_corpus FROM embeddings)
+SELECT p.n_pairs, f.n_fetched,
+  round(CAST(f.n_fetched AS DOUBLE) / p.n_pairs, 6) AS fetch_frac,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_pairs), 6) AS save_vs_exact_rerank,
+  round(1.0 - ({_B_RED!r} * p.n_pairs + {_B_FULL!r} * f.n_fetched)
+            / ({_B_FULL!r} * p.n_q * c.n_corpus), 6) AS save_vs_full_scan
+FROM pair_n p CROSS JOIN fetch_n f CROSS JOIN corp_n c
+"""
+
+
+# vamana × cushion: the α-pruned walk feeding the same re-scorer —
+# the graph-cushion composition on the r10 construction-quality graph
+# (same walk parameters, better edges; zero-miss over the visited
+# stream by the cushion bound).
+
+
+def _vamana_cushion_res(spark: SparkSession, sf_dir: str):
+    """Memoized α-pruned quantized-walk build shared by its topk and
+    metrics queries (cos-l1, keep_m=6 — the graph-cushion operating
+    point on the Vamana edge set)."""
+    from .operators.refine import graph_cushion_topk
+    from .operators.vamana import vamana_edges
+    from .session import session_cache
+
+    cache = session_cache(spark, "vamana_cushion")
+    if sf_dir not in cache:
+        corpus = load_table(spark, sf_dir, "embeddings")
+        res = graph_cushion_topk(
+            queries_view(spark, sf_dir),
+            corpus,
+            "cos-l1",
+            K_DEFAULT,
+            KEEP_M_DEFAULT,
+            cache_key=sf_dir,
+            edges=vamana_edges(corpus, cache_key=f"fixture:{sf_dir}"),
+        )
+        res.topk.persist()
+        cache[sf_dir] = res
+    return cache[sf_dir]
+
+
+def q_ann_vamana_cushion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-pruned Vamana walk × cushioned refinement (r10): the walk
+    ranks its frontier on the reduced representation over the
+    RobustPruned graph, and the cushion prices the exact re-scoring
+    of the visited set — the highest-recall candidate stream behind
+    the reference's precision-on-demand re-scorer."""
+    return _rounded_topk(_vamana_cushion_res(spark, sf_dir).topk)
+
+
+def q_ann_vamana_cushion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte accounting of the Vamana-walk composition."""
+    res = _vamana_cushion_res(spark, sf_dir)
+    corpus_n = load_table(spark, sf_dir, "embeddings").count()
+    return _cushion_metrics_row(res, corpus_n, KEEP_M_DEFAULT)
+
+
+QUERIES["ann_vamana_cushion_topk"] = q_ann_vamana_cushion_topk
+QUERIES["ann_vamana_cushion_metrics"] = q_ann_vamana_cushion_metrics
+
+
+def _sql_vamana_cushion_extra() -> str:
+    """The graph-cushion walk chain with the α-prune inserted between
+    the banded ``gedges`` and the walk rounds: vamana CTEs come from
+    ``registry_simsearch._sql_vamana_ctes`` parameterized on the
+    in-body edge name, and the rounds walk ``vedges``."""
+    from .registry_simsearch import _sql_vamana_ctes
+
+    base = _sql_graph_cushion_extra()
+    vam = ",\n".join(_sql_vamana_ctes(edges_src="gedges")) + ",\n"
+    # inject the prune chain right after gedges, and point every walk
+    # round's expansion at the pruned vedges
+    out = base.replace("w0 AS MATERIALIZED (", vam + "w0 AS MATERIALIZED (", 1)
+    return out.replace("JOIN gedges e ON e.src = f.vec_id",
+                       "JOIN vedges e ON e.src = f.vec_id")
+
+
+_VAMANA_CUSHION_BODY = duck_oracle.refine_body(
+    "cos-l1", K_DEFAULT, KEEP_M_DEFAULT, None, QUERY_STRIDE,
+    extra_ctes=_sql_vamana_cushion_extra(), candidate_cte="cand_ids",
+)
+
+ORACLES["ann_vamana_cushion_topk"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_VAMANA_CUSHION_BODY}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+FROM final WHERE rank <= {K_DEFAULT}
+"""
+
+ORACLES["ann_vamana_cushion_metrics"] = f"""
+WITH {duck_oracle.fp16_cte(KEEP_M_DEFAULT)},
+{_VAMANA_CUSHION_BODY},
 pair_n AS (SELECT count(*) AS n_pairs, count(DISTINCT query_id) AS n_q FROM pairs),
 fetch_n AS (
   SELECT (SELECT count(*) FROM seed) + (SELECT count(*) FROM surv) AS n_fetched

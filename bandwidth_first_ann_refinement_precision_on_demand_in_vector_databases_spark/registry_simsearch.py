@@ -1836,22 +1836,24 @@ def q_ann_vamana_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_recall(ann, exact, ANN_K)
 
 
-def _sql_vamana_ctes() -> tuple[str, ...]:
-    """The α-prune chain, replayed after the banded ``edges`` CTE.
-    Constants are shared literally with ``operators/vamana.py``:
-    L=VAMANA_L candidates, α²=VAMANA_ALPHA2 in d²=2−2·cos space,
-    elem = bit·2²⁵ + occ, acc = cnt·2³⁰ + kept_mask — the whole prune
-    is integer arithmetic over bit-identical cosine comparisons, so
-    the DuckDB fold reproduces the Spark fold exactly."""
+def _sql_vamana_ctes(edges_src: str = "edges") -> tuple[str, ...]:
+    """The α-prune chain, replayed after the banded base-edge CTE
+    (named ``edges_src`` — ``edges`` in the ann_vamana_* oracles,
+    ``gedges`` inside the graph-cushion body). Constants are shared
+    literally with ``operators/vamana.py``: L=VAMANA_L candidates,
+    α²=VAMANA_ALPHA2 in d²=2−2·cos space, elem = bit·2²⁵ + occ,
+    acc = cnt·2³⁰ + kept_mask — the whole prune is integer arithmetic
+    over bit-identical cosine comparisons, so the DuckDB fold
+    reproduces the Spark fold exactly."""
     from .operators.vamana import VAMANA_ALPHA2, VAMANA_DEGREE, VAMANA_L, _CNT, _ENC
 
     return (
-        """vcand AS MATERIALIZED (
+        f"""vcand AS MATERIALIZED (
   SELECT e1.src AS node_id, e2.dst AS cand_id
-  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+  FROM {edges_src} e1 JOIN {edges_src} e2 ON e2.src = e1.dst
   WHERE e2.dst != e1.src
   UNION
-  SELECT src AS node_id, dst AS cand_id FROM edges
+  SELECT src AS node_id, dst AS cand_id FROM {edges_src}
 )""",
         f"""vpool AS MATERIALIZED (
   SELECT node_id, cand_id, score,

@@ -200,6 +200,8 @@ def _suite():
         "quantile_float_merge_halves",
         "ann_filtered_routed_topk",
         "ann_vamana_index_topk",
+        "ann_vamana_cushion_topk",
+        "ann_vamana_cushion_metrics",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
