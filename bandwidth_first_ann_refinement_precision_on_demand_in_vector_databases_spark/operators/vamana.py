@@ -106,20 +106,18 @@ def vamana_candidate_pool(corpus: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def vamana_kept_edges(
+def robust_prune_pool(
+    pool: DataFrame,
     corpus: DataFrame,
-    base: DataFrame,
     degree: int = VAMANA_DEGREE,
 ) -> DataFrame:
-    """Directed (src, dst) kept edges: the RobustPrune of each node's
-    candidate pool over the ``base`` graph — per-node out-degree ≤
-    ``degree`` by the fold's budget counter (asserted in
-    ``tests/test_vamana.py``)."""
-    # the pool frame feeds three consumers (occlusion pairs ×2,
-    # encode, kept-edge extraction) — checkpoint it so the 16
-    # hyperplane projections and the salted rank run once, and the
-    # self-join below stays shallow
-    pool = vamana_candidate_pool(corpus, base).localCheckpoint(eager=True)
+    """RobustPrune of an indexed candidate pool — the shared core of
+    the batch build (:func:`vamana_kept_edges`) and the incremental
+    insert (:func:`vamana_delta_edges`). ``pool`` is (node_id, j,
+    bit, cand_id, score) with j the 0-based rank (score DESC,
+    cand_id ASC) and bit = 2^j; candidates are corpus members whose
+    vectors re-attach by id for the pairwise occlusion test. Returns
+    the directed (src, dst) kept edges, out-degree ≤ ``degree``."""
     pi = pool.select(
         "node_id", F.col("j").alias("ji"), F.col("bit").alias("biti"),
         F.col("cand_id").alias("ci"),
@@ -183,6 +181,79 @@ def vamana_kept_edges(
         pool.join(mask, "node_id")
         .where(((F.col("acc") % F.lit(_CNT)).bitwiseAND(F.col("bit"))) != 0)
         .select(F.col("node_id").alias("src"), F.col("cand_id").alias("dst"))
+    )
+
+
+def vamana_kept_edges(
+    corpus: DataFrame,
+    base: DataFrame,
+    degree: int = VAMANA_DEGREE,
+) -> DataFrame:
+    """Directed (src, dst) kept edges: the RobustPrune of each node's
+    candidate pool over the ``base`` graph — per-node out-degree ≤
+    ``degree`` by the fold's budget counter (asserted in
+    ``tests/test_vamana.py``)."""
+    # the pool frame feeds three consumers (occlusion pairs ×2,
+    # encode, kept-edge extraction) — checkpoint it so the 16
+    # hyperplane projections and the salted rank run once, and the
+    # self-join below stays shallow
+    pool = vamana_candidate_pool(corpus, base).localCheckpoint(eager=True)
+    return robust_prune_pool(pool, corpus, degree)
+
+
+def index_pool(cand: DataFrame) -> DataFrame:
+    """(node_id, j, bit, cand_id, score) from a raw scored candidate
+    stream (query_id, vec_id, score): top-``VAMANA_L`` per node with
+    the registry-wide tie-break and the fold's bit encoding — the
+    pool shape :func:`robust_prune_pool` consumes."""
+    top = topk_per_query(
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "score"
+        ),
+        VAMANA_L,
+        ascending=False,
+    )
+    return top.select(
+        F.col("query_id").alias("node_id"),
+        (F.col("rank") - 1).cast("long").alias("j"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rank - 1 AS INT))").alias("bit"),
+        F.col("neighbor_id").alias("cand_id"),
+        "score",
+    )
+
+
+def vamana_delta_edges(
+    delta: DataFrame,
+    corpus: DataFrame,
+    edges: DataFrame,
+    degree: int = VAMANA_DEGREE,
+) -> DataFrame:
+    """Incremental Vamana maintenance — the DiskANN insert
+    (Subramanya et al. NeurIPS 2019 §3, public): each incoming vector
+    GREEDY-SEARCHES the existing α-pruned graph for its candidate
+    pool (the same ``beam_candidates`` serve core the queries use —
+    insert cost per vector ≈ one query walk), then RobustPrunes the
+    pool before linking, so inserted nodes keep the same occlusion
+    discipline the batch build enforces; reverse edges make the new
+    nodes reachable. Self-links excluded (an upsert reuses its id).
+
+    The graph never rebuilds: the emitted (src, dst) rows append to
+    the stored edge table (``sources/layout.write_vamana_index``
+    shape), exactly like the banded family's ``graph_delta_edges`` —
+    with the α-prune as the one extra (bounded, per-insert) step."""
+    from .simsearch import beam_candidates
+
+    q = delta.select(F.col("vec_id").alias("query_id"), "embedding")
+    cand = beam_candidates(q, corpus, edges)
+    cand = cand.where(F.col("vec_id") != F.col("query_id"))
+    kept = robust_prune_pool(
+        index_pool(cand).localCheckpoint(eager=True), corpus, degree
+    )
+    return (
+        kept.unionByName(
+            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
     )
 
 

@@ -830,6 +830,8 @@ _FRONT = [
     # reference's re-scorer; per-candidate save +0.172 at sf0.1)
     "ann_vamana_cushion_topk",
     "ann_vamana_cushion_metrics",
+    # Vamana incremental insert (the DiskANN greedy-search+prune)
+    "ann_vamana_delta_edges",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)

@@ -1962,3 +1962,83 @@ def q_ann_vamana_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMSEARCH_QUERIES["ann_vamana_index_topk"] = q_ann_vamana_index_topk
 #: identical results to the in-session build by construction
 SIMSEARCH_ORACLES["ann_vamana_index_topk"] = SQL_ANN_VAMANA_TOPK
+
+
+def q_ann_vamana_delta_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): incremental Vamana maintenance — the DiskANN
+    insert: the mutation fixture's upsert batch (vec_id % 11 = 5,
+    REVERSED embeddings) greedy-searches the existing α-pruned graph,
+    RobustPrunes its candidate pool, and links symmetrically
+    (``operators/vamana.vamana_delta_edges``). The oracle replays the
+    walk over the replayed vamana build with the upsert batch as the
+    ``q`` CTE, then the same integer prune fold."""
+    from .operators.mutate import fixture_mutation
+    from .operators.vamana import vamana_delta_edges, vamana_edges
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    upserts, _ = fixture_mutation(corpus)
+    edges = vamana_edges(corpus, cache_key=f"fixture:{sf_dir}")
+    return vamana_delta_edges(upserts, corpus, edges)
+
+
+def _sql_vamana_delta() -> str:
+    from .operators.vamana import VAMANA_ALPHA2, VAMANA_DEGREE, VAMANA_L, _CNT, _ENC
+
+    ctes, final = _sql_graph_beam_ctes(
+        _DELTA_Q_CTE,
+        post_edges_ctes=_sql_vamana_ctes(),
+        edges_name="vedges",
+    )
+    return f"""
+WITH {ctes},
+dpool AS MATERIALIZED (
+  SELECT query_id AS node_id, neighbor_id AS cand_id, score,
+         CAST(r - 1 AS BIGINT) AS j,
+         (CAST(1 AS BIGINT) << CAST(r - 1 AS INT)) AS bit
+  FROM (
+    SELECT query_id, neighbor_id, score,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, neighbor_id) AS r
+    FROM {final} WHERE neighbor_id != query_id
+  ) WHERE r <= {VAMANA_L}
+),
+docc AS MATERIALIZED (
+  SELECT i.node_id, j.j, CAST(sum(i.bit) AS BIGINT) AS occ
+  FROM dpool i
+  JOIN dpool j ON j.node_id = i.node_id AND i.j < j.j
+  JOIN embeddings iv ON iv.vec_id = i.cand_id
+  JOIN embeddings jv ON jv.vec_id = j.cand_id
+  WHERE CAST({VAMANA_ALPHA2} AS DOUBLE)
+          * (2.0 - 2.0 * ({_sql_cos("iv.embedding", "jv.embedding")}))
+        <= (2.0 - 2.0 * j.score)
+  GROUP BY i.node_id, j.j
+),
+dmask AS MATERIALIZED (
+  SELECT node_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list(elem ORDER BY j)),
+      (acc, e) -> CASE WHEN (acc // {_CNT}) < {VAMANA_DEGREE}
+                        AND ((acc % {_CNT}) & (e % {_ENC})) = 0
+                   THEN acc + {_CNT} + (e // {_ENC}) ELSE acc END
+    ) AS acc
+  FROM (
+    SELECT p.node_id, p.j,
+           p.bit * {_ENC} + coalesce(o.occ, CAST(0 AS BIGINT)) AS elem
+    FROM dpool p LEFT JOIN docc o ON o.node_id = p.node_id AND o.j = p.j
+  ) GROUP BY node_id
+),
+dkept AS (
+  SELECT p.node_id AS src, p.cand_id AS dst
+  FROM dpool p JOIN dmask m ON m.node_id = p.node_id
+  WHERE ((m.acc % {_CNT}) & p.bit) != 0
+)
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM dkept
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM dkept
+)
+"""
+
+
+SIMSEARCH_QUERIES["ann_vamana_delta_edges"] = q_ann_vamana_delta_edges
+SIMSEARCH_ORACLES["ann_vamana_delta_edges"] = _sql_vamana_delta()

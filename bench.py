@@ -202,6 +202,7 @@ def _suite():
         "ann_vamana_index_topk",
         "ann_vamana_cushion_topk",
         "ann_vamana_cushion_metrics",
+        "ann_vamana_delta_edges",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
