@@ -761,77 +761,119 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r10 rotation. VERDICT r09 "Next round" #1: the 40 r05-stale rows
-    # (the relational/text/dedup/ANN-serve cohort the r06-r09 windows
-    # never reached) lead the window — ">=40 of the r10 window are
-    # these rows" is the done criterion, so they come FIRST and the
-    # queries NEW this round follow at slots 41+ (they have local
-    # oracle-harness green rows; their first driver row lands in the
-    # same window if it stretches, else they lead r11).
-    # -- r05-stale (40), pairs adjacent so the driver session reuses
-    # -- memoized index/posting artifacts --
-    "ann_mrl_topk",
-    "ann_mrl_refined_topk",
-    "ann_mrl_recall",
-    "ann_delta_topk",
-    "ivf_delta_compact",
-    "ivf_ingest_assign",
-    "ann_ivf_index_topk",
-    "ann_pq_index_topk",
-    "refine_cos_hoeff_tuned_metrics",
-    "refine_l2_tz_served_topk",
-    "anti_join",
-    "semi_join",
-    "asof_join",
-    "range_join",
-    "set_ops",
-    "top_orders",
-    "region_revenue",
-    "rollup_lineitem",
-    "cube_orders",
-    "salted_agg",
-    "count_distinct",
-    "approx_count_distinct",
-    "window_rank",
-    "window_running",
-    "scalar_text",
-    "scalar_json",
-    "scalar_datetime",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_chunks",
-    "minhash_signatures",
-    "simhash_sketch",
-    "fingerprint",
-    "lang_id",
-    "doc_packing",
-    "corpus_dsir_weights",
-    "value_quantiles",
-    "bm25_topn",
-    # -- NEW r10 (appended as built; see registration sites) --
-    # Vamana α-pruned graph (VERDICT r09 #2): construction recall@5
-    # 0.81 vs banded 0.44, walk recall@20 0.945 vs 0.83 at sf0.01
-    "ann_vamana_topk",
-    "ann_vamana_recall",
-    # Streaming MinHash near-dup (VERDICT r09 #4): real foreachBatch
-    # ingest over the sketch store, batch≡stream proven
-    "stream_dedup_neardup",
-    # General-domain float quantiles (VERDICT r09 #6): declared
-    # (scale, offset) contract over a raw signed float column
-    "quantile_float_sketch",
-    "quantile_float_merge_halves",
-    # Selectivity-routed filtered ANN (VERDICT r09 #7, ACORN-style)
-    "ann_filtered_routed_topk",
-    # Stored-edge Vamana serve path (result-identical twin)
-    "ann_vamana_index_topk",
-    # Vamana × cushion composition (eighth index family behind the
-    # reference's re-scorer; per-candidate save +0.172 at sf0.1)
-    "ann_vamana_cushion_topk",
-    "ann_vamana_cushion_metrics",
-    # Vamana incremental insert (the DiskANN greedy-search+prune)
+    # r11 rotation. VERDICT r10 "Next round" #1: the 49 r06-stale rows
+    # (the refine core + ANN ladder — the engine's heart has not had an
+    # independent driver hash since r06) lead the window; ">=49 of the
+    # r11 window are these rows" is the done criterion. Slot 50 is
+    # ann_vamana_delta_edges, whose SEMANTICS CHANGED this round
+    # (resident-side RobustPrune, VERDICT #2) and therefore needs a
+    # fresh driver row. The r07-stale cohort fills past the window and
+    # leads r12.
+    # -- r06-stale (49): refine core first (shared fixture scans +
+    # -- tuned memos), then exact top-k, then the ANN ladder with
+    # -- topk/recall pairs adjacent (shared session-memoized indexes),
+    # -- then the text/sketch block --
+    "topk_cosine_exact",
+    "topk_l2_exact",
+    "rownorm_unit",
+    "refine_cos_hoeff_topk",
+    "refine_cos_hoeff_metrics",
+    "refine_cos_l1_topk",
+    "refine_cos_l1_metrics",
+    "refine_cos_l1_tuned_metrics",
+    "refine_cos_l2_topk",
+    "refine_cos_l2_metrics",
+    "refine_l2_sym_topk",
+    "refine_l2_sym_metrics",
+    "refine_l2_tz_topk",
+    "refine_l2_tz_metrics",
+    "refine_l2_tz_tuned_metrics",
+    "refine_l2_tz_ekeep_metrics",
+    "refine_l2_tz_compressed_metrics",
+    "refine_l2_hoeff_topk",
+    "refine_l2_hoeff_metrics",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "ann_ivfbq_topk",
+    "ann_ivfbq_recall",
+    "ann_cascade_topk",
+    "ann_cascade_metrics",
+    "ann_cascade_index_topk",
+    "ann_cascade_cushion_topk",
+    "ann_cascade_cushion_metrics",
+    "ann_mrl_recall_tuned",
+    "ann_mrl_cushion_topk",
+    "ann_mrl_cushion_metrics",
+    "ann_graph_delta_edges",
+    "bpe_merges",
+    "bpe_token_counts",
+    "embedding_covariance",
+    "embedding_pca_top",
+    "embedding_pca_project",
+    "cms_heavy_hitters",
+    "stream_cms_counts",
+    "hll_distinct_tokens",
+    "pii_redact",
+    "sessionize",
+    "global_rank_events",
+    "tfidf_topn",
+    "bloom_decontaminate",
+    "corpus_token_budget",
+    "corpus_dsir_select",
+    # -- CHANGED this round (r11): DiskANN insert now re-prunes
+    # -- residents whose reverse-edge append overflows the degree
+    # -- budget (Subramanya et al. 2019, Alg. 2 step 3) — the output
+    # -- edge set changed, so it needs a fresh driver row --
     "ann_vamana_delta_edges",
+    # -- fill: the r07-stale cohort (next-oldest, 45 rows) in
+    # -- memo-friendly order; clipped rows lead the r12 rotation --
+    "ann_pq_topk",
+    "ann_pq_recall",
+    "ann_pq_refined_topk",
+    "pq_codes",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "ann_ivf_cushion_topk",
+    "ann_ivf_cushion_metrics",
+    "ann_ivf_cushion_recall",
+    "ann_ivf_ranking_metrics",
+    "ann_lsh_cushion_topk",
+    "ann_lsh_ranking_metrics",
+    "cms_merge_halves",
+    "hll_merge_halves",
+    "stream_hll_registers",
+    "corpus_curation",
+    "corpus_mixture",
+    "corpus_sample",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "dedup_semantic",
+    "embedding_dim_stats",
+    "fuzzy_name_pairs",
+    "grouping_sets_orders",
+    "media_decode",
+    "media_metadata",
+    "order_priority_count",
+    "pivot_events",
+    "pricing_summary",
+    "quality_gate",
+    "recall_l2_vs_cosine",
+    "reduce_precision",
+    "reduce_precision_ekeep",
+    "returned_item_revenue",
+    "shipping_priority",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "text_lm_quality",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "vocab_topn",
+    "window_range_frame",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
