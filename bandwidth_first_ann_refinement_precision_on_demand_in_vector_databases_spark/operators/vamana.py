@@ -228,19 +228,42 @@ def vamana_delta_edges(
     edges: DataFrame,
     degree: int = VAMANA_DEGREE,
 ) -> DataFrame:
-    """Incremental Vamana maintenance — the DiskANN insert
-    (Subramanya et al. NeurIPS 2019 §3, public): each incoming vector
-    GREEDY-SEARCHES the existing α-pruned graph for its candidate
-    pool (the same ``beam_candidates`` serve core the queries use —
-    insert cost per vector ≈ one query walk), then RobustPrunes the
-    pool before linking, so inserted nodes keep the same occlusion
-    discipline the batch build enforces; reverse edges make the new
-    nodes reachable. Self-links excluded (an upsert reuses its id).
+    """Incremental Vamana maintenance — the COMPLETE DiskANN insert
+    (Subramanya et al. NeurIPS 2019 §3 Alg. 2, public):
 
-    The graph never rebuilds: the emitted (src, dst) rows append to
-    the stored edge table (``sources/layout.write_vamana_index``
-    shape), exactly like the banded family's ``graph_delta_edges`` —
-    with the α-prune as the one extra (bounded, per-insert) step."""
+    1. each incoming vector GREEDY-SEARCHES the existing α-pruned
+       graph for its candidate pool (the same ``beam_candidates``
+       serve core the queries use — insert cost per vector ≈ one
+       query walk), then RobustPrunes the pool before linking, so
+       inserted nodes keep the batch build's occlusion discipline;
+    2. **resident-side maintenance (Alg. 2 step 3)**: every resident
+       that receives a reverse edge merges it into its current
+       adjacency; residents whose merged list overflows ``degree``
+       re-run RobustPrune over their merged pool, so out-degree never
+       grows monotonically under sustained ingest (the r10 gap).
+
+    Returns the REPLACEMENT adjacency of every touched src (directed
+    (src, dst) rows): merging into the stored edge table is per-src
+    last-wins — drop the store's rows for emitted srcs, then append —
+    the same merge-on-read discipline as ``mutate.mutated_live``.
+    Every emitted src has out-degree ≤ ``degree`` by construction.
+
+    Batch semantics (declared; the published algorithm is sequential):
+    the inserted side walks and prunes against the PRE-batch state
+    (order-independent, unchanged from the r10 contract), while the
+    resident side scores against POST-batch "effective" vectors —
+    batch members carry their new embedding, everyone else the stored
+    one — because a batch member's own pool was ranked by its new
+    vector. Affected residents that are themselves batch members use
+    their freshly pruned list (not the store's stale rows) as the
+    current adjacency. Pools wider than ``VAMANA_L`` truncate to the
+    closest L before the prune — the same bounded-pool discipline the
+    batch build uses. Self-links excluded (an upsert reuses its id).
+
+    Scale shape: every frame below is bounded by the batch —
+    affected residents ≤ |delta|·degree, each pool ≤ L — so the
+    resident pass costs O(|delta|·degree·L²) scorings regardless of
+    corpus size; the bounded id frames broadcast."""
     from .simsearch import beam_candidates
 
     q = delta.select(F.col("vec_id").alias("query_id"), "embedding")
@@ -248,13 +271,67 @@ def vamana_delta_edges(
     cand = cand.where(F.col("vec_id") != F.col("query_id"))
     kept = robust_prune_pool(
         index_pool(cand).localCheckpoint(eager=True), corpus, degree
+    ).localCheckpoint(eager=True)  # rev/cur/output: three consumers
+
+    # ---- resident-side maintenance (Alg. 2 step 3) ----
+    batch_ids = delta.select("vec_id").distinct()
+    # post-batch effective vectors: batch members carry their new
+    # embedding, everyone else the stored one
+    eff = (
+        corpus.join(F.broadcast(batch_ids), "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+        .unionByName(delta.select("vec_id", "embedding"))
     )
-    return (
-        kept.unionByName(
-            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rev = kept.select(F.col("dst").alias("node_id"), F.col("src").alias("cand_id"))
+    aff = rev.select("node_id").distinct()
+    aff_src = aff.select(F.col("node_id").alias("src"))
+    # current adjacency of each affected resident: the freshly pruned
+    # list for batch members (their old rows were just replaced), the
+    # stored edge rows otherwise
+    cur = (
+        edges.join(
+            F.broadcast(batch_ids.select(F.col("vec_id").alias("src"))),
+            "src",
+            "left_anti",
         )
-        .distinct()
+        .join(F.broadcast(aff_src), "src", "left_semi")
+        .unionByName(kept.join(F.broadcast(aff_src), "src", "left_semi"))
+        .select(F.col("src").alias("node_id"), F.col("dst").alias("cand_id"))
     )
+    merged = cur.unionByName(rev).distinct()
+    scored = (
+        merged.join(
+            eff.select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("nvec")),
+            "node_id",
+        )
+        .join(
+            eff.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")),
+            "cand_id",
+        )
+        .select("node_id", "cand_id", cosine("nvec", "cvec").alias("score"))
+        .localCheckpoint(eager=True)  # deg/within/over-pool: three consumers
+    )
+    deg_over = (
+        scored.groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") > degree)
+        .select("node_id")
+    )
+    within = scored.join(F.broadcast(deg_over), "node_id", "left_anti").select(
+        F.col("node_id").alias("src"), F.col("cand_id").alias("dst")
+    )
+    over_pool = index_pool(
+        scored.join(F.broadcast(deg_over), "node_id", "left_semi").select(
+            F.col("node_id").alias("query_id"),
+            F.col("cand_id").alias("vec_id"),
+            "score",
+        )
+    ).localCheckpoint(eager=True)
+    repruned = robust_prune_pool(over_pool, eff, degree)
+    # affected batch members' kept rows were folded into `cur`; emit
+    # the untouched inserted lists plus every resident's new list
+    untouched = kept.join(F.broadcast(aff_src), "src", "left_anti")
+    return untouched.unionByName(within).unionByName(repruned)
 
 
 def vamana_edges(

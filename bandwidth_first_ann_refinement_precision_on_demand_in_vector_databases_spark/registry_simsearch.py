@@ -1965,13 +1965,17 @@ SIMSEARCH_ORACLES["ann_vamana_index_topk"] = SQL_ANN_VAMANA_TOPK
 
 
 def q_ann_vamana_delta_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst): incremental Vamana maintenance — the DiskANN
-    insert: the mutation fixture's upsert batch (vec_id % 11 = 5,
-    REVERSED embeddings) greedy-searches the existing α-pruned graph,
-    RobustPrunes its candidate pool, and links symmetrically
-    (``operators/vamana.vamana_delta_edges``). The oracle replays the
-    walk over the replayed vamana build with the upsert batch as the
-    ``q`` CTE, then the same integer prune fold."""
+    """(src, dst): incremental Vamana maintenance — the COMPLETE
+    DiskANN insert (Alg. 2): the mutation fixture's upsert batch
+    (vec_id % 11 = 5, REVERSED embeddings) greedy-searches the
+    existing α-pruned graph and RobustPrunes its candidate pool; then
+    every resident receiving a reverse edge merges it and re-prunes
+    on degree overflow (``operators/vamana.vamana_delta_edges``).
+    Output = the replacement adjacency of every touched src, each
+    out-degree ≤ VAMANA_DEGREE. The oracle replays the walk over the
+    replayed vamana build with the upsert batch as the ``q`` CTE, the
+    same integer prune fold, then the resident pass over post-batch
+    effective vectors (r11; Subramanya et al. 2019 step 3)."""
     from .operators.mutate import fixture_mutation
     from .operators.vamana import vamana_delta_edges, vamana_edges
 
@@ -1989,6 +1993,35 @@ def _sql_vamana_delta() -> str:
         post_edges_ctes=_sql_vamana_ctes(),
         edges_name="vedges",
     )
+    # the unrolled resident-prune fold: one row per node with the
+    # VAMANA_L encoded elems as COLUMNS (order-independent conditional
+    # MAX pivot), then one MATERIALIZED pure-projection level per rank
+    # position — acc_k = step(acc_{k-1}, e_k). Plain scalar integer
+    # CASE per level: bit-for-bit deterministic however many times
+    # DuckDB evaluates or shares the CTE scans.
+    pivot_cols = ",\n         ".join(
+        f"max(CASE WHEN j = {k} THEN elem END) AS e{k}" for k in range(VAMANA_L)
+    )
+    step_levels = []
+    prev = "CAST(0 AS BIGINT)"
+    src = "rpiv"
+    for k in range(VAMANA_L):
+        carry = ", ".join(f"e{m}" for m in range(k + 1, VAMANA_L)) or None
+        cols = f"node_id{', ' + carry if carry else ''}"
+        step_levels.append(
+            f"""racc{k} AS MATERIALIZED (
+  SELECT {cols},
+         CASE WHEN e{k} IS NULL THEN {prev}
+              WHEN ({prev} // {_CNT}) < {VAMANA_DEGREE}
+               AND (({prev} % {_CNT}) & (e{k} % {_ENC})) = 0
+              THEN {prev} + {_CNT} + (e{k} // {_ENC})
+              ELSE {prev} END AS acc
+  FROM {src}
+)"""
+        )
+        prev = "acc"
+        src = f"racc{k}"
+    unrolled = ",\n".join(step_levels)
     return f"""
 WITH {ctes},
 dpool AS MATERIALIZED (
@@ -2027,15 +2060,109 @@ dmask AS MATERIALIZED (
     FROM dpool p LEFT JOIN docc o ON o.node_id = p.node_id AND o.j = p.j
   ) GROUP BY node_id
 ),
-dkept AS (
+dkept AS MATERIALIZED (
   SELECT p.node_id AS src, p.cand_id AS dst
   FROM dpool p JOIN dmask m ON m.node_id = p.node_id
   WHERE ((m.acc % {_CNT}) & p.bit) != 0
+),
+-- Resident-side maintenance (DiskANN Alg. 2 step 3). Evaluation
+-- discipline (r11): every step is ORDER- AND EVALUATION-COUNT-
+-- INDEPENDENT — plain joins, integer sums, a complete-tie-break
+-- window, a conditional-MAX pivot, and an UNROLLED scalar CASE chain
+-- for the sequential prune (racc0..racc{{L-1}}). A third list_reduce
+-- fold over a list(... ORDER BY ...) aggregate (the v-/d-chain
+-- idiom) is UNSTABLE in DuckDB 1.0.0 at this query depth: identical
+-- SQL returned different kept sets run-to-run and at threads=1,
+-- always as if some occ bits were dropped, while every intermediate
+-- probed correct (verified exhaustively in r11 against a pure-Python
+-- replica); WITH RECURSIVE corrupts the unrelated v-chain outright
+-- (vkept 8000 → 1983 from the keyword alone). Effective vectors
+-- (batch members carry the reversed upsert embedding) are inlined
+-- per join side.
+rrev AS (SELECT dst AS node_id, src AS cand_id FROM dkept),
+raff AS (SELECT DISTINCT node_id FROM rrev),
+-- current adjacency of affected residents: the freshly pruned list
+-- for batch members, the stored edge rows otherwise
+rcur AS (
+  SELECT v.src AS node_id, v.dst AS cand_id
+  FROM vedges v JOIN raff a ON a.node_id = v.src
+  WHERE v.src % 11 != 5
+  UNION
+  SELECT k.src AS node_id, k.dst AS cand_id
+  FROM dkept k JOIN raff a ON a.node_id = k.src
+),
+rmerged AS MATERIALIZED (
+  SELECT DISTINCT node_id, cand_id FROM (
+    SELECT node_id, cand_id FROM rcur
+    UNION ALL
+    SELECT node_id, cand_id FROM rrev
+  )
+),
+rscored AS MATERIALIZED (
+  SELECT m.node_id, m.cand_id,
+         ({_sql_cos("nv.embedding", "cv.embedding")}) AS score
+  FROM rmerged m
+  JOIN (SELECT vec_id, CASE WHEN vec_id % 11 = 5 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+        FROM embeddings) nv ON nv.vec_id = m.node_id
+  JOIN (SELECT vec_id, CASE WHEN vec_id % 11 = 5 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+        FROM embeddings) cv ON cv.vec_id = m.cand_id
+),
+rdeg AS MATERIALIZED (
+  SELECT node_id, count(*) AS deg FROM rscored GROUP BY node_id
+),
+rwithin AS (
+  SELECT s.node_id AS src, s.cand_id AS dst
+  FROM rscored s JOIN rdeg d ON d.node_id = s.node_id AND d.deg <= {VAMANA_DEGREE}
+),
+rpool AS MATERIALIZED (
+  SELECT node_id, cand_id, score, CAST(r - 1 AS BIGINT) AS j,
+         (CAST(1 AS BIGINT) << CAST(r - 1 AS INT)) AS bit
+  FROM (
+    SELECT s.node_id, s.cand_id, s.score,
+      row_number() OVER (PARTITION BY s.node_id
+        ORDER BY s.score DESC, s.cand_id) AS r
+    FROM rscored s JOIN rdeg d ON d.node_id = s.node_id AND d.deg > {VAMANA_DEGREE}
+  ) WHERE r <= {VAMANA_L}
+),
+rocc AS MATERIALIZED (
+  SELECT i.node_id, j.j, CAST(sum(i.bit) AS BIGINT) AS occ
+  FROM rpool i
+  JOIN rpool j ON j.node_id = i.node_id AND i.j < j.j
+  JOIN (SELECT vec_id, CASE WHEN vec_id % 11 = 5 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+        FROM embeddings) iv ON iv.vec_id = i.cand_id
+  JOIN (SELECT vec_id, CASE WHEN vec_id % 11 = 5 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+        FROM embeddings) jv ON jv.vec_id = j.cand_id
+  WHERE CAST({VAMANA_ALPHA2} AS DOUBLE)
+          * (2.0 - 2.0 * ({_sql_cos("iv.embedding", "jv.embedding")}))
+        <= (2.0 - 2.0 * j.score)
+  GROUP BY i.node_id, j.j
+),
+relems AS MATERIALIZED (
+  SELECT p.node_id, p.j,
+         p.bit * {_ENC} + coalesce(o.occ, CAST(0 AS BIGINT)) AS elem
+  FROM rpool p LEFT JOIN rocc o ON o.node_id = p.node_id AND o.j = p.j
+),
+rpiv AS MATERIALIZED (
+  SELECT node_id,
+         {pivot_cols}
+  FROM relems GROUP BY node_id
+),
+{unrolled},
+rkept AS (
+  SELECT p.node_id AS src, p.cand_id AS dst
+  FROM rpool p
+  JOIN racc{VAMANA_L - 1} f ON f.node_id = p.node_id
+  WHERE ((f.acc % {_CNT}) & p.bit) != 0
 )
-SELECT DISTINCT src, dst FROM (
-  SELECT src, dst FROM dkept
-  UNION ALL
-  SELECT dst AS src, src AS dst FROM dkept
+SELECT src, dst FROM (
+  SELECT k.src, k.dst FROM dkept k
+  WHERE k.src NOT IN (SELECT node_id FROM raff)
+  UNION ALL SELECT src, dst FROM rwithin
+  UNION ALL SELECT src, dst FROM rkept
 )
 """
 
