@@ -92,13 +92,13 @@ def filtered_ivf_topk(
     return topk_per_query(cand, k, ascending=False, salted=False)
 
 
-#: selectivity threshold for filtered-ANN routing (ACORN-style
-#: strategy choice, Patel et al. SIGMOD 2024 — public method): below
-#: it, pre-filter + exact scan over survivors wins (perfect recall,
-#: cost q·s·N); above it, post-filtered IVF probing wins (index
-#: pruning pays once survivors populate the probed cells). The
-#: crossover on the fixture is measured in reports/FILTER_ROUTING.md.
-ROUTE_SELECTIVITY = 0.05
+#: safety factor on the derived routing crossover: the post-filter
+#: route is taken only when the EXPECTED number of predicate
+#: survivors inside the probed cells, s·N·nprobe/cells, is at least
+#: ``fill_factor·K`` — i.e. the probed stream is expected to fill the
+#: result. 1.0 is the neutral break-even from the derivation in
+#: reports/FILTER_ROUTING.md; raise it to demand recall headroom.
+ROUTE_FILL_FACTOR = 1.0
 
 
 def routed_filtered_topk(
@@ -106,37 +106,57 @@ def routed_filtered_topk(
     corpus: DataFrame,
     k: int,
     predicate: Column,
-    threshold: float = ROUTE_SELECTIVITY,
+    fill_factor: float = ROUTE_FILL_FACTOR,
 ) -> tuple[DataFrame, str]:
     """Selectivity-routed filtered top-K: returns ``(result,
     route)`` with route ∈ {"prefilter", "postfilter"}.
 
-    The router reads one statistic — survivor fraction s — and picks
-    the plan a filtered-vector-database would: ``s ≤ threshold`` →
-    pre-filter + exact rank over survivors (the predicate reaches the
-    scan as a PushedFilter; recall exactly 1.0 at cost q·s·N scored
-    pairs — cheaper than probing once s·N ≪ N/nprobe-cells); else →
-    post-filtered IVF probing (``filtered_ivf_topk`` — the index
-    prunes the scan, and enough survivors land in probed cells to
-    fill K). At a selective predicate the post-filter route is both
-    SLOWER per useful candidate and recall-broken (most survivors
-    live outside the probed cells — measured: recall 0.0688 at s≈2%
-    vs the router's 1.0; reports/FILTER_ROUTING.md), which is why
-    the routing statistic, not a fixed plan, must decide.
+    The router picks the plan a filtered-vector-database would
+    (ACORN-style strategy choice, Patel et al. SIGMOD 2024 — public
+    method) from the DERIVED crossover rather than a fixed constant
+    (r10 ADVICE/VERDICT #3): post-filtered IVF probing can only fill
+    K when the probed cells are expected to carry enough predicate
+    survivors, E = s·N·nprobe/cells. Route:
 
-    The two counts are scan-light aggregates memoized per (session,
-    corpus, predicate) — the role catalog statistics play in a
-    production planner."""
+    * ``E < fill_factor·k`` → pre-filter + exact rank over survivors
+      (the predicate reaches the scan as a PushedFilter; recall
+      exactly 1.0 at cost q·s·N scored pairs — and at this regime
+      s·N is small by construction);
+    * ``E ≥ fill_factor·k`` → post-filtered IVF probing
+      (``filtered_ivf_topk`` — the index prunes the scan and the
+      probed stream is expected to fill K).
+
+    With the engine's stride-``IVF_STRIDE`` centroid policy the
+    crossover is N-independent — E = s·nprobe·(N/cells) =
+    s·nprobe·IVF_STRIDE — so the same rule holds at any corpus size;
+    a hard-coded selectivity constant is wrong the moment nprobe,
+    the centroid policy, or K changes (it was only correct for
+    nprobe/cells = 3/80, K = 20). At a selective predicate the
+    post-filter route is recall-broken, not just slower: measured
+    recall 0.0688 at s≈2% (E≈1.7 ≪ K) vs the router's 1.0, and at
+    the mid-selectivity disagreement point s≈10% (E≈7 < K=20) the
+    old 5% rule still picks the broken route
+    (``tests/test_vectordb.py``; reports/FILTER_ROUTING.md).
+
+    The statistics (N, survivor count, cell count) are scan-light
+    aggregates memoized per (session, corpus, predicate) — the role
+    catalog statistics play in a production planner. At 100 TB, N
+    and the survivor count come from partition/footer statistics
+    (row counts + predicate min/max pruning) and the cell count is
+    an index-catalog property; none requires a data scan."""
     from ..session import session_cache
+    from .simsearch import IVF_NPROBE, ivf_centroids
 
     cache = session_cache(corpus.sparkSession, "filter_route_stats")
     key = (id(corpus), str(predicate))
     if key not in cache:
         n = corpus.count()
-        s = corpus.where(predicate).count()
-        cache[key] = (corpus, s / max(n, 1))
-    sel = cache[key][1]
-    if sel <= threshold:
+        surv = corpus.where(predicate).count()
+        cells = ivf_centroids(corpus).count()
+        cache[key] = (corpus, n, surv, cells)
+    _, n, surv, cells = cache[key]
+    expected_probed_survivors = surv * IVF_NPROBE / max(cells, 1)
+    if expected_probed_survivors < fill_factor * k:
         return filtered_topk(queries, corpus, k, predicate, metric="cosine"), "prefilter"
     return filtered_ivf_topk(queries, corpus, k, predicate), "postfilter"
 

