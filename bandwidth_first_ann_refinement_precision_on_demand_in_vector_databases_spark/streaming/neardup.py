@@ -27,6 +27,18 @@ build twin of ``registry_dedup.dedup_incremental`` (VERDICT r09 #4):
   equals the one-shot batch form :func:`neardup_decisions` —
   ``tests/test_streaming.py`` proves it, and the DuckDB oracle
   replays the batch form in plain SQL.
+* **The ordering contract is ENFORCED, not assumed** (r11, VERDICT
+  r10 #5): each micro-batch asserts its arrivals' min doc_id exceeds
+  the max PREVIOUSLY-ARRIVED doc_id (from the decision log — the
+  existing corpus carries no arrival order and is exempt) and fails
+  the query loud otherwise. Real out-of-order CDC needs a watermark
+  reorder buffer upstream; silently computing a log that no longer
+  equals the batch form is the one behavior this operator refuses.
+* **Restart-safe sinks** (r11, r10 ADVICE): every sink (decisions,
+  bands, shingles) is partitioned by ``batch_id`` and written with
+  dynamic partition overwrite, so a micro-batch retried after a
+  mid-batch failure REPLACES its own partitions instead of
+  double-appending — exactly-once per batch_id.
 """
 
 from __future__ import annotations
@@ -73,18 +85,30 @@ def _verified_pairs(
     )
 
 
+def _write_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch sink: the rows land in the ``batch_id``
+    partition under dynamic overwrite, so a retried batch replaces its
+    own output instead of appending a second copy."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def init_neardup_store(
     existing: DataFrame, store_path: str, n: int = 3
 ) -> None:
     """Materialize the existing corpus's sketch store: band rows and
     shingle index — the artifacts ``minhash_signatures`` /
     ``shingle_index`` already define, written once as the stream's
-    starting state."""
+    starting state (partition ``batch_id = -1``; arriving batches add
+    their own partitions)."""
     bands = minhash_band_buckets(minhash_signatures(existing, n))
-    bands.write.mode("overwrite").parquet(f"{store_path}/bands")
-    shingle_index(existing, n).write.mode("overwrite").parquet(
-        f"{store_path}/shingles"
-    )
+    _write_partition(bands, f"{store_path}/bands", -1)
+    _write_partition(shingle_index(existing, n), f"{store_path}/shingles", -1)
 
 
 def start_neardup_ingest(
@@ -96,62 +120,15 @@ def start_neardup_ingest(
 ):
     """Start the foreachBatch near-dup ingest of a ``(doc_id, text)``
     stream against the sketch store at ``store_path``. Each
-    micro-batch: sketch the arrivals, band-join against the store and
-    within the batch, verify candidates at exact Jaccard ≥
-    ``threshold``, append the decision log and the arrivals' own
-    sketches. Returns the StreamingQuery (availableNow)."""
+    micro-batch: enforce the ordering contract, sketch the arrivals,
+    band-join against the store and within the batch, verify
+    candidates at exact Jaccard ≥ ``threshold``, and land the decision
+    log and the arrivals' own sketches in the batch's own partition
+    (idempotent under micro-batch retry). Returns the StreamingQuery
+    (availableNow)."""
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        spark = bdf.sparkSession
-        # sketch the arrivals once; both the band join and the verify
-        # read them — localCheckpoint cuts the per-batch lineage
-        b_bands = minhash_band_buckets(
-            minhash_signatures(bdf, n)
-        ).localCheckpoint(eager=True)
-        b_sh = shingle_index(bdf, n).localCheckpoint(eager=True)
-        s_bands = spark.read.parquet(f"{store_path}/bands")
-        s_sh = spark.read.parquet(f"{store_path}/shingles")
-        cand_store = (
-            b_bands.alias("d")
-            .join(s_bands.alias("p"), ["band", "bkey"])
-            .select(F.col("d.id").alias("d_id"), F.col("p.id").alias("p_id"))
-            .distinct()
-        )
-        cand_within = (
-            b_bands.alias("x")
-            .join(b_bands.alias("y"), ["band", "bkey"])
-            .where(F.col("x.id") < F.col("y.id"))
-            .select(F.col("y.id").alias("d_id"), F.col("x.id").alias("p_id"))
-            .distinct()
-        )
-        near = (
-            _verified_pairs(cand_store, b_sh, s_sh, threshold)
-            .select("d_id")
-            .unionByName(
-                _verified_pairs(cand_within, b_sh, b_sh, threshold).select("d_id")
-            )
-            .distinct()
-            .withColumnRenamed("d_id", "doc_id")
-            .withColumn("__n", F.lit(1))
-        )
-        decisions = (
-            bdf.select("doc_id")
-            .join(near, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("__n", F.lit(0)).alias("is_near_dup"),
-                (F.col("__n").isNull()).cast("int").alias("keep"),
-                F.lit(batch_id).alias("batch_id"),
-            )
-        )
-        decisions.write.mode("append").parquet(f"{store_path}/decisions")
-        # arrivals join the store AFTER their own decisions — later
-        # batches (larger ids) see them, their own batch used the
-        # within-batch join above
-        b_bands.write.mode("append").parquet(f"{store_path}/bands")
-        b_sh.write.mode("append").parquet(f"{store_path}/shingles")
+        process_neardup_batch(bdf, batch_id, store_path, n, threshold)
 
     return (
         stream_docs.writeStream.foreachBatch(write_batch)
@@ -159,6 +136,101 @@ def start_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_neardup_batch(
+    bdf: DataFrame,
+    batch_id: int,
+    store_path: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the near-dup ingest — module-level so the
+    guard and the retry idempotency are directly testable.
+
+    Ordering guard (the enforced contract): the batch≡stream equality
+    holds only when "earlier-arrived" ≡ "smaller doc_id", so the
+    arrivals' min doc_id must exceed the max doc_id that already has
+    a decision row. The existing corpus (sketches at batch_id = -1)
+    is exempt — it carries no arrival order, and the decision rule
+    already rejects against existing partners in either id direction.
+    On violation the batch RAISES (failing the streaming query) —
+    out-of-order CDC needs a reorder buffer upstream, not a silently
+    wrong log. At scale the max-arrived id is one parquet footer
+    statistic off the decision log, not a scan."""
+    if bdf.isEmpty():
+        return
+    spark = bdf.sparkSession
+    dec_path = f"{store_path}/decisions"
+    try:
+        prev_max = (
+            spark.read.parquet(dec_path)
+            .where(F.col("batch_id") != batch_id)  # a retry of this batch is fine
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
+    except Exception:  # first batch: no decision log yet
+        prev_max = None
+    batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
+    if prev_max is not None and batch_min <= prev_max:
+        raise ValueError(
+            "near-dup ingest ordering contract violated: batch "
+            f"{batch_id} arrives with min doc_id {batch_min} <= max "
+            f"previously-arrived doc_id {prev_max}; micro-batches must "
+            "be ascending doc_id ranges (reorder upstream or use "
+            "write_ordered_stream_source)"
+        )
+    # sketch the arrivals once; both the band join and the verify
+    # read them — localCheckpoint cuts the per-batch lineage
+    b_bands = minhash_band_buckets(
+        minhash_signatures(bdf, n)
+    ).localCheckpoint(eager=True)
+    b_sh = shingle_index(bdf, n).localCheckpoint(eager=True)
+    s_bands = spark.read.parquet(f"{store_path}/bands").where(
+        F.col("batch_id") != batch_id  # a retry must not see its own sketches
+    )
+    s_sh = spark.read.parquet(f"{store_path}/shingles").where(
+        F.col("batch_id") != batch_id
+    )
+    cand_store = (
+        b_bands.alias("d")
+        .join(s_bands.alias("p"), ["band", "bkey"])
+        .select(F.col("d.id").alias("d_id"), F.col("p.id").alias("p_id"))
+        .distinct()
+    )
+    cand_within = (
+        b_bands.alias("x")
+        .join(b_bands.alias("y"), ["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("y.id").alias("d_id"), F.col("x.id").alias("p_id"))
+        .distinct()
+    )
+    near = (
+        _verified_pairs(cand_store, b_sh, s_sh, threshold)
+        .select("d_id")
+        .unionByName(
+            _verified_pairs(cand_within, b_sh, b_sh, threshold).select("d_id")
+        )
+        .distinct()
+        .withColumnRenamed("d_id", "doc_id")
+        .withColumn("__n", F.lit(1))
+    )
+    decisions = (
+        bdf.select("doc_id")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__n", F.lit(0)).alias("is_near_dup"),
+            (F.col("__n").isNull()).cast("int").alias("keep"),
+        )
+        .localCheckpoint(eager=True)  # decide BEFORE any sink mutates
+    )
+    _write_partition(decisions, dec_path, batch_id)
+    # arrivals join the store AFTER their own decisions — later
+    # batches (larger ids) see them, their own batch used the
+    # within-batch join above
+    _write_partition(b_bands, f"{store_path}/bands", batch_id)
+    _write_partition(b_sh, f"{store_path}/shingles", batch_id)
 
 
 def neardup_decisions(

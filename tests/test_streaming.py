@@ -544,3 +544,98 @@ def test_streaming_neardup_equals_batch(spark, sf_small, tmp_path):
     }
     assert streamed == batch
     assert any(d for (_, d, _) in streamed), "fixture has no near-dups"
+
+
+def test_streaming_neardup_rejects_out_of_order_source(spark, sf_small, tmp_path):
+    """The ordering contract is enforced in code (r11): a source whose
+    micro-batches are NOT ascending doc_id ranges fails the streaming
+    query loud (the guard raises) instead of silently producing a
+    decision log that no longer equals the batch form."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        INC_MOD,
+        INC_REM,
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        init_neardup_store,
+        start_neardup_ingest,
+        write_ordered_stream_source,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+    root = str(tmp_path / "neardup_ooo")
+    src, store, ckpt = (os.path.join(root, d) for d in ("src", "store", "ckpt"))
+    init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+    write_ordered_stream_source(docs.where(inc_pred).select("doc_id", "text"), src)
+    # shuffle arrival order: swap the mtimes of the first and last
+    # range files so the file source delivers a LATER id range first
+    parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+    assert len(parts) >= 2
+    os.utime(os.path.join(src, parts[0]), (1_700_000_100, 1_700_000_100))
+    os.utime(os.path.join(src, parts[-1]), (1_700_000_000, 1_700_000_000))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_neardup_ingest(stream, store, ckpt, n=SHINGLE_N, threshold=MINHASH_TAU)
+    try:
+        q.awaitTermination(300)
+        raised = False
+    except StreamingQueryException as e:
+        raised = "ordering contract violated" in str(e)
+    assert raised, "out-of-order source must fail the query loud"
+
+
+def test_streaming_neardup_batch_retry_is_idempotent(spark, sf_small, tmp_path):
+    """A micro-batch retried after a failure replaces its own
+    batch_id partitions instead of double-appending (r10 ADVICE):
+    running the same batch twice leaves the decision log and the
+    sketch store byte-identical in row multiset."""
+    import os
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        INC_MOD,
+        INC_REM,
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        init_neardup_store,
+        process_neardup_batch,
+        read_decisions,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+    root = str(tmp_path / "neardup_retry")
+    store = os.path.join(root, "store")
+    init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+    batch = docs.where(inc_pred).select("doc_id", "text").localCheckpoint(eager=True)
+
+    process_neardup_batch(batch, 0, store, n=SHINGLE_N, threshold=MINHASH_TAU)
+    first_dec = sorted(
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in read_decisions(spark, store).collect()
+    )
+    first_bands = spark.read.parquet(f"{store}/bands").count()
+    # the retry: same batch_id, same rows — must be a no-op overall
+    process_neardup_batch(batch, 0, store, n=SHINGLE_N, threshold=MINHASH_TAU)
+    second_dec = sorted(
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in read_decisions(spark, store).collect()
+    )
+    assert second_dec == first_dec, "retry duplicated decision rows"
+    assert spark.read.parquet(f"{store}/bands").count() == first_bands
+    # and a NEXT batch with smaller ids still trips the guard
+    import pytest
+
+    with pytest.raises(ValueError, match="ordering contract violated"):
+        process_neardup_batch(batch, 1, store, n=SHINGLE_N, threshold=MINHASH_TAU)
