@@ -2106,10 +2106,19 @@ def _sql_vamana_cushion_extra() -> str:
     base = _sql_graph_cushion_extra()
     vam = ",\n".join(_sql_vamana_ctes(edges_src="gedges")) + ",\n"
     # inject the prune chain right after gedges, and point every walk
-    # round's expansion at the pruned vedges
-    out = base.replace("w0 AS MATERIALIZED (", vam + "w0 AS MATERIALIZED (", 1)
-    return out.replace("JOIN gedges e ON e.src = f.vec_id",
-                       "JOIN vedges e ON e.src = f.vec_id")
+    # round's expansion at the pruned vedges. The anchors are literal
+    # text from _sql_graph_cushion_extra — assert they matched so a
+    # drift there fails loudly at import instead of surfacing later
+    # as a SQL error or a silent oracle mismatch (r10 ADVICE).
+    w0_anchor = "w0 AS MATERIALIZED ("
+    walk_anchor = "JOIN gedges e ON e.src = f.vec_id"
+    assert w0_anchor in base and walk_anchor in base, (
+        "graph-cushion SQL anchors drifted; update _sql_vamana_cushion_extra"
+    )
+    out = base.replace(w0_anchor, vam + w0_anchor, 1)
+    out = out.replace(walk_anchor, "JOIN vedges e ON e.src = f.vec_id")
+    assert "vedges" in out and out != base
+    return out
 
 
 _VAMANA_CUSHION_BODY = duck_oracle.refine_body(
