@@ -2169,3 +2169,151 @@ SELECT src, dst FROM (
 
 SIMSEARCH_QUERIES["ann_vamana_delta_edges"] = q_ann_vamana_delta_edges
 SIMSEARCH_ORACLES["ann_vamana_delta_edges"] = _sql_vamana_delta()
+
+
+# ---------------------------------------------------------------------------
+# Index observability (r11): the catalog-health reads a production
+# vector store serves from index metadata — cell-balance for IVF
+# (skewed cells break the probe-cost model) and degree/connectivity
+# for the graph family (the walk's fan-out budget). At 100 TB these
+# are partition-statistics reads; here they are exact aggregates over
+# the same memoized artifacts the serve paths use.
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_cells, n_empty_cells, min_pop, max_pop, avg_pop,
+    skew): population balance of the IVF cells. ``skew`` =
+    max_pop·n_cells/N — 1.0 is perfectly balanced; the probe-cost
+    model (nprobe·N/cells rows/query) degrades linearly in it.
+    Shares the memoized quantizer with every IVF query."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(corpus)
+    pops = (
+        S.ivf_assign(corpus, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("pop"))
+    )
+    stats = pops.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("pop").cast("long").alias("min_pop"),
+        F.max("pop").cast("long").alias("max_pop"),
+        F.round(F.sum("pop").cast("double") / F.count(F.lit(1)), 6).alias("avg_pop"),
+        F.round(
+            F.max("pop").cast("double") * F.count(F.lit(1)) / F.sum("pop"), 6
+        ).alias("skew"),
+    )
+    n_cent = cents.agg(F.count(F.lit(1)).cast("long").alias("n_centroids"))
+    return (
+        stats.join(F.broadcast(n_cent))
+        .select(
+            "n_cells",
+            (F.col("n_centroids") - F.col("n_cells")).alias("n_empty_cells"),
+            "min_pop",
+            "max_pop",
+            "avg_pop",
+            "skew",
+        )
+    )
+
+
+def _sql_ivf_cell_stats() -> str:
+    km_ctes, km_final = kmeans_sql_ctes(
+        "ckm_pts", "ckm", S.IVF_STRIDE, iters=S.IVF_KMEANS_ITERS,
+        dist2_sql=_sql_dist2,
+    )
+    return f"""
+WITH ckm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+{km_ctes},
+cents AS (SELECT cid AS centroid_id, cvec FROM {km_final}),
+assigned AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_sql_dist2("e.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+pops AS (SELECT cell, CAST(count(*) AS BIGINT) AS pop FROM assigned GROUP BY cell)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       (SELECT CAST(count(*) AS BIGINT) FROM cents) - CAST(count(*) AS BIGINT)
+         AS n_empty_cells,
+       CAST(min(pop) AS BIGINT) AS min_pop,
+       CAST(max(pop) AS BIGINT) AS max_pop,
+       round(CAST(sum(pop) AS DOUBLE) / count(*), 6) AS avg_pop,
+       round(CAST(max(pop) AS DOUBLE) * count(*) / sum(pop), 6) AS skew
+FROM pops
+"""
+
+
+SIMSEARCH_QUERIES["ivf_cell_stats"] = q_ivf_cell_stats
+SIMSEARCH_ORACLES["ivf_cell_stats"] = _sql_ivf_cell_stats()
+
+
+def q_vamana_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_nodes, n_isolated, min_deg, max_deg, avg_deg,
+    n_over_budget): out-degree profile of the stored α-pruned graph —
+    the walk's per-round fan-out budget. ``n_over_budget`` counts
+    nodes past VAMANA_DEGREE (the symmetric closure admits them; the
+    r11 insert path re-prunes them as ingest touches them —
+    ``reports/VAMANA.md`` bounded-build section quantifies the
+    end-state). Shares the memoized edge set with every vamana
+    query."""
+    from .operators.vamana import VAMANA_DEGREE, vamana_edges
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    edges = vamana_edges(corpus, cache_key=f"fixture:{sf_dir}")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+        F.round(F.sum("deg").cast("double") / F.count(F.lit(1)), 6).alias("avg_deg"),
+        F.sum((F.col("deg") > VAMANA_DEGREE).cast("long")).cast("long").alias(
+            "n_over_budget"
+        ),
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    return (
+        stats.join(F.broadcast(n_corpus))
+        .select(
+            "n_nodes",
+            (F.col("n_corpus") - F.col("n_nodes")).alias("n_isolated"),
+            "min_deg",
+            "max_deg",
+            "avg_deg",
+            "n_over_budget",
+        )
+    )
+
+
+def _sql_vamana_degree_stats() -> str:
+    from .operators.vamana import VAMANA_DEGREE
+
+    ctes, _final = _sql_graph_beam_ctes(
+        post_edges_ctes=_sql_vamana_ctes(), edges_name="vedges"
+    )
+    anchor = """vedges AS MATERIALIZED (
+  SELECT src, dst FROM vkept
+  UNION
+  SELECT dst AS src, src AS dst FROM vkept
+)"""
+    assert anchor in ctes, "vamana edge CTE text drifted; update the stats oracle"
+    prefix = ctes[: ctes.index(anchor) + len(anchor)]
+    return f"""
+WITH {prefix},
+vdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM vedges GROUP BY src)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+         - CAST(count(*) AS BIGINT) AS n_isolated,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg,
+       round(CAST(sum(deg) AS DOUBLE) / count(*), 6) AS avg_deg,
+       CAST(sum(CASE WHEN deg > {VAMANA_DEGREE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_budget
+FROM vdeg
+"""
+
+
+SIMSEARCH_QUERIES["vamana_degree_stats"] = q_vamana_degree_stats
+SIMSEARCH_ORACLES["vamana_degree_stats"] = _sql_vamana_degree_stats()
