@@ -203,6 +203,10 @@ def _suite():
         "ann_vamana_cushion_topk",
         "ann_vamana_cushion_metrics",
         "ann_vamana_delta_edges",
+        # r11: index observability (catalog-health aggregates over the
+        # memoized serve artifacts)
+        "ivf_cell_stats",
+        "vamana_degree_stats",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
