@@ -2317,3 +2317,88 @@ FROM vdeg
 
 SIMSEARCH_QUERIES["vamana_degree_stats"] = q_vamana_degree_stats
 SIMSEARCH_ORACLES["vamana_degree_stats"] = _sql_vamana_degree_stats()
+
+
+def q_vamana_reachability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_entries, n_reachable, n_corpus, coverage): the
+    walk-horizon coverage of the stored α-pruned graph — the fraction
+    of the corpus within ``BEAM_ROUNDS`` hops of the stride entry
+    set, i.e. the hard ceiling on what ANY beam walk (any beam width)
+    can ever visit. Coverage < 1 means recall is capped by the graph,
+    not the walk parameters — the connectivity health check a
+    production graph index monitors. BFS = ``BEAM_ROUNDS`` unrolled
+    rounds of (visited ⋈ edges) ∪ visited, joins and distincts only
+    (the CC/label-propagation idiom); each round's frame is bounded
+    by the corpus and checkpointed against lineage doubling."""
+    from .operators.vamana import vamana_edges
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    edges = vamana_edges(corpus, cache_key=f"fixture:{sf_dir}")
+    entries = corpus.where(
+        F.col("vec_id") % S.BEAM_ENTRY_STRIDE == 0
+    ).select(F.col("vec_id").alias("node"))
+    visited = entries.localCheckpoint(eager=True)
+    for _ in range(S.BEAM_ROUNDS):
+        nxt = (
+            visited.join(edges, visited["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+        )
+        visited = (
+            visited.unionByName(nxt).distinct().localCheckpoint(eager=True)
+        )
+    reach = visited.agg(F.count(F.lit(1)).cast("long").alias("n_reachable"))
+    ent = entries.agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
+    corp = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    return (
+        ent.join(F.broadcast(reach))
+        .join(F.broadcast(corp))
+        .select(
+            "n_entries",
+            "n_reachable",
+            "n_corpus",
+            F.round(
+                F.col("n_reachable").cast("double") / F.col("n_corpus"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+def _sql_vamana_reachability_stats() -> str:
+    ctes, _final = _sql_graph_beam_ctes(
+        post_edges_ctes=_sql_vamana_ctes(), edges_name="vedges"
+    )
+    anchor = """vedges AS MATERIALIZED (
+  SELECT src, dst FROM vkept
+  UNION
+  SELECT dst AS src, src AS dst FROM vkept
+)"""
+    assert anchor in ctes, "vamana edge CTE text drifted; update the stats oracle"
+    prefix = ctes[: ctes.index(anchor) + len(anchor)]
+    rounds = [
+        f"rb0 AS (SELECT vec_id AS node FROM embeddings "
+        f"WHERE vec_id % {S.BEAM_ENTRY_STRIDE} = 0)"
+    ]
+    for r in range(1, S.BEAM_ROUNDS + 1):
+        rounds.append(
+            f"""rb{r} AS MATERIALIZED (
+  SELECT node FROM rb{r - 1}
+  UNION
+  SELECT e.dst AS node FROM rb{r - 1} v JOIN vedges e ON e.src = v.node
+)"""
+        )
+    chain = ",\n".join(rounds)
+    last = f"rb{S.BEAM_ROUNDS}"
+    return f"""
+WITH {prefix},
+{chain}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM rb0) AS n_entries,
+       CAST(count(*) AS BIGINT) AS n_reachable,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_corpus,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM embeddings), 6) AS coverage
+FROM {last}
+"""
+
+
+SIMSEARCH_QUERIES["vamana_reachability_stats"] = q_vamana_reachability_stats
+SIMSEARCH_ORACLES["vamana_reachability_stats"] = _sql_vamana_reachability_stats()

@@ -207,6 +207,7 @@ def _suite():
         # memoized serve artifacts)
         "ivf_cell_stats",
         "vamana_degree_stats",
+        "vamana_reachability_stats",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
