@@ -761,74 +761,24 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r11 rotation. VERDICT r10 "Next round" #1: the 49 r06-stale rows
-    # (the refine core + ANN ladder — the engine's heart has not had an
-    # independent driver hash since r06) lead the window; ">=49 of the
-    # r11 window are these rows" is the done criterion. Slot 50 is
-    # ann_vamana_delta_edges, whose SEMANTICS CHANGED this round
-    # (resident-side RobustPrune, VERDICT #2) and therefore needs a
-    # fresh driver row. The r07-stale cohort fills past the window and
-    # leads r12.
-    # -- r06-stale (49): refine core first (shared fixture scans +
-    # -- tuned memos), then exact top-k, then the ANN ladder with
-    # -- topk/recall pairs adjacent (shared session-memoized indexes),
-    # -- then the text/sketch block --
-    "topk_cosine_exact",
-    "topk_l2_exact",
-    "rownorm_unit",
-    "refine_cos_hoeff_topk",
-    "refine_cos_hoeff_metrics",
-    "refine_cos_l1_topk",
-    "refine_cos_l1_metrics",
-    "refine_cos_l1_tuned_metrics",
-    "refine_cos_l2_topk",
-    "refine_cos_l2_metrics",
-    "refine_l2_sym_topk",
-    "refine_l2_sym_metrics",
-    "refine_l2_tz_topk",
-    "refine_l2_tz_metrics",
-    "refine_l2_tz_tuned_metrics",
-    "refine_l2_tz_ekeep_metrics",
-    "refine_l2_tz_compressed_metrics",
-    "refine_l2_hoeff_topk",
-    "refine_l2_hoeff_metrics",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_lsh_topk",
-    "ann_lsh_recall",
-    "ann_ivfbq_topk",
-    "ann_ivfbq_recall",
-    "ann_cascade_topk",
-    "ann_cascade_metrics",
-    "ann_cascade_index_topk",
-    "ann_cascade_cushion_topk",
-    "ann_cascade_cushion_metrics",
-    "ann_mrl_recall_tuned",
-    "ann_mrl_cushion_topk",
-    "ann_mrl_cushion_metrics",
-    "ann_graph_delta_edges",
-    "bpe_merges",
-    "bpe_token_counts",
-    "embedding_covariance",
-    "embedding_pca_top",
-    "embedding_pca_project",
-    "cms_heavy_hitters",
-    "stream_cms_counts",
-    "hll_distinct_tokens",
-    "pii_redact",
-    "sessionize",
-    "global_rank_events",
-    "tfidf_topn",
-    "bloom_decontaminate",
-    "corpus_token_budget",
-    "corpus_dsir_select",
-    # -- CHANGED this round (r11): DiskANN insert now re-prunes
-    # -- residents whose reverse-edge append overflows the degree
-    # -- budget (Subramanya et al. 2019, Alg. 2 step 3) — the output
-    # -- edge set changed, so it needs a fresh driver row --
-    "ann_vamana_delta_edges",
-    # -- fill: the r07-stale cohort (next-oldest, 45 rows) in
-    # -- memo-friendly order; clipped rows lead the r12 rotation --
+    # r12 rotation. VERDICT r11 "Next round" #1: the 3 index-
+    # observability queries (registered after the r11 window ran —
+    # never driver-checked) lead, followed by the 45 r07-stale rows
+    # (the cushion-composition + IVFPQ + streaming-window + TPC-H-head
+    # + text-quality block) in memo-friendly order. Done criterion:
+    # ">=45 of the r07 cohort plus all 3 observability rows green";
+    # after this window no query is older than r08. Queries ADDED
+    # this round (new operators) slot in at the head as they land.
+    # -- never driver-checked (3): first rows due this window.
+    # -- ivf_cell_stats shares the IVF centroid memo with the
+    # -- ann_ivf_cushion_* block below; the two vamana stats share
+    # -- one session-memoized Vamana build --
+    "ivf_cell_stats",
+    "vamana_degree_stats",
+    "vamana_reachability_stats",
+    # -- r07-stale (45), memo-friendly: PQ family first (shared
+    # -- codebook memos), then IVF/LSH cushions, sketches, then the
+    # -- corpus/dedup/text block, relational tail --
     "ann_pq_topk",
     "ann_pq_recall",
     "ann_pq_refined_topk",
