@@ -122,3 +122,27 @@ def test_guard_detects_single_partition_window():
          +- Exchange rangepartitioning(key ASC, 8), [plan_id=3]
             +- FileScan parquet [key]"""
     assert single_partition_sort_windows(ok) == []
+
+
+def test_survey_headline_counts_match_registry():
+    """SURVEY.md is the build contract; its headline query/oracle
+    counts drifted once (r11 closed at 242/237 while the §8 summary
+    line still said 239/234 — VERDICT r11 "What's missing" #5). This
+    pins the summary line to the live registry so it can't drift
+    silently again: update SURVEY.md in the same commit that
+    registers a query."""
+    import os
+
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey, encoding="utf-8") as fh:
+        text = fh.read()
+    m = re.search(r"(\d+) queries, (\d+) oracle-checked", text)
+    assert m, "SURVEY.md headline count line missing"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        f"SURVEY.md says {m.group(1)} queries, registry has "
+        f"{len(registry.QUERIES)} — update the SURVEY.md summary line"
+    )
+    assert int(m.group(2)) == len(registry.ORACLES), (
+        f"SURVEY.md says {m.group(2)} oracle-checked, registry has "
+        f"{len(registry.ORACLES)} — update the SURVEY.md summary line"
+    )
