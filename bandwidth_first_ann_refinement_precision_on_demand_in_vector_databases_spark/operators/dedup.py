@@ -581,3 +581,146 @@ def semantic_dedup(
             (canonical == F.col("vec_id")).cast("int").alias("is_canonical"),
         )
     )
+
+
+#: Exact-substring dedup window length, in tokens. Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") use 50
+#: BPE tokens on real corpora; the word-salad fixture's documents are
+#: 10–99 words, so the default is sized to the fixture while keeping
+#: the operator parametric.
+SUBSTRING_L = 16
+
+
+def substring_dedup(
+    docs: DataFrame,
+    min_len: int = SUBSTRING_L,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, the suffix-array
+    family): per document, the merged token spans covered by some
+    ``min_len``-token window that appears verbatim in at least
+    ``min_docs`` distinct documents — at ANY offset. This is the
+    overlap class both document-level sketches (MinHash/SimHash) and
+    aligned chunking (``curation.dedup_chunks``: non-overlapping
+    16-token windows) miss: a shared 60-token passage starting at
+    offset 3 in one document and offset 11 in another straddles every
+    aligned chunk boundary but is wall-to-wall duplicate windows here.
+
+    Output: ``(doc_id, span_start, span_end, span_tokens)`` with
+    0-based token offsets, ``span_end`` inclusive; overlapping and
+    abutting duplicated windows are merged into maximal spans (the
+    paper's "remove the repeated span" unit).
+
+    Scale shape — the suffix array re-expressed as Spark primitives:
+
+    * **Windowing** is a per-document window function (partitionBy
+      doc_id, L-row frame) over token *hashes*, so the frame holds
+      ``8·L`` bytes per position, never the window text.
+    * **The shuffle is hash-keyed**: grouping travels
+      (window_hash, check_hash, doc_id, offset) ≈ 28 bytes per token
+      position — the same O(total tokens) working set a distributed
+      suffix array needs, with bodies never shuffled.
+    * **Collisions cost a joined re-check, not correctness**: an
+      independently-seeded check hash rides through the aggregate
+      (the ``exact_dedup`` discipline); any window-hash bucket whose
+      rows disagree on it is re-resolved by the exact window text,
+      re-sliced from the source over just the suspect rows. The
+      result therefore equals GROUP BY window-text semantics — which
+      is what the DuckDB oracle runs.
+    * Span merging is one more per-document window pass (lag +
+      running sum islands) — no global sort anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("toks").alias("off", "tok")
+    ).select("doc_id", "off", F.xxhash64("tok").alias("th"))
+
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("off")
+        .rowsBetween(Window.currentRow, min_len - 1)
+    )
+    wins = (
+        tok.select("doc_id", "off", F.collect_list("th").over(frame).alias("arr"))
+        .where(F.size("arr") == min_len)
+        .select(
+            "doc_id",
+            "off",
+            F.xxhash64("arr").alias("wh"),
+            F.xxhash64(F.lit("bfann-substring-check"), F.col("arr")).alias("fp"),
+        )
+    )
+
+    groups = wins.groupBy("wh").agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.count_distinct("fp").alias("nfp"),
+    )
+    clean = groups.where(
+        (F.col("nd") >= min_docs) & (F.col("nfp") == F.lit(1))
+    ).select("wh")
+    suspect = groups.where(F.col("nfp") > 1).select("wh")
+
+    hits = wins.join(clean, "wh", "left_semi").select("doc_id", "off")
+
+    # Suspect buckets (64-bit window-hash collisions — ~never on real
+    # data, but correctness is not probabilistic): re-slice the exact
+    # window text for just those positions and regroup by it.
+    sus_rows = wins.join(suspect, "wh", "left_semi").select("doc_id", "off")
+    sus_text = (
+        sus_rows.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "off",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("off") + 1, min_len)
+            ).alias("win"),
+        )
+    )
+    sus_ok = (
+        sus_text.groupBy("win")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("win")
+    )
+    sus_hits = sus_text.join(sus_ok, "win", "left_semi").select("doc_id", "off")
+
+    covered = hits.unionByName(sus_hits)
+
+    order = Window.partitionBy("doc_id").orderBy("off")
+    prev = F.lag("off").over(order)
+    marked = covered.select(
+        "doc_id",
+        "off",
+        F.when(prev.isNull() | (F.col("off") > prev + min_len), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    islands = marked.select(
+        "doc_id",
+        "off",
+        F.sum("brk")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("g"),
+    )
+    return (
+        islands.groupBy("doc_id", "g")
+        .agg(
+            F.min("off").alias("span_start"),
+            (F.max("off") + F.lit(min_len - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("span_tokens"),
+        )
+    )

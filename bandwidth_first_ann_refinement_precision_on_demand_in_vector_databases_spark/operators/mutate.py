@@ -142,3 +142,103 @@ def compact_cells(
         )
         .select("cell", "n_base_live", "n_upserted", "n_total")
     )
+
+
+#: A cell is over-populated when its population exceeds
+#: ``IVF_SPLIT_FACTOR × IVF_STRIDE``. The stride-seeded quantizer's
+#: average population is ~IVF_STRIDE at ANY corpus size (cells ≈
+#: N/stride), so the threshold is a constant of the centroid policy —
+#: N-independent and embeddable in the SQL twin — not a per-dataset
+#: statistic.
+IVF_SPLIT_FACTOR = 2
+
+
+def ivf_rebalance_parts(
+    corpus: DataFrame, centroids: DataFrame, factor: int = IVF_SPLIT_FACTOR
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(assigned, hot, sub): the rebalance building blocks under a
+    FROZEN outer quantizer — ``assigned`` is the (vec_id, embedding,
+    cell) assignment, ``hot`` the over-populated cell ids, ``sub``
+    the (grp=cell, cid, cvec) within-cell subcentroids trained by the
+    grouped k-means (one independent k-means per hot cell in one
+    job). Exposed separately so a serve path can probe the flattened
+    (unsplit centroids ∪ subcentroids) set."""
+    from pyspark.sql.window import Window
+
+    from .kmeans import KMEANS_ITERS, kmeans_centroids
+    from .simsearch import IVF_STRIDE, embedding_dim, ivf_assign
+
+    assigned = ivf_assign(corpus, centroids)
+    pops = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+    hot = pops.where(F.col("pop") > factor * IVF_STRIDE).select("cell")
+    ranked = assigned.join(F.broadcast(hot), "cell", "left_semi").select(
+        "cell",
+        "vec_id",
+        "embedding",
+        (
+            F.row_number().over(Window.partitionBy("cell").orderBy("vec_id")) - 1
+        ).alias("pid"),
+    )
+    pts = ranked.select(
+        F.col("cell").alias("grp"), "pid", F.col("embedding").alias("pvec")
+    )
+    sub = kmeans_centroids(
+        pts, IVF_STRIDE, KMEANS_ITERS, dim=embedding_dim(corpus)
+    )
+    return assigned, hot, sub
+
+
+def ivf_rebalance(
+    corpus: DataFrame,
+    factor: int = IVF_SPLIT_FACTOR,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell, subcell): the IVF assignment after splitting
+    over-populated cells — the maintenance op ``ivf_cell_stats``'s
+    skew measurement calls for (VERDICT r11 #7). Cells whose
+    population exceeds ``factor·IVF_STRIDE`` are re-clustered WITHIN
+    the cell (k-means over the cell's members, seeded every
+    ``IVF_STRIDE``-th member by local rank — so each split cell lands
+    ~pop/IVF_STRIDE subcells of ~average population); the outer
+    quantizer stays FROZEN, the ``compact_cells`` discipline —
+    re-clustering the whole corpus is a separate rebuild. Pass
+    ``centroids`` to rebalance under a stored quantizer (the
+    production shape: drifted ingest piles into existing cells);
+    default trains/reuses the session-memoized one. Unsplit rows
+    carry ``subcell = -1``.
+
+    Scale shape: hot-cell membership is a broadcast semi-join on the
+    (tiny) hot-cell list; the within-cell k-means is the shared
+    grouped trainer (``operators/kmeans.py``, the PQ-subspace path),
+    whose update shuffle is one row per (cell, subcentroid),
+    independent of N; the final re-assignment broadcasts the
+    subcentroid set. Probe-cost recovery is measured in
+    ``tools/experiment_ivf_rebalance.py`` on a drift-skewed corpus
+    (register-only-if-it-wins evidence).
+    """
+    from ..functions.vector import dist2
+    from .simsearch import ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus)
+    assigned, hot, sub = ivf_rebalance_parts(corpus, centroids, factor)
+    ranked = assigned.join(F.broadcast(hot), "cell", "left_semi")
+    reassigned = (
+        ranked.join(F.broadcast(sub), ranked["cell"] == sub["grp"])
+        .select(
+            "vec_id",
+            "cell",
+            "cid",
+            dist2("embedding", "cvec").alias("__d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("__d2", "cid")).alias("__m"),
+            F.first("cell").alias("cell"),
+        )
+        .select("vec_id", "cell", F.col("__m.cid").cast("int").alias("subcell"))
+    )
+    untouched = assigned.join(F.broadcast(hot), "cell", "left_anti").select(
+        "vec_id", "cell", F.lit(-1).cast("int").alias("subcell")
+    )
+    return untouched.unionByName(reassigned.select("vec_id", "cell", "subcell"))

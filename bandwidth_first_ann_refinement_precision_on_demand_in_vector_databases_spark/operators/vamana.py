@@ -299,16 +299,42 @@ def vamana_delta_edges(
         .select(F.col("src").alias("node_id"), F.col("dst").alias("cand_id"))
     )
     merged = cur.unionByName(rev).distinct()
+    # Contract: every stored edge endpoint must be a corpus member —
+    # an inner join here would silently DROP an edge whose dst id is
+    # missing (e.g. once deletes exist) and undercount the degree the
+    # re-prune decision uses (r11 ADVICE #3). Left joins + in-plan
+    # raise_error keep the check free of extra actions and fail loud
+    # the moment the invariant breaks instead of pruning wrong.
     scored = (
         merged.join(
             eff.select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("nvec")),
             "node_id",
+            "left",
         )
         .join(
             eff.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")),
             "cand_id",
+            "left",
         )
-        .select("node_id", "cand_id", cosine("nvec", "cvec").alias("score"))
+        .select(
+            "node_id",
+            "cand_id",
+            F.when(
+                F.col("nvec").isNull() | F.col("cvec").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("vamana maintenance: edge endpoint absent from "
+                              "corpus (node_id="),
+                        F.col("node_id").cast("string"),
+                        F.lit(", cand_id="),
+                        F.col("cand_id").cast("string"),
+                        F.lit(") — delete support must tombstone edges first"),
+                    )
+                ),
+            )
+            .otherwise(cosine("nvec", "cvec"))
+            .alias("score"),
+        )
         .localCheckpoint(eager=True)  # deg/within/over-pool: three consumers
     )
     deg_over = (

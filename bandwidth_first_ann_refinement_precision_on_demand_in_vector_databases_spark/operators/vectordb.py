@@ -145,14 +145,21 @@ def routed_filtered_topk(
     (row counts + predicate min/max pruning) and the cell count is
     an index-catalog property; none requires a data scan."""
     from ..session import session_cache
-    from .simsearch import IVF_NPROBE, ivf_centroids
+    from .simsearch import IVF_NPROBE, IVF_STRIDE
 
     cache = session_cache(corpus.sparkSession, "filter_route_stats")
     key = (id(corpus), str(predicate))
     if key not in cache:
         n = corpus.count()
         surv = corpus.where(predicate).count()
-        cells = ivf_centroids(corpus).count()
+        # Cell count is a CATALOG property of the stride policy, not a
+        # training result: kmeans seeds every vec_id % IVF_STRIDE == 0
+        # row and empty clusters keep their previous centroid
+        # (operators/kmeans.py), so |cells| == |seed rows| exactly.
+        # Counting seeds keeps quantizer training out of the router —
+        # the prefilter route must not pay a k-means build for an
+        # index it never touches (r11 ADVICE #2).
+        cells = corpus.where(F.col("vec_id") % IVF_STRIDE == 0).count()
         cache[key] = (corpus, n, surv, cells)
     _, n, surv, cells = cache[key]
     expected_probed_survivors = surv * IVF_NPROBE / max(cells, 1)

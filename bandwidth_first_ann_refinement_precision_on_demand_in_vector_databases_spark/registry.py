@@ -769,6 +769,12 @@ _FRONT = [
     # ">=45 of the r07 cohort plus all 3 observability rows green";
     # after this window no query is older than r08. Queries ADDED
     # this round (new operators) slot in at the head as they land.
+    # -- NEW this round (r12): exact-substring dedup (Lee et al.
+    # -- 2022) + the reorder-buffered near-dup ingest — both need
+    # -- their first driver rows --
+    "dedup_substring",
+    "stream_dedup_neardup_reordered",
+    "ivf_rebalance",
     # -- never driver-checked (3): first rows due this window.
     # -- ivf_cell_stats shares the IVF centroid memo with the
     # -- ann_ivf_cushion_* block below; the two vamana stats share

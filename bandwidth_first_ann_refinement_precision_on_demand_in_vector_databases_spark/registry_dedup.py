@@ -530,3 +530,44 @@ WHERE levenshtein(a.p_name, c.p_name) <= 2
 
 DEDUP_QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 DEDUP_ORACLES["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022): merged per-document
+    token spans covered by a 16-token window that appears verbatim in
+    ≥2 distinct documents at ANY offset — the unaligned-overlap class
+    that ``dedup_chunks``'s aligned 16-token chunks and the
+    document-level sketches both miss."""
+    return D.substring_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_substring(L: int) -> str:
+    # Same semantics with string windows: the Spark side groups by a
+    # 64-bit window hash with an exact re-check on collision, which
+    # equals GROUP BY window-text — what this oracle runs directly.
+    return f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+w AS (SELECT doc_id, CAST(i - 1 AS INT) AS off,
+             array_to_string(toks[i:i+{L - 1}], ' ') AS win
+      FROM t, unnest(range(1, len(toks) - {L} + 2)) AS u(i)),
+g AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+h AS (SELECT DISTINCT doc_id, off FROM w JOIN g USING (win)),
+m AS (SELECT doc_id, off,
+             CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY off) IS NULL
+                    OR off > lag(off) OVER (PARTITION BY doc_id ORDER BY off) + {L}
+                  THEN 1 ELSE 0 END AS brk
+      FROM h),
+i AS (SELECT doc_id, off,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY off
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m)
+SELECT doc_id,
+       CAST(min(off) AS INT) AS span_start,
+       CAST(max(off) + {L - 1} AS INT) AS span_end,
+       CAST(max(off) + {L} - min(off) AS INT) AS span_tokens
+FROM i GROUP BY doc_id, grp
+"""
+
+
+DEDUP_QUERIES["dedup_substring"] = q_dedup_substring
+DEDUP_ORACLES["dedup_substring"] = _sql_dedup_substring(D.SUBSTRING_L)

@@ -912,3 +912,67 @@ STREAMING_QUERIES["quantile_float_sketch"] = q_quantile_float_sketch
 STREAMING_ORACLES["quantile_float_sketch"] = SQL_QUANTILE_FLOAT_SKETCH
 STREAMING_QUERIES["quantile_float_merge_halves"] = q_quantile_float_merge_halves
 STREAMING_ORACLES["quantile_float_merge_halves"] = SQL_QUANTILE_FLOAT_MERGE_HALVES
+
+
+def q_stream_dedup_neardup_reordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingest over a SHUFFLED bounded-disorder source
+    (VERDICT r11 #3): the same foreachBatch decision pipeline as
+    ``stream_dedup_neardup``, fed through the watermark reorder
+    buffer (``streaming/neardup.py: process_reordered_batch`` —
+    arrivals buffered in an idempotent store, released to the ordered
+    contract in ascending ``(wm(b−1), wm(b)]`` ranges, final tail
+    flushed). The drained decision log equals the one-shot batch
+    form, so the SAME oracle SQL applies — which is exactly the claim
+    this row checks."""
+    from pyspark.sql import functions as F
+
+    from .registry_dedup import INC_MOD, INC_REM, MINHASH_TAU, SHINGLE_N
+    from .session import session_cache
+    from .streaming.neardup import (
+        NEARDUP_LATENESS,
+        flush_neardup_buffer,
+        init_neardup_store,
+        read_decisions,
+        start_neardup_ingest_reordered,
+        write_disordered_stream_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cache = session_cache(spark, "stream_neardup_reordered_store")
+    if sf_dir not in cache:
+        import os
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="bfann-stream-neardup-reord-")
+        src, store, ckpt = (os.path.join(root, d) for d in ("src", "store", "ckpt"))
+        inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+        init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+        write_disordered_stream_source(
+            docs.where(inc_pred).select("doc_id", "text"), src
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_neardup_ingest_reordered(
+            stream, store, ckpt, n=SHINGLE_N, threshold=MINHASH_TAU,
+            lateness=NEARDUP_LATENESS,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "reordered near-dup stream ingest did not drain within "
+                "300s; decision log is incomplete and will not be served"
+            )
+        flush_neardup_buffer(
+            spark, store, n=SHINGLE_N, threshold=MINHASH_TAU,
+            lateness=NEARDUP_LATENESS,
+        )
+        cache[sf_dir] = store
+    return read_decisions(spark, cache[sf_dir])
+
+
+STREAMING_QUERIES["stream_dedup_neardup_reordered"] = q_stream_dedup_neardup_reordered
+STREAMING_ORACLES["stream_dedup_neardup_reordered"] = _sql_stream_neardup()

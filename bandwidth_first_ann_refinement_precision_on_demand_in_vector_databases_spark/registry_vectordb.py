@@ -2138,3 +2138,114 @@ SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
 
 VECTORDB_QUERIES["ann_filtered_routed_topk"] = q_ann_filtered_routed_topk
 VECTORDB_ORACLES["ann_filtered_routed_topk"] = SQL_ANN_FILTERED_ROUTED_TOPK
+
+
+#: deterministic drift-skew fixture for the rebalance row: ids ≡ 1
+#: (mod 3) re-arrive as NEW vectors (id + 10M) pulled halfway toward
+#: the anchor vector (vec_id 0) — the classic ingest drift that piles
+#: into a frozen quantizer's cells (one cell reaches ~8× the average
+#: at every SF). Midpoints are computed in DOUBLE (exact for float32
+#: inputs), so the Spark and DuckDB replays are bit-identical.
+DRIFT_MOD, DRIFT_REM, DRIFT_ID_OFFSET = 3, 1, 10_000_000
+
+
+def _drifted_corpus(corpus: DataFrame) -> DataFrame:
+    anchor = corpus.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("avec")
+    )
+    base = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    delta = (
+        corpus.where(F.col("vec_id") % DRIFT_MOD == DRIFT_REM)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            (F.col("vec_id") + DRIFT_ID_OFFSET).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                "avec",
+                lambda x, y: (x.cast("double") + y.cast("double")) / 2.0,
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(delta)
+
+
+def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, subcell, pop): the IVF cell populations after splitting
+    over-populated cells under the FROZEN base quantizer (VERDICT r11
+    #7 — the maintenance act the ``ivf_cell_stats`` skew measurement
+    calls for). The corpus is the deterministic drift-skew fixture
+    (one cell at ~8× average population); the hot cell re-clusters
+    into ~pop/IVF_STRIDE subcells via the grouped within-cell k-means
+    (``operators/mutate.py: ivf_rebalance``). Unsplit cells report
+    ``subcell = -1``. Probe-cost recovery is measured in
+    ``tools/experiment_ivf_rebalance.py``."""
+    from .operators.simsearch import ivf_centroids
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    reb = MUT.ivf_rebalance(
+        _drifted_corpus(corpus), centroids=ivf_centroids(corpus)
+    )
+    return reb.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).cast("long").alias("pop")
+    )
+
+
+def _sql_ivf_rebalance() -> str:
+    from .operators.kmeans import KMEANS_ITERS
+    from .operators.mutate import IVF_SPLIT_FACTOR
+    from .operators.simsearch import IVF_STRIDE
+
+    rb_km_ctes, rb_km_final = kmeans_sql_ctes(
+        "rbkm_pts", "rbkm", IVF_STRIDE, iters=KMEANS_ITERS, dist2_sql=_sql_dist2
+    )
+    return f"""
+WITH {SQL_IVF_CTES},
+rb_delta AS (
+  SELECT vec_id + {DRIFT_ID_OFFSET} AS vec_id,
+         list_transform(list_zip(embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)),
+           p -> (CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE)) / 2.0) AS embedding
+  FROM embeddings WHERE vec_id % {DRIFT_MOD} = {DRIFT_REM}),
+rb_corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM rb_delta),
+rb_assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT f.vec_id, f.embedding, c.centroid_id,
+      row_number() OVER (PARTITION BY f.vec_id
+        ORDER BY {_sql_dist2("f.embedding", "c.cvec")} ASC, c.centroid_id ASC) AS r
+    FROM rb_corpus f CROSS JOIN cents c
+  ) WHERE r = 1),
+rb_pops AS (SELECT cell, count(*) AS pop FROM rb_assigned GROUP BY cell),
+rb_hot AS (SELECT cell FROM rb_pops WHERE pop > {IVF_SPLIT_FACTOR * IVF_STRIDE}),
+rb_ranked AS (
+  SELECT a.cell, a.vec_id, a.embedding,
+    CAST(row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) - 1 AS BIGINT)
+      AS pid
+  FROM rb_assigned a JOIN rb_hot USING (cell)),
+rbkm_pts AS (SELECT cell AS grp, pid, embedding AS pvec FROM rb_ranked),
+{rb_km_ctes},
+rb_sub AS (SELECT grp, cid, cvec FROM {rb_km_final}),
+rb_reassigned AS (
+  SELECT vec_id, cell, CAST(cid AS INT) AS subcell FROM (
+    SELECT r.vec_id, r.cell, s.cid,
+      row_number() OVER (PARTITION BY r.vec_id
+        ORDER BY {_sql_dist2("r.embedding", "s.cvec")} ASC, s.cid ASC) AS rn
+    FROM rb_ranked r JOIN rb_sub s ON s.grp = r.cell
+  ) WHERE rn = 1),
+rb_all AS (
+  SELECT vec_id, cell, CAST(-1 AS INT) AS subcell FROM rb_assigned
+  WHERE cell NOT IN (SELECT cell FROM rb_hot)
+  UNION ALL
+  SELECT vec_id, cell, subcell FROM rb_reassigned)
+SELECT cell, subcell, CAST(count(*) AS BIGINT) AS pop
+FROM rb_all GROUP BY cell, subcell
+"""
+
+
+VECTORDB_QUERIES["ivf_rebalance"] = q_ivf_rebalance
+VECTORDB_ORACLES["ivf_rebalance"] = _sql_ivf_rebalance()

@@ -31,9 +31,15 @@ build twin of ``registry_dedup.dedup_incremental`` (VERDICT r09 #4):
   r10 #5): each micro-batch asserts its arrivals' min doc_id exceeds
   the max PREVIOUSLY-ARRIVED doc_id (from the decision log — the
   existing corpus carries no arrival order and is exempt) and fails
-  the query loud otherwise. Real out-of-order CDC needs a watermark
-  reorder buffer upstream; silently computing a log that no longer
+  the query loud otherwise. Silently computing a log that no longer
   equals the batch form is the one behavior this operator refuses.
+* **Bounded-disorder CDC is HANDLED, not just rejected** (r12,
+  VERDICT r11 #3): ``start_neardup_ingest_reordered`` buffers
+  arrivals in an idempotent arrivals store and releases them to the
+  ordered contract in ascending watermark ranges
+  ``(wm(b−1), wm(b)]`` with ``wm = max_seen − lateness`` — the
+  constructive half of the guard. Disorder beyond the declared
+  lateness bound still fails loud.
 * **Restart-safe sinks** (r11, r10 ADVICE): every sink (decisions,
   bands, shingles) is partitioned by ``batch_id`` and written with
   dynamic partition overwrite, so a micro-batch retried after a
@@ -46,6 +52,7 @@ from __future__ import annotations
 import os
 import shutil
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -169,7 +176,14 @@ def process_neardup_batch(
             .agg(F.max("doc_id"))
             .collect()[0][0]
         )
-    except Exception:  # first batch: no decision log yet
+    except AnalysisException as e:
+        # ONLY path-missing means "first batch". Any other read failure
+        # (corrupt footer, permissions, transient FS error) must fail
+        # the query — swallowing it would silently disable the ordering
+        # contract and process the batch against an unseen decision
+        # history (r11 ADVICE #1).
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         prev_max = None
     batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
     if prev_max is not None and batch_min <= prev_max:
@@ -305,3 +319,174 @@ def read_decisions(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(f"{store_path}/decisions").select(
         "doc_id", "is_near_dup", "keep"
     )
+
+
+#: Default lateness bound (in doc_id units) for the reorder buffer:
+#: arrivals may be displaced by at most this much below the maximum
+#: doc_id seen so far. The disordered fixture source is generated
+#: with the same bound, so the buffer's watermark is exactly tight.
+NEARDUP_LATENESS = 100
+
+
+def write_disordered_stream_source(
+    incoming: DataFrame, src_dir: str, n_batches: int = 4, disorder: int = NEARDUP_LATENESS
+) -> None:
+    """Write ``incoming`` docs as ``n_batches`` parquet files in a
+    SHUFFLED-but-bounded arrival order: doc ``x`` arrives at key
+    ``x + j(x)`` with deterministic jitter ``j(x) ∈ [0, disorder)``
+    (Knuth multiplicative hash), so when ``x`` arrives every
+    earlier-arrived id is ``< x + disorder`` — i.e. every arrival
+    satisfies ``doc_id > max_seen - disorder``, the bounded-lateness
+    contract ``start_neardup_ingest_reordered`` buffers against. The
+    plain ordered path's guard REJECTS this source (the r11 fail-loud
+    behavior); the reorder buffer drains it to the same decision log."""
+    rows = sorted(
+        ((r.doc_id + (r.doc_id * 2654435761) % disorder), r.doc_id)
+        for r in incoming.select("doc_id").collect()
+    )
+    ids_by_arrival = [doc_id for _, doc_id in rows]
+    step = max(1, (len(ids_by_arrival) + n_batches - 1) // n_batches)
+    os.makedirs(src_dir, exist_ok=True)
+    tmp_root = src_dir + ".tmp"
+    for b in range(n_batches):
+        chunk = ids_by_arrival[b * step : (b + 1) * step]
+        if not chunk:
+            continue
+        part_dir = os.path.join(tmp_root, f"b{b}")
+        incoming.where(F.col("doc_id").isin(chunk)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"b{b}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+
+def process_reordered_batch(
+    bdf: DataFrame,
+    batch_id: int,
+    store_path: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    lateness: int = NEARDUP_LATENESS,
+) -> None:
+    """One micro-batch of the REORDER-BUFFERED ingest (VERDICT r11
+    #3 — the constructive half of the r11 fail-loud guard): arrivals
+    within a bounded-lateness CDC stream are buffered and released to
+    the ordering contract in ascending id ranges.
+
+    Watermark rule: with every future arrival guaranteed
+    ``doc_id > max_seen − lateness``, the ids at or below
+    ``wm(b) = max(arrivals ≤ b) − lateness`` are complete — no
+    smaller id can still arrive — so batch ``b`` releases exactly the
+    range ``(wm(b−1), wm(b)]`` to :func:`process_neardup_batch`.
+    Ranges ascend with the watermark, so the released stream
+    satisfies the ordered contract by construction, and every id in
+    a released range has already arrived (ids ≤ wm can no longer be
+    in flight), so the drained decision log equals the one-shot batch
+    form — the same batch≡stream property as the ordered path.
+
+    Idempotency: the release set is a DETERMINISTIC function of the
+    arrivals store alone (partitioned by batch_id, dynamic
+    overwrite), never of downstream sink contents — a batch retried
+    after a failure between its sink writes recomputes the identical
+    range and overwrites the same partitions. Deriving "already
+    released" from the decision log instead would lose the
+    bands/shingles of a batch that failed between the decisions and
+    sketch writes.
+
+    Arrivals BELOW the previous watermark violate the declared
+    lateness bound: their range has already been released, so the
+    batch fails loud (the r11 contract) rather than dropping them."""
+    if bdf.isEmpty():
+        return
+    spark = bdf.sparkSession
+    arr_path = f"{store_path}/arrivals"
+    _write_partition(bdf.select("doc_id", "text"), arr_path, batch_id)
+    arrivals = spark.read.parquet(arr_path)
+    prev_max = (
+        arrivals.where(F.col("batch_id") < batch_id)
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    wm_prev = None if prev_max is None else prev_max - lateness
+    if wm_prev is not None:
+        batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
+        if batch_min is not None and batch_min <= wm_prev:
+            raise ValueError(
+                "near-dup reorder buffer lateness bound violated: batch "
+                f"{batch_id} arrives with doc_id {batch_min} <= watermark "
+                f"{wm_prev} (max seen - {lateness}); that id range was "
+                "already released — raise the lateness bound to cover "
+                "the stream's real disorder"
+            )
+    cur = arrivals.where(F.col("batch_id") <= batch_id)
+    wm_cur = cur.agg(F.max("doc_id")).collect()[0][0] - lateness
+    release = cur.where(F.col("doc_id") <= wm_cur)
+    if wm_prev is not None:
+        release = release.where(F.col("doc_id") > wm_prev)
+    release = release.select("doc_id", "text").localCheckpoint(eager=True)
+    if release.isEmpty():
+        return
+    process_neardup_batch(release, batch_id, store_path, n, threshold)
+
+
+def start_neardup_ingest_reordered(
+    stream_docs: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    lateness: int = NEARDUP_LATENESS,
+):
+    """foreachBatch near-dup ingest that accepts bounded-disorder
+    arrival order (see :func:`process_reordered_batch`). After the
+    stream drains, call :func:`flush_neardup_buffer` to release the
+    final above-watermark tail."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        process_reordered_batch(bdf, batch_id, store_path, n, threshold, lateness)
+
+    return (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def flush_neardup_buffer(
+    spark: SparkSession,
+    store_path: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    lateness: int = NEARDUP_LATENESS,
+) -> None:
+    """Release the reorder buffer's tail — the arrivals still above
+    the final watermark — as one last ordered batch. For a finite
+    (drained) stream the tail is complete by definition; on an
+    infinite stream this runs at ingest shutdown. Idempotent: the
+    tail set and its synthetic batch_id are deterministic functions
+    of the arrivals store, so a repeated flush overwrites the same
+    partitions with the same rows."""
+    arr_path = f"{store_path}/arrivals"
+    try:
+        arrivals = spark.read.parquet(arr_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        return  # nothing ever arrived
+    stats = arrivals.agg(
+        F.max("doc_id").alias("max_id"), F.max("batch_id").alias("max_b")
+    ).collect()[0]
+    if stats.max_id is None:
+        return
+    tail = (
+        arrivals.where(F.col("doc_id") > stats.max_id - lateness)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    if tail.isEmpty():
+        return
+    process_neardup_batch(tail, int(stats.max_b) + 1, store_path, n, threshold)

@@ -639,3 +639,221 @@ def test_streaming_neardup_batch_retry_is_idempotent(spark, sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="ordering contract violated"):
         process_neardup_batch(batch, 1, store, n=SHINGLE_N, threshold=MINHASH_TAU)
+
+
+def test_streaming_neardup_corrupt_decision_log_fails_loud(spark, sf_small, tmp_path):
+    """r11 ADVICE #1: a decisions log that EXISTS but cannot be read
+    (corrupt footer here) must fail the batch, not be treated as
+    'first batch' — the old blanket except silently disabled the
+    ordering contract on any read failure."""
+    import os
+
+    import pytest
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        INC_MOD,
+        INC_REM,
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        init_neardup_store,
+        process_neardup_batch,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+    store = str(tmp_path / "neardup_corrupt" / "store")
+    init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+    # plant a decisions dir whose only file is NOT parquet
+    dec = os.path.join(store, "decisions")
+    os.makedirs(dec, exist_ok=True)
+    with open(os.path.join(dec, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    batch = docs.where(inc_pred).select("doc_id", "text").localCheckpoint(eager=True)
+    with pytest.raises(Exception) as exc:
+        process_neardup_batch(batch, 0, store, n=SHINGLE_N, threshold=MINHASH_TAU)
+    # and it must be the read failure surfacing, not the ordering error
+    assert "ordering contract violated" not in str(exc.value)
+
+
+def test_streaming_neardup_reorder_buffer_drains_disordered_source(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r11 #3 (constructive half): a SHUFFLED source with
+    bounded disorder (a) genuinely violates the ordered contract —
+    the plain path's guard rejects it (red) — and (b) drains through
+    the watermark reorder buffer + final flush to the SAME decision
+    log as the one-shot batch form (green)."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        INC_MOD,
+        INC_REM,
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        NEARDUP_LATENESS,
+        flush_neardup_buffer,
+        init_neardup_store,
+        neardup_decisions,
+        read_decisions,
+        start_neardup_ingest,
+        start_neardup_ingest_reordered,
+        write_disordered_stream_source,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+    incoming = docs.where(inc_pred).select("doc_id", "text")
+    root = str(tmp_path / "neardup_reorder")
+    src = os.path.join(root, "src")
+    write_disordered_stream_source(incoming, src)
+
+    # the disorder is real: some later file carries a smaller id than
+    # an earlier file's max
+    parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+    maxima, minima = [], []
+    for p in parts:
+        ids = [r.doc_id for r in spark.read.parquet(os.path.join(src, p)).collect()]
+        maxima.append(max(ids))
+        minima.append(min(ids))
+    assert any(
+        minima[i + 1] <= maxima[i] for i in range(len(parts) - 1)
+    ), "fixture source is not actually disordered"
+
+    schema = spark.read.parquet(src).schema
+
+    # (a) RED: the ordered path rejects the shuffled source
+    store_red = os.path.join(root, "store_red")
+    init_neardup_store(docs.where(~inc_pred), store_red, n=SHINGLE_N)
+    q = start_neardup_ingest(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store_red,
+        os.path.join(root, "ckpt_red"),
+        n=SHINGLE_N,
+        threshold=MINHASH_TAU,
+    )
+    try:
+        q.awaitTermination(300)
+        raised = False
+    except StreamingQueryException as e:
+        raised = "ordering contract violated" in str(e)
+    assert raised, "ordered path must reject the disordered source"
+
+    # (b) GREEN: the reorder buffer drains it to the batch form
+    store = os.path.join(root, "store")
+    init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+    q = start_neardup_ingest_reordered(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store,
+        os.path.join(root, "ckpt"),
+        n=SHINGLE_N,
+        threshold=MINHASH_TAU,
+        lateness=NEARDUP_LATENESS,
+    )
+    assert q.awaitTermination(300), "reordered ingest did not drain"
+    flush_neardup_buffer(
+        spark, store, n=SHINGLE_N, threshold=MINHASH_TAU, lateness=NEARDUP_LATENESS
+    )
+
+    streamed = {
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in read_decisions(spark, store).collect()
+    }
+    batch = {
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in neardup_decisions(
+            docs, INC_MOD, INC_REM, n=SHINGLE_N, threshold=MINHASH_TAU
+        ).collect()
+    }
+    assert streamed == batch
+    # the buffer really released across >1 batch (not one big flush)
+    n_release_batches = (
+        spark.read.parquet(f"{store}/decisions").select("batch_id").distinct().count()
+    )
+    assert n_release_batches >= 2
+
+
+def test_streaming_neardup_reorder_buffer_lateness_violation_fails_loud(
+    spark, sf_small, tmp_path
+):
+    """Disorder beyond the declared lateness bound must raise (the
+    range was already released), never silently drop the arrival."""
+    import os
+
+    import pytest
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        init_neardup_store,
+        process_reordered_batch,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    store = str(tmp_path / "neardup_late" / "store")
+    init_neardup_store(docs.where(F.col("doc_id") < 10), store, n=SHINGLE_N)
+    hi = docs.where(F.col("doc_id") >= 400).select("doc_id", "text")
+    lo = docs.where(F.col("doc_id") < 100).select("doc_id", "text")
+    process_reordered_batch(
+        hi.localCheckpoint(eager=True), 0, store,
+        n=SHINGLE_N, threshold=MINHASH_TAU, lateness=50,
+    )
+    with pytest.raises(ValueError, match="lateness bound violated"):
+        process_reordered_batch(
+            lo.localCheckpoint(eager=True), 1, store,
+            n=SHINGLE_N, threshold=MINHASH_TAU, lateness=50,
+        )
+
+
+def test_streaming_neardup_reordered_release_is_retry_idempotent(
+    spark, sf_small, tmp_path
+):
+    """A retried reordered batch recomputes the IDENTICAL release
+    range from the arrivals store alone — decision log and sketch
+    store are byte-identical in row multiset after the retry."""
+    import os
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_dedup import (
+        INC_MOD,
+        INC_REM,
+        MINHASH_TAU,
+        SHINGLE_N,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.neardup import (
+        init_neardup_store,
+        process_reordered_batch,
+        read_decisions,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    inc_pred = F.col("doc_id") % INC_MOD == INC_REM
+    store = str(tmp_path / "neardup_reorder_retry" / "store")
+    init_neardup_store(docs.where(~inc_pred), store, n=SHINGLE_N)
+    incoming = docs.where(inc_pred).select("doc_id", "text")
+    ids = sorted(r.doc_id for r in incoming.select("doc_id").collect())
+    half = ids[len(ids) // 2]
+    b0 = incoming.where(F.col("doc_id") <= half).localCheckpoint(eager=True)
+    b1 = incoming.where(F.col("doc_id") > half).localCheckpoint(eager=True)
+
+    process_reordered_batch(b0, 0, store, n=SHINGLE_N, threshold=MINHASH_TAU, lateness=20)
+    process_reordered_batch(b1, 1, store, n=SHINGLE_N, threshold=MINHASH_TAU, lateness=20)
+    first = sorted(
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in read_decisions(spark, store).collect()
+    )
+    bands_n = spark.read.parquet(f"{store}/bands").count()
+    # retry the SECOND batch
+    process_reordered_batch(b1, 1, store, n=SHINGLE_N, threshold=MINHASH_TAU, lateness=20)
+    second = sorted(
+        (r.doc_id, r.is_near_dup, r.keep)
+        for r in read_decisions(spark, store).collect()
+    )
+    assert second == first
+    assert spark.read.parquet(f"{store}/bands").count() == bands_n

@@ -217,3 +217,25 @@ def test_vamana_delta_resident_degree_bounded_over_batches(spark, sf_small):
         "resident out-degree grew past the budget under sustained ingest: "
         f"max={max(deg.values())}"
     )
+
+
+def test_delta_edges_dangling_dst_fails_loud(spark):
+    """r11 ADVICE #3: a stored edge whose dst id is absent from the
+    corpus frame must raise, not silently vanish from the resident
+    merge (which would undercount the degree the re-prune decision
+    uses once deletes exist)."""
+    import pytest
+
+    dim = 4
+    base = [(i, [float((i >> b) & 1) for b in range(dim)]) for i in range(8)]
+    corpus = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    # ring adjacency, plus an edge from EVERY node to id 99 which is
+    # NOT in the corpus — whichever residents the insert touches, their
+    # stored adjacency carries a dangling dst
+    ring = [(i, (i + 1) % 8) for i in range(8)] + [(i, 99) for i in range(8)]
+    edges = spark.createDataFrame(ring, "src long, dst long")
+    delta = spark.createDataFrame(
+        [(100, [0.9] * dim)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="endpoint absent from corpus"):
+        V.vamana_delta_edges(delta, corpus, edges, degree=3).collect()

@@ -799,3 +799,48 @@ def test_filtered_routing_derived_crossover_beats_fixed_constant(spark, sf_small
         K,
     ).collect()[0]
     assert rec.recall_at_k < 0.8, rec
+
+
+def test_routing_cell_count_is_catalog_derived_not_trained(spark, sf_small):
+    """r11 ADVICE #2: the router's cell count must come from the
+    stride policy (a catalog property), not from training the
+    quantizer — the prefilter route must never pay a k-means build
+    for an index it doesn't touch. Two halves: (a) the derived count
+    equals the trained quantizer's centroid count exactly (kmeans
+    seeds every vec_id % IVF_STRIDE == 0 row and empty clusters keep
+    their previous centroid, so |cells| == |seeds|); (b) routing a
+    fresh corpus frame leaves the ivf_centroids memo untouched."""
+    from pyspark.sql import functions as F
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        simsearch as S,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        vectordb as V,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.registry_vectordb import (
+        _routed_filter_col,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.session import (
+        session_cache,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    derived = corpus.where(F.col("vec_id") % S.IVF_STRIDE == 0).count()
+    trained = S.ivf_centroids(corpus).count()
+    assert derived == trained
+
+    # a distinct frame (fresh id()) through the prefilter route: the
+    # centroid memo must not grow
+    fresh = load_table(spark, sf_small, "embeddings").where(F.lit(True))
+    memo = session_cache(spark, "ivf_centroids")
+    before = set(memo.keys())
+    _, route = V.routed_filtered_topk(
+        queries_view(spark, sf_small), fresh, 20, _routed_filter_col()
+    )
+    assert route == "prefilter"
+    assert set(memo.keys()) == before, "router trained a quantizer"
