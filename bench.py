@@ -208,6 +208,10 @@ def _suite():
         "ivf_cell_stats",
         "vamana_degree_stats",
         "vamana_reachability_stats",
+        # r12
+        "dedup_substring",
+        "stream_dedup_neardup_reordered",
+        "ivf_rebalance",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan
