@@ -2194,7 +2194,7 @@ def q_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivf_rebalance() -> str:
-    from .operators.kmeans import KMEANS_ITERS
+    from .operators.kmeans import KMEANS_ITERS, kmeans_sql_ctes
     from .operators.mutate import IVF_SPLIT_FACTOR
     from .operators.simsearch import IVF_STRIDE
 
