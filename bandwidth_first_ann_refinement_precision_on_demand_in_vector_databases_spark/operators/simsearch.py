@@ -654,6 +654,39 @@ def centroid_seeded_entries(
     )
 
 
+def walk_reachability(
+    entries: DataFrame,
+    edges: DataFrame,
+    rounds: int = BEAM_ROUNDS,
+) -> DataFrame:
+    """(node): every node within ``rounds`` hops of ``entries`` (one
+    ``node`` column) over the directed ``(src, dst)`` edge frame —
+    the hard ceiling on what ANY beam walk with this entry set and
+    round budget can ever visit, regardless of beam width. BFS =
+    ``rounds`` unrolled rounds of (visited ⋈ edges) ∪ visited, joins
+    and distincts only (the CC/label-propagation idiom); each round's
+    frame is bounded by the graph's node set and checkpointed against
+    lineage doubling.
+
+    The repair lever when coverage < 1 is the ENTRY SET, not the
+    walk: a component none of whose nodes hits the stride predicate
+    is invisible to every query at any beam width, and densifying or
+    offsetting the stride (or adding per-cell medoid entries,
+    :func:`centroid_seeded_entries`) restores coverage without
+    touching the stored graph — property-tested with a planted
+    disconnected component in ``tests/test_simsearch.py``."""
+    visited = entries.select("node").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nxt = (
+            visited.join(edges, visited["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+        )
+        visited = (
+            visited.unionByName(nxt).distinct().localCheckpoint(eager=True)
+        )
+    return visited
+
+
 def graph_centroid_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -2326,10 +2326,8 @@ def q_vamana_reachability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, i.e. the hard ceiling on what ANY beam walk (any beam width)
     can ever visit. Coverage < 1 means recall is capped by the graph,
     not the walk parameters — the connectivity health check a
-    production graph index monitors. BFS = ``BEAM_ROUNDS`` unrolled
-    rounds of (visited ⋈ edges) ∪ visited, joins and distincts only
-    (the CC/label-propagation idiom); each round's frame is bounded
-    by the corpus and checkpointed against lineage doubling."""
+    production graph index monitors (BFS core + the entry-repair
+    lever: :func:`operators.simsearch.walk_reachability`)."""
     from .operators.vamana import vamana_edges
 
     corpus = load_table(spark, sf_dir, "embeddings")
@@ -2337,15 +2335,7 @@ def q_vamana_reachability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = corpus.where(
         F.col("vec_id") % S.BEAM_ENTRY_STRIDE == 0
     ).select(F.col("vec_id").alias("node"))
-    visited = entries.localCheckpoint(eager=True)
-    for _ in range(S.BEAM_ROUNDS):
-        nxt = (
-            visited.join(edges, visited["node"] == edges["src"])
-            .select(F.col("dst").alias("node"))
-        )
-        visited = (
-            visited.unionByName(nxt).distinct().localCheckpoint(eager=True)
-        )
+    visited = S.walk_reachability(entries, edges, S.BEAM_ROUNDS)
     reach = visited.agg(F.count(F.lit(1)).cast("long").alias("n_reachable"))
     ent = entries.agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
     corp = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))

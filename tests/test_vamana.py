@@ -239,3 +239,63 @@ def test_delta_edges_dangling_dst_fails_loud(spark):
     )
     with pytest.raises(Exception, match="endpoint absent from corpus"):
         V.vamana_delta_edges(delta, corpus, edges, degree=3).collect()
+
+
+def test_reachability_stat_catches_planted_disconnected_component(spark):
+    """VERDICT r11 stretch #9: the walk-horizon coverage stat must be
+    load-bearing, not always-1.0. Plant a component that is (a)
+    disconnected in the REAL built graph (two antipodal clusters —
+    every node's top-16 cosine neighbors are in-cluster, so the
+    banded KNN base, the 2-hop pool, and the symmetrized prune all
+    stay inside the component) and (b) invisible to the stride entry
+    predicate (all its ids ≡ 1 mod BEAM_ENTRY_STRIDE). RED: the blind
+    stride walk reports coverage < 1 and reaches zero planted nodes —
+    recall on that component is capped by the ENTRY SET at any beam
+    width. GREEN: augmenting the entries with a sparse offset stride
+    (every 5th planted id — the repair lever documented on
+    ``walk_reachability``) restores coverage 1.0 with the stored
+    graph untouched."""
+    import numpy as np
+
+    stride = S.BEAM_ENTRY_STRIDE
+    dim = 16
+    rng = np.random.default_rng(7)
+    a_ids = [i for i in range(150) if i % stride != 1]
+    b_ids = [1000 + stride * j + 1 for j in range(150)]
+    rows = []
+    for i in a_ids:
+        v = rng.normal(0.0, 0.05, dim)
+        v[0] += 1.0
+        rows.append((i, [float(x) for x in v]))
+    for i in b_ids:
+        v = rng.normal(0.0, 0.05, dim)
+        v[0] -= 1.0
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    edges = V.vamana_edges(corpus, cache_key="planted-disconnect").localCheckpoint(
+        eager=True
+    )
+    # the planted component really is disconnected in the built graph
+    cross = edges.where(
+        ((F.col("src") >= 1000) & (F.col("dst") < 1000))
+        | ((F.col("src") < 1000) & (F.col("dst") >= 1000))
+    ).count()
+    assert cross == 0, f"clusters not separated in the built graph: {cross} edges"
+
+    blind = corpus.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    reached = S.walk_reachability(blind, edges, S.BEAM_ROUNDS)
+    n_total = len(rows)
+    n_blind = reached.count()
+    assert n_blind < n_total, "stat blind to the planted component"
+    assert reached.where(F.col("node") >= 1000).count() == 0
+
+    # repair: sparse offset entries inside the planted residue class
+    # (every 5th planted id) — entry augmentation, graph unchanged
+    extra = corpus.where(F.col("vec_id") % (5 * stride) == 1).select(
+        F.col("vec_id").alias("node")
+    )
+    assert 0 < extra.count() < len(b_ids)
+    repaired = S.walk_reachability(blind.unionByName(extra), edges, S.BEAM_ROUNDS)
+    assert repaired.count() == n_total, "entry augmentation must restore coverage 1.0"

@@ -155,6 +155,10 @@ def main() -> None:
     for queries, queryset in ((qstd, "standard"), (qdrift, "drift_region")):
         for nprobe in (3, 6, 9):
             run(queries, flat_before, members_before, "before", queryset, nprobe, rows)
+        # the split index probes smaller cells — sweep deeper nprobe so
+        # the comparison is at MATCHED recall / matched probed rows,
+        # not matched probe count (which would be apples-to-oranges)
+        for nprobe in (3, 6, 9, 12, 18, 27, 36):
             run(queries, flat_after, members_after, "after", queryset, nprobe, rows)
 
     with open("/root/repo/reports/experiment_ivf_rebalance.csv", "w") as f:
