@@ -298,21 +298,48 @@ def vamana_delta_edges(
         .unionByName(kept.join(F.broadcast(aff_src), "src", "left_semi"))
         .select(F.col("src").alias("node_id"), F.col("dst").alias("cand_id"))
     )
-    merged = cur.unionByName(rev).distinct()
+    merged = cur.unionByName(rev).distinct().localCheckpoint(eager=True)
+    # Restrict the effective-vector frame to the ids the merged pools
+    # actually touch BEFORE attaching vectors. ``merged`` is bounded
+    # (≤ ~2·batch·degree id pairs), so the needed-id frame broadcasts
+    # and the corpus-side restriction is a MAP-SIDE semi join — the
+    # corpus is scanned, never shuffled. Without this, the left joins
+    # below sort-merge against the full N-row ``eff`` (a left join
+    # cannot broadcast its streamed left side, so Spark shuffles BOTH
+    # sides — measured 11→19→89 MB maintenance shuffle at
+    # N=2k/20k/200k in tools/scale_experiment_vamana_delta_100x.py);
+    # with it, ``eff_need`` is itself bounded and broadcasts, leaving
+    # the maintenance pass with zero corpus-width shuffles at any N.
+    need_ids = (
+        merged.select(F.col("node_id").alias("vec_id"))
+        .unionByName(merged.select(F.col("cand_id").alias("vec_id")))
+        .distinct()
+    )
+    # materialized once (bounded rows): both vector-attachment
+    # broadcasts below consume it, and without the checkpoint each
+    # would re-scan the corpus to rebuild it
+    eff_need = eff.join(F.broadcast(need_ids), "vec_id", "left_semi").localCheckpoint(
+        eager=True
+    )
     # Contract: every stored edge endpoint must be a corpus member —
     # an inner join here would silently DROP an edge whose dst id is
     # missing (e.g. once deletes exist) and undercount the degree the
     # re-prune decision uses (r11 ADVICE #3). Left joins + in-plan
     # raise_error keep the check free of extra actions and fail loud
-    # the moment the invariant breaks instead of pruning wrong.
+    # the moment the invariant breaks instead of pruning wrong; the
+    # bounded ``eff_need`` build side broadcasts under a left join.
     scored = (
         merged.join(
-            eff.select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("nvec")),
+            F.broadcast(eff_need).select(
+                F.col("vec_id").alias("node_id"), F.col("embedding").alias("nvec")
+            ),
             "node_id",
             "left",
         )
         .join(
-            eff.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")),
+            F.broadcast(eff_need).select(
+                F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec")
+            ),
             "cand_id",
             "left",
         )

@@ -775,6 +775,11 @@ _FRONT = [
     "dedup_substring",
     "stream_dedup_neardup_reordered",
     "ivf_rebalance",
+    # -- SPANN closure postings (Chen et al. NeurIPS 2021): shares
+    # -- the memoized IVF quantizer with the cushion block below --
+    "ann_spann_topk",
+    "ann_spann_recall",
+    "spann_posting_stats",
     # -- never driver-checked (3): first rows due this window.
     # -- ivf_cell_stats shares the IVF centroid memo with the
     # -- ann_ivf_cushion_* block below; the two vamana stats share

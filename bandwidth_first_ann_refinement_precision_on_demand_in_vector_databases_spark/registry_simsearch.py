@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from .operators import pq as P
 from .operators import simsearch as S
+from .operators import spann as SP
 from .operators.kmeans import kmeans_sql_ctes
 from .operators.topk import exact_topk_fixture_cached
 from .sources.fixtures import (
@@ -2392,3 +2393,179 @@ FROM {last}
 
 SIMSEARCH_QUERIES["vamana_reachability_stats"] = q_vamana_reachability_stats
 SIMSEARCH_ORACLES["vamana_reachability_stats"] = _sql_vamana_reachability_stats()
+
+
+# ---------------------------------------------------------------------------
+# SPANN: closure multi-assignment postings + query-aware probe pruning
+# (operators/spann.py — Chen et al. NeurIPS 2021, public method)
+# ---------------------------------------------------------------------------
+
+def q_ann_spann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN ANN top-K: boundary-replicated postings, dynamically
+    pruned probes. Measured fixture Pareto point: recall 0.925 at the
+    scanned-row budget of IVF nprobe=2 (which reaches 0.79) — see
+    reports/SPANN.md."""
+    out = SP.spann_topk(
+        queries_view(spark, sf_dir), load_table(spark, sf_dir, "embeddings"), ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+def _sql_spann_ctes() -> str:
+    """Replays the full SPANN pipeline: the shared coarse-quantizer
+    training (kmeans_sql_ctes, same stride seeds / Lloyd unroll), the
+    closure assignment (d2 <= dmin * (1+eps)^2, closest-first, capped)
+    on BOTH sides, and the groupBy-max candidate dedup. The squared
+    closure factors are the same Python double literals the Spark side
+    folds in, so the boundary comparisons are bit-identical."""
+    km_ctes, km_final = kmeans_sql_ctes(
+        "spkm_pts", "spkm", S.IVF_STRIDE, iters=S.IVF_KMEANS_ITERS,
+        dist2_sql=_sql_dist2,
+    )
+    f_assign = repr(SP._factor2(SP.SPANN_EPS))
+    f_probe = repr(SP._factor2(SP.SPANN_QEPS))
+    d2_post = _sql_dist2("e.embedding", "c.cvec")
+    d2_probe = _sql_dist2("q.qe", "c.cvec")
+    return f"""
+q AS ({SQL_Q_CTE}),
+spkm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+{km_ctes},
+spcents AS (SELECT cid AS centroid_id, cvec FROM {km_final}),
+spposted AS (
+  SELECT vec_id, embedding, centroid_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+      {d2_post} AS d2,
+      min({d2_post}) OVER (PARTITION BY e.vec_id) AS dmin,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {d2_post} ASC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN spcents c
+  ) WHERE d2 <= dmin * {f_assign} AND r <= {SP.SPANN_MAX_REPLICAS}
+),
+spprobes AS (
+  SELECT query_id, qe, centroid_id AS cell FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+      {d2_probe} AS d2,
+      min({d2_probe}) OVER (PARTITION BY q.query_id) AS dmin,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {d2_probe} ASC, c.centroid_id ASC) AS r
+    FROM q CROSS JOIN spcents c
+  ) WHERE d2 <= dmin * {f_probe} AND r <= {SP.SPANN_NPROBE_MAX}
+),
+spann_cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         max({_sql_cos("p.qe", "a.embedding")}) AS score
+  FROM spprobes p JOIN spposted a ON a.cell = p.cell
+  GROUP BY p.query_id, a.vec_id
+)
+"""
+
+
+SQL_SPANN_CTES = _sql_spann_ctes()
+
+SQL_ANN_SPANN_TOPK = f"""
+WITH {SQL_SPANN_CTES}
+SELECT query_id, rank, neighbor_id, round(score, 6) AS score FROM (
+  SELECT query_id, neighbor_id, score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+  FROM spann_cand
+) WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_spann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries = queries_view(spark, sf_dir)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    ann = SP.spann_topk(queries, corpus, ANN_K)
+    exact = exact_topk_fixture_cached(spark, sf_dir, ANN_K, "cosine")
+    return S.ann_recall(ann, exact, ANN_K)
+
+
+SQL_ANN_SPANN_RECALL = _sql_recall(SQL_SPANN_CTES, "spann_cand")
+
+
+def q_spann_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_postings, n_vectors, avg_replicas, max_replicas,
+    n_cells_used, max_posting, posting_skew): the storage side of the
+    SPANN trade — how much the closure assignment inflates the index
+    (read-path savings are the recall rows' job). ``posting_skew`` =
+    max_posting·cells/total, the probe-cost analogue of
+    ``ivf_cell_stats.skew`` over the REPLICATED postings. Shares the
+    memoized quantizer with the whole IVF family."""
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(corpus)
+    posted = SP.spann_postings(corpus, cents)
+    totals = posted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.countDistinct("vec_id").cast("long").alias("n_vectors"),
+    )
+    per_vec = (
+        posted.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("reps"))
+        .agg(F.max("reps").cast("long").alias("max_replicas"))
+    )
+    per_cell = (
+        posted.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+            F.max("pop").cast("long").alias("max_posting"),
+        )
+    )
+    return (
+        totals.join(F.broadcast(per_vec))
+        .join(F.broadcast(per_cell))
+        .select(
+            "n_postings",
+            "n_vectors",
+            F.round(
+                F.col("n_postings").cast("double") / F.col("n_vectors"), 6
+            ).alias("avg_replicas"),
+            "max_replicas",
+            "n_cells_used",
+            "max_posting",
+            F.round(
+                F.col("max_posting").cast("double")
+                * F.col("n_cells_used")
+                / F.col("n_postings"),
+                6,
+            ).alias("posting_skew"),
+        )
+    )
+
+
+def _sql_spann_posting_stats() -> str:
+    return f"""
+WITH {SQL_SPANN_CTES},
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_postings,
+         CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors
+  FROM spposted
+),
+per_vec AS (
+  SELECT CAST(max(reps) AS BIGINT) AS max_replicas FROM (
+    SELECT vec_id, count(*) AS reps FROM spposted GROUP BY vec_id
+  )
+),
+per_cell AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells_used,
+         CAST(max(pop) AS BIGINT) AS max_posting FROM (
+    SELECT cell, count(*) AS pop FROM spposted GROUP BY cell
+  )
+)
+SELECT n_postings, n_vectors,
+       round(CAST(n_postings AS DOUBLE) / n_vectors, 6) AS avg_replicas,
+       max_replicas, n_cells_used, max_posting,
+       round(CAST(max_posting AS DOUBLE) * n_cells_used / n_postings, 6)
+         AS posting_skew
+FROM totals CROSS JOIN per_vec CROSS JOIN per_cell
+"""
+
+
+SIMSEARCH_QUERIES["ann_spann_topk"] = q_ann_spann_topk
+SIMSEARCH_ORACLES["ann_spann_topk"] = SQL_ANN_SPANN_TOPK
+SIMSEARCH_QUERIES["ann_spann_recall"] = q_ann_spann_recall
+SIMSEARCH_ORACLES["ann_spann_recall"] = SQL_ANN_SPANN_RECALL
+SIMSEARCH_QUERIES["spann_posting_stats"] = q_spann_posting_stats
+SIMSEARCH_ORACLES["spann_posting_stats"] = _sql_spann_posting_stats()

@@ -68,6 +68,13 @@ POINTS = (
     ("l2-tz", 0, None),
     ("l2-tz", 1, None),
     ("l2-tz", 2, None),      # truncation cushion control
+    # Euclidean Hoeffding rungs (r12, VERDICT r11 #8): the paper's
+    # Figs. 11b/12b Euclidean band is ≈50% sign-aware saving on
+    # GloVe/SIFT-style corpora; same δ ladder as the cosine rungs.
+    ("l2-hoeff", 0, 0.9),
+    ("l2-hoeff", 1, 0.9),
+    ("l2-hoeff", 2, 0.9),
+    ("l2-hoeff", 6, 0.7),    # the reference CLI default, l2 form
 )
 
 

@@ -58,6 +58,7 @@ RECALL_QUERIES = [
     "ann_mrl_recall",
     "ann_mrl_recall_tuned",
     "ann_maxsim_recall",
+    "ann_spann_recall",
 ]
 
 

@@ -112,17 +112,29 @@ def main() -> None:
             .select("vec_id", F.reverse("embedding").alias("embedding"))
             .localCheckpoint(eager=True)
         )
-        # inserted-side walk (the only N-dependent part, by design)
-        t1 = time.perf_counter()
+        # inserted-side walk (the only N-dependent part, by design).
+        # Run it TWICE: the first pass pays one-time JVM/codegen/
+        # shuffle-service warm-up (at small N those fixed costs dwarf
+        # the walk itself and made full−walk subtraction go negative);
+        # the second pass is the steady-state wall that is comparable
+        # to the walk embedded in the full operator below.
         q = delta.select(F.col("vec_id").alias("query_id"), "embedding")
-        cand = beam_candidates(q, corpus, edges).where(
-            F.col("vec_id") != F.col("query_id")
-        )
-        kept = V.robust_prune_pool(
-            V.index_pool(cand).localCheckpoint(eager=True), corpus
-        ).localCheckpoint(eager=True)
+
+        def run_walk():
+            cand = beam_candidates(q, corpus, edges).where(
+                F.col("vec_id") != F.col("query_id")
+            )
+            return V.robust_prune_pool(
+                V.index_pool(cand).localCheckpoint(eager=True), corpus
+            ).localCheckpoint(eager=True)
+
+        run_walk().count()  # warm-up, untimed
+        wb0 = shuffle_bytes(spark)
+        t1 = time.perf_counter()
+        kept = run_walk()
         n_kept = kept.count()
         walk_wall = time.perf_counter() - t1
+        wb1 = shuffle_bytes(spark)
         # full operator (walk + resident maintenance)
         sb0 = shuffle_bytes(spark)
         t2 = time.perf_counter()
@@ -142,6 +154,16 @@ def main() -> None:
             "resident_pass_s": round(full_wall - walk_wall, 1),
             "op_shuffle_mb": (
                 round((sb1 - sb0) / 1e6, 1) if sb0 >= 0 and sb1 >= 0 else None
+            ),
+            # maintenance-only shuffle ≈ full op minus one walk (the
+            # full operator embeds the same walk; both deltas measured
+            # on warmed executions) — the batch-bounded claim is about
+            # THIS number, the walk is admitted N-dependent like any
+            # query.
+            "resident_shuffle_mb": (
+                round(((sb1 - sb0) - (wb1 - wb0)) / 1e6, 1)
+                if min(sb0, sb1, wb0, wb1) >= 0
+                else None
             ),
             "out_rows": n_out,
         }
