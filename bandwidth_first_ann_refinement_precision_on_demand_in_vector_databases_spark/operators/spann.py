@@ -198,3 +198,67 @@ def spann_topk(
         .agg(F.max("score").alias("score"))
     )
     return topk_per_query(cand, k, ascending=False, salted=False)
+
+
+def closure_cells_stateless(
+    df: DataFrame,
+    centroid_rows: list,
+    eps: float = SPANN_EPS,
+    max_assign: int = SPANN_MAX_REPLICAS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming twin of :func:`closure_cells` — the SPANN ingest
+    router. The quantizer rides along as a SQL literal (the
+    ``simsearch.assign_cells_stateless`` idiom) and the posting set is
+    computed by a pure projection + generator chain: no join, no
+    aggregation, NO STATE — legal in a streaming append-mode
+    micro-batch as-is.
+
+    Emits one ``(id, *keep_cols, cell)`` row per posting: closure
+    cells (d² within ``(1+eps)²`` of the nearest, closest-first,
+    capped at ``max_assign``) for rows with a vector, and the sentinel
+    ``cell = -1`` for NULL-vector rows (CDC delete tombstones, which
+    have no embedding to route): a delete must mask EVERY replica of
+    its id, so replicating it into guessed cells would be wrong — the
+    serve path's last-wins view reads the tombstone set wholesale and
+    broadcasts it (``streaming/ingest.serve_fresh_topk``), and parking
+    tombstones in one sentinel partition keeps that read cheap.
+
+    The closure factor is the same Python double literal the batch
+    operator folds in, so a row routed here and a row routed by
+    ``closure_cells`` land in identical cells — the batch≡stream
+    property the tests prove."""
+    cents = sorted((int(c), list(map(float, v))) for c, v in centroid_rows)
+    lits = ", ".join(
+        "named_struct('cid', CAST(%d AS BIGINT), 'cvec', array(%s))"
+        % (cid, ", ".join(repr(x) + "D" for x in vec))
+        for cid, vec in cents
+    )
+    d2 = (
+        f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> "
+        f"CAST(x AS DOUBLE) - CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v * v)"
+    )
+    scored = f"transform(array({lits}), c -> named_struct('d2', {d2}, 'cid', c.cid))"
+    keep = [F.col(c) for c in keep_cols]
+    return (
+        df.select(
+            F.col(id_col).alias("id"), *keep, F.expr(scored).alias("__sc")
+        )
+        .select(
+            "id",
+            *keep,
+            F.expr(
+                f"slice(array_sort(filter(__sc, s -> s.d2 <= "
+                f"array_min(__sc).d2 * {_factor2(eps)!r}D)), 1, {int(max_assign)})"
+            ).alias("__sel"),
+        )
+        .select("id", *keep, F.explode_outer("__sel").alias("__s"))
+        .select(
+            "id",
+            *keep,
+            F.coalesce(F.col("__s.cid"), F.lit(-1).cast("long")).alias("cell"),
+        )
+    )

@@ -780,6 +780,7 @@ _FRONT = [
     "ann_spann_topk",
     "ann_spann_recall",
     "spann_posting_stats",
+    "stream_spann_ingest",
     # -- never driver-checked (3): first rows due this window.
     # -- ivf_cell_stats shares the IVF centroid memo with the
     # -- ann_ivf_cushion_* block below; the two vamana stats share

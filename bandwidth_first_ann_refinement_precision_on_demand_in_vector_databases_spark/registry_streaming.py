@@ -976,3 +976,109 @@ def q_stream_dedup_neardup_reordered(spark: SparkSession, sf_dir: str) -> DataFr
 
 STREAMING_QUERIES["stream_dedup_neardup_reordered"] = q_stream_dedup_neardup_reordered
 STREAMING_ORACLES["stream_dedup_neardup_reordered"] = _sql_stream_neardup()
+
+
+def q_stream_spann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN continuous-ingest routing (r12): the same two-wave CDC
+    change stream as ``ann_stream_fresh_topk``, driven through a REAL
+    Structured Streaming foreachBatch query — but routed with the
+    CLOSURE assignment (``spann.closure_cells_stateless``): upserts
+    replicated into every cell within the (1+ε) closure (boundary
+    replication at ingest time, so the served SPANN index never goes
+    stale on boundaries), deletes parked in the sentinel cell = -1
+    tombstone partition. Output is the per-cell shape of the final
+    delta store — (cell, n_rows, n_vecs) ordered — which the DuckDB
+    twin replays in SQL from the change-set definition; valid because
+    routing is a pure per-row projection, so the store's content is
+    independent of how the stream was chopped into micro-batches
+    (``tests/test_streaming.py`` proves batch≡stream directly)."""
+    from pyspark.sql import functions as F
+
+    from .operators.simsearch import ivf_centroids
+    from .session import session_cache
+    from .streaming.ingest import change_stream_fixture, start_spann_delta_ingest
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cache = session_cache(spark, "stream_spann_ingest_store")
+    if sf_dir not in cache:
+        import os
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="bfann-spann-ingest-")
+        src, delta, ckpt = (os.path.join(root, d) for d in ("src", "delta", "ckpt"))
+        change_stream_fixture(corpus).repartition(4).write.parquet(src)
+        rows = [(r.centroid_id, r.cvec) for r in ivf_centroids(corpus).collect()]
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_spann_delta_ingest(stream, rows, delta, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "spann stream ingest did not drain within 300s; "
+                "delta store is incomplete and will not be reported"
+            )
+        cache[sf_dir] = delta
+    store = spark.read.parquet(cache[sf_dir])
+    return (
+        store.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _sql_stream_spann_ingest() -> str:
+    from .operators import spann as SP
+    from .operators.simsearch import IVF_KMEANS_ITERS, IVF_STRIDE
+    from .operators.kmeans import kmeans_sql_ctes
+    from .registry_simsearch import _sql_dist2
+    from .streaming import ingest as I
+
+    km_ctes, km_final = kmeans_sql_ctes(
+        "sskm_pts", "sskm", IVF_STRIDE, iters=IVF_KMEANS_ITERS,
+        dist2_sql=_sql_dist2,
+    )
+    d2 = _sql_dist2("u.embedding", "c.cvec")
+    return f"""
+WITH changes AS (
+  SELECT vec_id, list_reverse(embedding) AS embedding, 'upsert' AS op, 1 AS seq
+  FROM embeddings WHERE vec_id % {I.CHANGE_UP_MOD} = {I.CHANGE_UP_REM}
+  UNION ALL
+  SELECT vec_id, NULL, 'delete', 1
+  FROM embeddings WHERE vec_id % {I.CHANGE_DEL_MOD} = {I.CHANGE_DEL_REM}
+  UNION ALL
+  SELECT vec_id, embedding, 'upsert', 2
+  FROM embeddings WHERE vec_id % {I.RESTORE_MOD} = {I.RESTORE_REM}
+),
+sskm_pts AS (SELECT 0 AS grp, vec_id AS pid, embedding AS pvec FROM embeddings),
+{km_ctes},
+sscents AS (SELECT cid AS centroid_id, cvec FROM {km_final}),
+posted AS (
+  SELECT vec_id, seq, centroid_id AS cell FROM (
+    SELECT u.vec_id, u.seq, c.centroid_id,
+      {d2} AS d2,
+      min({d2}) OVER (PARTITION BY u.vec_id, u.seq) AS dmin,
+      row_number() OVER (PARTITION BY u.vec_id, u.seq
+        ORDER BY {d2} ASC, c.centroid_id ASC) AS r
+    FROM (SELECT * FROM changes WHERE op = 'upsert') u CROSS JOIN sscents c
+  ) WHERE d2 <= dmin * {SP._factor2(SP.SPANN_EPS)!r} AND r <= {SP.SPANN_MAX_REPLICAS}
+),
+allrows AS (
+  SELECT vec_id, cell FROM posted
+  UNION ALL
+  SELECT vec_id, CAST(-1 AS BIGINT) AS cell FROM changes WHERE op = 'delete'
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+FROM allrows GROUP BY cell ORDER BY cell
+"""
+
+
+STREAMING_QUERIES["stream_spann_ingest"] = q_stream_spann_ingest
+STREAMING_ORACLES["stream_spann_ingest"] = _sql_stream_spann_ingest()

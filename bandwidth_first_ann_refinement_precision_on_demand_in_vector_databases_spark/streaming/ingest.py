@@ -144,3 +144,52 @@ def change_stream_fixture(corpus: DataFrame) -> DataFrame:
         F.lit(2).alias("seq"),
     )
     return up1.unionByName(del1).unionByName(up2)
+
+
+def start_spann_delta_ingest(
+    stream_df: DataFrame,
+    centroid_rows: list,
+    delta_path: str,
+    checkpoint_path: str,
+    eps: float | None = None,
+    max_assign: int | None = None,
+):
+    """SPANN twin of :func:`start_delta_ingest`: each micro-batch's
+    UPSERTS are routed to every closure cell (boundary replication —
+    ``operators/spann.closure_cells_stateless``, the same no-join/
+    no-state literal projection, now emitting one posting row per
+    assigned cell), DELETES to the sentinel ``cell = -1`` partition
+    (a tombstone must mask every replica; the serve path broadcasts
+    the tombstone set wholesale, so guessing the old postings' cells
+    is both impossible — the delete carries no embedding — and
+    unnecessary). Appends stay cell-partitioned: at 100 TB each
+    micro-batch touches only its own cells' directories, exactly as
+    the single-assignment ingest does, with write volume scaled by
+    the measured ~1.9× closure inflation."""
+    from ..operators import spann as SP
+
+    kwargs = {}
+    if eps is not None:
+        kwargs["eps"] = eps
+    if max_assign is not None:
+        kwargs["max_assign"] = max_assign
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        routed = SP.closure_cells_stateless(
+            bdf, centroid_rows, keep_cols=("embedding", "op", "seq"), **kwargs
+        ).select(
+            F.col("id").alias("vec_id"),
+            "embedding",
+            "op",
+            "seq",
+            F.lit(batch_id).alias("batch_id"),
+            "cell",
+        )
+        routed.write.mode("append").partitionBy("cell").parquet(delta_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

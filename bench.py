@@ -212,6 +212,12 @@ def _suite():
         "dedup_substring",
         "stream_dedup_neardup_reordered",
         "ivf_rebalance",
+        # r12: SPANN closure-posting family (shares the memoized IVF
+        # quantizer with the cushion block above)
+        "ann_spann_topk",
+        "ann_spann_recall",
+        "spann_posting_stats",
+        "stream_spann_ingest",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

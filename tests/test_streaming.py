@@ -857,3 +857,98 @@ def test_streaming_neardup_reordered_release_is_retry_idempotent(
     )
     assert second == first
     assert spark.read.parquet(f"{store}/bands").count() == bands_n
+
+
+def test_streaming_spann_closure_routing_equals_batch(spark, sf_small, tmp_path):
+    """SPANN continuous ingest (r12): the stateless closure router
+    (quantizer as a literal, posting set as a pure projection +
+    generator — no join, no state) over a multi-batch stream emits
+    exactly the batch ``closure_cells`` posting set of the same rows,
+    replication included."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        spann as SP,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_centroids,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    cents = ivf_centroids(corpus)
+    rows = [(r.centroid_id, r.cvec) for r in cents.collect()]
+    newdir = str(tmp_path / "spann_ingest")
+    batch_src = corpus.where(F.col("vec_id") % 10 == 3)
+    batch_src.repartition(4).write.mode("overwrite").parquet(newdir)
+    schema = spark.read.parquet(newdir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(newdir)
+    )
+    q = (
+        SP.closure_cells_stateless(stream, rows)
+        .writeStream.format("memory")
+        .queryName("mem_spann_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.id, r.cell) for r in spark.table("mem_spann_ingest").collect()
+    }
+    expected = {
+        (r.vec_id, r.cell)
+        for r in SP.closure_cells(
+            spark.read.parquet(newdir), cents, SP.SPANN_EPS, SP.SPANN_MAX_REPLICAS
+        ).collect()
+    }
+    assert streamed == expected
+    assert len(streamed) > batch_src.count()  # replication actually happened
+
+
+def test_spann_ingest_routes_deletes_to_sentinel(spark, sf_small, tmp_path):
+    """CDC delete rows carry no embedding, so the closure router must
+    not drop them (an inner explode would) nor guess cells: each lands
+    exactly once in the sentinel cell -1 tombstone partition, and the
+    final store is invariant to how the stream was chopped."""
+    import os
+
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_centroids,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.streaming.ingest import (
+        change_stream_fixture,
+        start_spann_delta_ingest,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    rows = [(r.centroid_id, r.cvec) for r in ivf_centroids(corpus).collect()]
+    changes = change_stream_fixture(corpus)
+    n_deletes = changes.where(F.col("op") == "delete").count()
+    assert n_deletes > 0
+    stats = {}
+    for label, mfpt in (("chopped", 1), ("whole", 100)):
+        src = str(tmp_path / f"src_{label}")
+        delta = str(tmp_path / f"delta_{label}")
+        ckpt = str(tmp_path / f"ckpt_{label}")
+        changes.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", mfpt)
+            .parquet(src)
+        )
+        q = start_spann_delta_ingest(stream, rows, delta, ckpt)
+        assert q.awaitTermination(180)
+        store = spark.read.parquet(delta)
+        dels = store.where(F.col("op") == "delete")
+        assert dels.count() == n_deletes
+        assert {r.cell for r in dels.select("cell").distinct().collect()} == {-1}
+        stats[label] = sorted(
+            (r.cell, r.n)
+            for r in store.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert os.path.isdir(os.path.join(delta, "cell=-1"))
+    assert stats["chopped"] == stats["whole"]
