@@ -781,6 +781,7 @@ _FRONT = [
     "ann_spann_recall",
     "spann_posting_stats",
     "stream_spann_ingest",
+    "ann_spann_index_topk",
     # -- never driver-checked (3): first rows due this window.
     # -- ivf_cell_stats shares the IVF centroid memo with the
     # -- ann_ivf_cushion_* block below; the two vamana stats share

@@ -2569,3 +2569,30 @@ SIMSEARCH_QUERIES["ann_spann_recall"] = q_ann_spann_recall
 SIMSEARCH_ORACLES["ann_spann_recall"] = SQL_ANN_SPANN_RECALL
 SIMSEARCH_QUERIES["spann_posting_stats"] = q_spann_posting_stats
 SIMSEARCH_ORACLES["spann_posting_stats"] = _sql_spann_posting_stats()
+
+
+def q_ann_spann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path twin of ``ann_spann_topk``: the replicated posting
+    lists are WRITTEN once partitioned by cell
+    (``layout.write_spann_postings``) and the dynamically pruned probe
+    list drives a partition-pruned scan — most queries open ONE
+    directory thanks to boundary replication (`reports/SPANN.md`).
+    Shares the in-session oracle by result identity."""
+    from .sources.layout import spann_topk_from_store, write_spann_postings
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    path = _index_store_path(
+        spark, sf_dir, "spann-postings", lambda p: write_spann_postings(corpus, p)
+    )
+    cents = S.ivf_centroids(corpus)
+    out = spann_topk_from_store(
+        spark, path, queries_view(spark, sf_dir), cents, ANN_K
+    )
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )
+
+
+SIMSEARCH_QUERIES["ann_spann_index_topk"] = q_ann_spann_index_topk
+#: identical results to the in-session build by construction
+SIMSEARCH_ORACLES["ann_spann_index_topk"] = SQL_ANN_SPANN_TOPK

@@ -379,3 +379,58 @@ def read_rabitq_index(spark: SparkSession, path: str) -> DataFrame:
     keeps the scalar as DOUBLE for hash-exactness); ``ReadSchema``
     shows no vector column."""
     return spark.read.parquet(f"{path}/codes")
+
+
+def write_spann_postings(corpus: DataFrame, out_path: str) -> None:
+    """Materialize the SPANN posting store partitioned by cell — the
+    replicated write-side of the closure trade (~1.9× rows at the
+    registered operating point, `reports/SPANN.md`). Same sorted
+    dynamic-partition discipline as :func:`write_cell_partitioned`
+    (one open writer per task — O(1) memory in cell count at scale);
+    the probed serve scan opens only the probed cells' directories,
+    and thanks to boundary replication most queries probe ONE."""
+    from ..operators.spann import spann_postings
+
+    cents = ivf_centroids(corpus)
+    posted = spann_postings(corpus, cents)
+    (
+        posted.repartition("cell")
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_path)
+    )
+
+
+def spann_topk_from_store(
+    spark: SparkSession,
+    store_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+) -> DataFrame:
+    """SPANN top-K served from the stored posting lists: dynamically
+    pruned probes (coordinator-side routing over the broadcast-sized
+    quantizer — q·nprobe ints) drive a PARTITION-PRUNED scan of the
+    replicated postings; a vector reached via two replicas dedups by
+    groupBy-max over bit-identical scores (the in-session
+    ``spann_topk`` discipline). Identical result by construction."""
+    from ..functions.vector import cosine
+    from ..operators.spann import spann_probes
+    from ..operators.topk import topk_per_query
+
+    probed = spann_probes(queries, centroids)
+    cells = [r.cell for r in probed.select("cell").distinct().collect()]
+    stored = read_probed_cells(spark, store_path, cells)
+    cand = (
+        F.broadcast(probed)
+        .join(stored, "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qvec", "embedding").alias("score"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("score").alias("score"))
+    )
+    return topk_per_query(cand, k, ascending=False, salted=False)

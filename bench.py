@@ -218,6 +218,7 @@ def _suite():
         "ann_spann_recall",
         "spann_posting_stats",
         "stream_spann_ingest",
+        "ann_spann_index_topk",
     ]
     extra = {}
     # fast vectorized flagship path, benched alongside the SQL plan

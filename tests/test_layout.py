@@ -539,3 +539,36 @@ def test_vamana_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path)
     )
     assert "bkey" not in plan          # no banding in the serve plan
     assert "aggregate(" not in plan    # no prune fold either
+
+
+def test_spann_store_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """The stored SPANN posting lists serve the exact in-session
+    top-K, and the probed scan is partition-pruned (only the probed
+    cells' directories open)."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
+        spann as SP,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        ivf_centroids,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+        queries_view,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.layout import (
+        spann_topk_from_store,
+        write_spann_postings,
+    )
+
+    corpus = load_table(spark, sf_small, "embeddings")
+    q = queries_view(spark, sf_small)
+    path = str(tmp_path / "spann")
+    write_spann_postings(corpus, path)
+    cents = ivf_centroids(corpus)
+    served = spann_topk_from_store(spark, path, q, cents, 20)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    insession = SP.spann_topk(q, corpus, 20)
+    a = {(r.query_id, r.rank, r.neighbor_id) for r in served.collect()}
+    b = {(r.query_id, r.rank, r.neighbor_id) for r in insession.collect()}
+    assert a == b and len(a) > 0
