@@ -106,6 +106,27 @@ def vamana_candidate_pool(corpus: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def prune_batch_pool(
+    pool: DataFrame,
+    corpus: DataFrame,
+    degree: int = VAMANA_DEGREE,
+) -> DataFrame:
+    """:func:`robust_prune_pool` for a BATCH-BOUNDED pool (the insert
+    path): the prune only needs vectors for the pool's candidate ids,
+    so restrict the corpus to them first (map-side broadcast semi
+    join — the id frame is ≤ |delta|·L rows) and broadcast the
+    restricted frame into the re-attachment joins. Without this the
+    prune's two inner joins sort-merge (shuffle) the full N-row
+    corpus per insert batch. The batch BUILD keeps calling
+    :func:`robust_prune_pool` directly — there the pool is O(N·L)
+    and the corpus-side shuffle is the right plan."""
+    need = pool.select(F.col("cand_id").alias("vec_id")).distinct()
+    vecs = corpus.join(F.broadcast(need), "vec_id", "left_semi").localCheckpoint(
+        eager=True
+    )  # both pi/pj attachment joins consume it
+    return robust_prune_pool(pool, F.broadcast(vecs), degree)
+
+
 def robust_prune_pool(
     pool: DataFrame,
     corpus: DataFrame,
@@ -269,7 +290,7 @@ def vamana_delta_edges(
     q = delta.select(F.col("vec_id").alias("query_id"), "embedding")
     cand = beam_candidates(q, corpus, edges)
     cand = cand.where(F.col("vec_id") != F.col("query_id"))
-    kept = robust_prune_pool(
+    kept = prune_batch_pool(
         index_pool(cand).localCheckpoint(eager=True), corpus, degree
     ).localCheckpoint(eager=True)  # rev/cur/output: three consumers
 
@@ -380,7 +401,12 @@ def vamana_delta_edges(
             "score",
         )
     ).localCheckpoint(eager=True)
-    repruned = robust_prune_pool(over_pool, eff, degree)
+    # eff_need already covers every id the over-pool touches (its
+    # node/cand ids are a subset of merged's), so the re-prune's
+    # vector re-attachment joins broadcast the bounded frame instead
+    # of sort-merging the N-row eff (the same left-side-can't-
+    # broadcast defect the scored joins had)
+    repruned = robust_prune_pool(over_pool, F.broadcast(eff_need), degree)
     # affected batch members' kept rows were folded into `cur`; emit
     # the untouched inserted lists plus every resident's new list
     untouched = kept.join(F.broadcast(aff_src), "src", "left_anti")

@@ -124,7 +124,7 @@ def main() -> None:
             cand = beam_candidates(q, corpus, edges).where(
                 F.col("vec_id") != F.col("query_id")
             )
-            return V.robust_prune_pool(
+            return V.prune_batch_pool(
                 V.index_pool(cand).localCheckpoint(eager=True), corpus
             ).localCheckpoint(eager=True)
 

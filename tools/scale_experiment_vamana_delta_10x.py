@@ -114,7 +114,7 @@ def main() -> None:
         cand = beam_candidates(q, corpus, edges).where(
             F.col("vec_id") != F.col("query_id")
         )
-        kept = V.robust_prune_pool(
+        kept = V.prune_batch_pool(
             V.index_pool(cand).localCheckpoint(eager=True), corpus
         ).localCheckpoint(eager=True)
         n_kept = kept.count()
