@@ -103,11 +103,24 @@ def synth_corpus(spark, dim: int, structure: str, seed: int = 47):
 def main() -> None:
     out_csv = sys.argv[1] if len(sys.argv) > 1 else "reports/sweep_highdim_hoeffding.csv"
     structures = sys.argv[2].split(",") if len(sys.argv) > 2 else ["clu", "iso"]
-    spark = get_spark(app_name="highdim-hoeffding")
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.session import (
+        clear_caches,
+    )
+
+    # 8g driver heap + a cache release per (structure, dim): each
+    # dim's memoized refine artifacts (prepared corpus, exact top-K)
+    # are dead weight once its points finish, and at D=1024 the
+    # accumulated caches OOM'd the default heap at the 55th of 110
+    # points (r12 run).
+    spark = get_spark(
+        app_name="highdim-hoeffding",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for structure in structures:
         for dim in DIMS:
+            clear_caches(spark)
             corpus = synth_corpus(spark, dim, structure).localCheckpoint(eager=True)
             queries = corpus.where(corpus.vec_id % STRIDE == 0).select(
                 corpus.vec_id.alias("query_id"), "embedding"
