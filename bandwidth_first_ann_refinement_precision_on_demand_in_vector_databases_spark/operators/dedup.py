@@ -457,7 +457,7 @@ def duplicate_components(
     ).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    edges = sym.distinct().localCheckpoint(eager=True)
+    edges = sym.distinct().localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -488,7 +488,7 @@ def duplicate_components(
                 "id",
                 F.coalesce("l_label", "label").alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]

@@ -145,7 +145,7 @@ def power_iteration(
         )
 
     for _ in range(rounds):
-        w = matvec(v).localCheckpoint(eager=True)
+        w = matvec(v).localCheckpoint(eager=False)
         nrm = _norm_over_pos(w, "w")
         v = (
             w.crossJoin(F.broadcast(nrm))
@@ -159,9 +159,9 @@ def power_iteration(
                 .cast("bigint")
                 .alias("v"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    w_fin = matvec(v).localCheckpoint(eager=True)
+    w_fin = matvec(v).localCheckpoint(eager=False)
     lam = _norm_over_pos(w_fin, "w").select(
         F.floor(F.col("nrm") / F.lit(float(PCA_SCALE))).cast("bigint").alias("lam")
     )

@@ -785,13 +785,13 @@ def lsh_cushion_topk(
     precision-on-demand pays: the K seeds are a small fraction of the
     stream, so the cushion prunes most of the full-precision
     fetches."""
-    from .simsearch import embedding_dim, lsh_signature_bands
+    from .simsearch import embedding_dim, lsh_corpus_bands, lsh_signature_bands
 
     dim = embedding_dim(corpus)
     qb = lsh_signature_bands(
         queries.select("query_id", "embedding"), "embedding", "query_id", dim=dim
     )
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
+    cb = lsh_corpus_bands(corpus, dim=dim)
     cand_ids = (
         qb.alias("q")
         .join(cb.alias("c"), ["band", "bkey"])
@@ -832,8 +832,8 @@ def lsh_multiprobe_cushion_topk(
     from .simsearch import (
         LSH_MULTIPROBE_T,
         embedding_dim,
+        lsh_corpus_bands,
         lsh_multiprobe_bands,
-        lsh_signature_bands,
     )
 
     t = LSH_MULTIPROBE_T if t is None else t
@@ -842,7 +842,7 @@ def lsh_multiprobe_cushion_topk(
         queries.select("query_id", "embedding"), "embedding", "query_id",
         t=t, dim=dim,
     )
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
+    cb = lsh_corpus_bands(corpus, dim=dim)
     cand_ids = (
         qb.alias("q")
         .join(cb.alias("c"), ["band", "bkey"])
@@ -917,7 +917,7 @@ def graph_cushion_topk(
     cand = (
         qs.crossJoin(seeds)
         .select("query_id", "vec_id", dot("redv", "q").alias("red_score"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         w = Window.partitionBy("query_id").orderBy(
             F.col("red_score").desc(), F.col("vec_id").asc()
@@ -944,7 +944,7 @@ def graph_cushion_topk(
             cand.unionByName(scored)
             .groupBy("query_id", "vec_id")
             .agg(F.max("red_score").alias("red_score"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     visited = cand.select("query_id", "vec_id")
     return refine_topk(

@@ -85,10 +85,25 @@ def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     one row at plan-build time (a limit-1 job: the plan-build analog
     of the loaders' header read, ``sources/loaders.py``). Per-row
     dimension *enforcement* stays in the operators' runtime guards
-    (``kmeans``/``pq`` raise on a mismatched row)."""
+    (``kmeans``/``pq`` raise on a mismatched row).
+
+    Memoized per (session, DataFrame, column) — the peek is a Spark
+    JOB, and a registry run re-derives the dim of the same memoized
+    fixture frame dozens of times (every LSH/graph/refine-metrics
+    consumer); the memo entry pins the DataFrame so a recycled
+    ``id()`` can never serve another frame's dim (the session-cache
+    rule). Released with the other memos by ``session.clear_caches``."""
+    from ..session import session_cache
+
+    cache = session_cache(df.sparkSession, "embedding_dim")
+    key = (id(df), vec_col)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
     if row is None or row["d"] is None or int(row["d"]) <= 0:
         raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
+    cache[key] = (df, int(row["d"]))
     return int(row["d"])
 
 
@@ -131,7 +146,31 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Cell assignment: nearest centroid per corpus vector (squared
     L2, ties → smaller centroid_id). Centroids broadcast; the corpus
     streams once — this is the offline index build, and ``cell`` is
-    the storage partition key at scale."""
+    the storage partition key at scale.
+
+    Memoized + persisted per (session, corpus, centroids) — r12: the
+    assignment is the stored cell table of a production index (built
+    once, served by every probe), yet 19 call sites were each
+    re-running the N-row argmin pass; with the quantizer already
+    memoized, every IVF-family consumer now shares one materialized
+    assignment. Both source frames are pinned (recycled-``id()``
+    rule); released by ``session.clear_caches``. Streaming ingest
+    keeps its stateless literal-quantizer twin
+    (``assign_cells_stateless``) — per-batch frames never enter this
+    memo."""
+    from ..session import session_cache
+
+    cache = session_cache(corpus.sparkSession, "ivf_assign")
+    key = (id(corpus), id(centroids))
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
+    out = _ivf_assign_plan(corpus, centroids).persist()
+    cache[key] = ((corpus, centroids), out)
+    return out
+
+
+def _ivf_assign_plan(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = ensure_parallelism(corpus).crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
@@ -334,6 +373,35 @@ def lsh_signature_bands(
     return _lsh_banded_dots(df, vec_col, id_alias, dim).drop("__dots")
 
 
+def lsh_corpus_bands(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_alias: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Memoized + persisted corpus-side :func:`lsh_signature_bands` —
+    the stored LSH bucket table of a production deployment (written
+    once, probed by every query). r12: ten registered LSH queries
+    (plain/multiprobe × topk/recall/cushion/ranking) each re-ran the
+    16-projection corpus pass; they now share one materialized band
+    frame per (session, corpus, column, dim). The query-side band
+    frames stay un-memoized — they are q-row cheap and their source
+    frames are rebuilt per call. Pinned against ``id()`` recycling;
+    released by ``session.clear_caches``."""
+    from ..session import session_cache
+
+    if dim is None:
+        dim = embedding_dim(corpus, vec_col)
+    cache = session_cache(corpus.sparkSession, "lsh_corpus_bands")
+    key = (id(corpus), vec_col, id_alias, dim)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
+    out = lsh_signature_bands(corpus, vec_col, id_alias, dim=dim).persist()
+    cache[key] = (corpus, out)
+    return out
+
+
 #: extra buckets probed per band (flipped lowest-margin bits) —
 #: multi-probe LSH (Lv et al., VLDB 2007). T=2 probes 3 buckets/band.
 LSH_MULTIPROBE_T = 2
@@ -398,7 +466,7 @@ def lsh_multiprobe_topk(
     probes only widen the small side of the shuffle."""
     dim = embedding_dim(corpus)
     qb = lsh_multiprobe_bands(queries, "embedding", "query_id", t=t, dim=dim)
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
+    cb = lsh_corpus_bands(corpus, dim=dim)
     cand_ids = (
         qb.alias("q")
         .join(cb.alias("c"), ["band", "bkey"])
@@ -425,7 +493,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     band/row trade-off exactly as in MinHash LSH."""
     dim = embedding_dim(corpus)
     qb = lsh_signature_bands(queries, "embedding", "query_id", dim=dim)
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id", dim=dim)
+    cb = lsh_corpus_bands(corpus, dim=dim)
     # dedupe on the id pair only — running distinct over rows that
     # carry both embedding arrays shuffles ~16× more bytes for the
     # same result; vectors re-attach after the pair set is small
@@ -454,10 +522,10 @@ def knn_graph(corpus: DataFrame, k: int) -> DataFrame:
     set is deduped on bare ids (vectors re-attach afterwards via
     shuffle joins — at N = corpus size there is no broadcastable
     side), and the per-node rank is the salted two-phase top-K."""
-    # both self-join sides read the band frame: persist so the 16
-    # hyperplane projections run once per vector, not twice (the same
-    # rationale as embedding_neardup_lsh)
-    cb = lsh_signature_bands(corpus, "embedding", "vec_id").persist()
+    # both self-join sides read the band frame: the memoized persisted
+    # corpus band table (one build per session — shared with every LSH
+    # serve query) keeps the 16 hyperplane projections to one pass
+    cb = lsh_corpus_bands(corpus)
     cand_ids = (
         cb.alias("a")
         .join(cb.alias("b"), ["band", "bkey"])
@@ -675,14 +743,20 @@ def walk_reachability(
     :func:`centroid_seeded_entries`) restores coverage without
     touching the stored graph — property-tested with a planted
     disconnected component in ``tests/test_simsearch.py``."""
-    visited = entries.select("node").localCheckpoint(eager=True)
+    # lazy checkpoints: the plan is truncated at the call exactly as
+    # with eager=True (the RDD is cut from the physical plan
+    # immediately), but no per-round driver JOB runs — the final
+    # action materializes every round once, each persisted on first
+    # use. Saves rounds+1 job submissions per walk (r12 measurement:
+    # the eager form paid ~0.3-1s of fixed job overhead per round).
+    visited = entries.select("node").localCheckpoint(eager=False)
     for _ in range(rounds):
         nxt = (
             visited.join(edges, visited["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
         )
         visited = (
-            visited.unionByName(nxt).distinct().localCheckpoint(eager=True)
+            visited.unionByName(nxt).distinct().localCheckpoint(eager=False)
         )
     return visited
 
@@ -806,8 +880,11 @@ def beam_candidates(
     qv = F.broadcast(
         queries.select("query_id", F.col("embedding").alias("qvec"))
     )
+    # lazy checkpoints throughout the walk (see walk_reachability):
+    # identical plan truncation, no eager per-round job — the serve
+    # action materializes each round once.
     if entries is not None:
-        cand = entries.localCheckpoint(eager=True)
+        cand = entries.localCheckpoint(eager=False)
     else:
         seeds = corpus.where(F.col("vec_id") % entry_stride == 0).select(
             "vec_id", F.col("embedding").alias("cvec")
@@ -815,7 +892,7 @@ def beam_candidates(
         cand = (
             qv.crossJoin(F.broadcast(seeds))
             .select("query_id", "vec_id", cosine("qvec", "cvec").alias("score"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     cv = corpus.select("vec_id", F.col("embedding").alias("cvec"))
     for _ in range(rounds):
         w = Window.partitionBy("query_id").orderBy(
@@ -844,7 +921,7 @@ def beam_candidates(
             cand.unionByName(scored)
             .groupBy("query_id", "vec_id")
             .agg(F.max("score").alias("score"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cand
 

@@ -122,7 +122,7 @@ def prune_batch_pool(
     and the corpus-side shuffle is the right plan."""
     need = pool.select(F.col("cand_id").alias("vec_id")).distinct()
     vecs = corpus.join(F.broadcast(need), "vec_id", "left_semi").localCheckpoint(
-        eager=True
+        eager=False
     )  # both pi/pj attachment joins consume it
     return robust_prune_pool(pool, F.broadcast(vecs), degree)
 
@@ -218,7 +218,7 @@ def vamana_kept_edges(
     # encode, kept-edge extraction) — checkpoint it so the 16
     # hyperplane projections and the salted rank run once, and the
     # self-join below stays shallow
-    pool = vamana_candidate_pool(corpus, base).localCheckpoint(eager=True)
+    pool = vamana_candidate_pool(corpus, base).localCheckpoint(eager=False)
     return robust_prune_pool(pool, corpus, degree)
 
 
@@ -291,8 +291,8 @@ def vamana_delta_edges(
     cand = beam_candidates(q, corpus, edges)
     cand = cand.where(F.col("vec_id") != F.col("query_id"))
     kept = prune_batch_pool(
-        index_pool(cand).localCheckpoint(eager=True), corpus, degree
-    ).localCheckpoint(eager=True)  # rev/cur/output: three consumers
+        index_pool(cand).localCheckpoint(eager=False), corpus, degree
+    ).localCheckpoint(eager=False)  # rev/cur/output: three consumers
 
     # ---- resident-side maintenance (Alg. 2 step 3) ----
     batch_ids = delta.select("vec_id").distinct()
@@ -319,7 +319,7 @@ def vamana_delta_edges(
         .unionByName(kept.join(F.broadcast(aff_src), "src", "left_semi"))
         .select(F.col("src").alias("node_id"), F.col("dst").alias("cand_id"))
     )
-    merged = cur.unionByName(rev).distinct().localCheckpoint(eager=True)
+    merged = cur.unionByName(rev).distinct().localCheckpoint(eager=False)
     # Restrict the effective-vector frame to the ids the merged pools
     # actually touch BEFORE attaching vectors. ``merged`` is bounded
     # (≤ ~2·batch·degree id pairs), so the needed-id frame broadcasts
@@ -340,7 +340,7 @@ def vamana_delta_edges(
     # broadcasts below consume it, and without the checkpoint each
     # would re-scan the corpus to rebuild it
     eff_need = eff.join(F.broadcast(need_ids), "vec_id", "left_semi").localCheckpoint(
-        eager=True
+        eager=False
     )
     # Contract: every stored edge endpoint must be a corpus member —
     # an inner join here would silently DROP an edge whose dst id is
@@ -383,7 +383,7 @@ def vamana_delta_edges(
             .otherwise(cosine("nvec", "cvec"))
             .alias("score"),
         )
-        .localCheckpoint(eager=True)  # deg/within/over-pool: three consumers
+        .localCheckpoint(eager=False)  # deg/within/over-pool: three consumers
     )
     deg_over = (
         scored.groupBy("node_id")
@@ -400,7 +400,7 @@ def vamana_delta_edges(
             F.col("cand_id").alias("vec_id"),
             "score",
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # eff_need already covers every id the over-pool touches (its
     # node/cand ids are a subset of merged's), so the re-prune's
     # vector re-attachment joins broadcast the bounded frame instead

@@ -459,12 +459,12 @@ def mmr_rerank(
     # references it at least twice (anti-join + penalty join), and
     # without truncation round r re-executes rounds 1..r−1 per
     # consumer — the same lineage blow-up the CC propagation cuts.
-    cand = cand.localCheckpoint(eager=True)
-    pairs = pairs.localCheckpoint(eager=True)
+    cand = cand.localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint(eager=False)
     selected = (
         argmax(cand.select("query_id", "doc_id", (F.lit(lam) * F.col("rel")).alias("mmr")))
         .select("query_id", F.lit(1).alias("rank"), "doc_id", "mmr")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     p = pairs.select(
@@ -501,7 +501,7 @@ def mmr_rerank(
         )
         selected = selected.unionByName(
             argmax(scored).select("query_id", F.lit(step).alias("rank"), "doc_id", "mmr")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return selected
 
 

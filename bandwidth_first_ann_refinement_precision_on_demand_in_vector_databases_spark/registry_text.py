@@ -989,7 +989,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "cnt",
         F.expr(f"concat_ws(' ', split(w, '')) || ' {BPE_END}'").alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     bests = []
     for rnd in range(BPE_ROUNDS):
         sy = F.split("syms", " ")
@@ -1013,7 +1013,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("pair", " ").getItem(1).alias("right_sym"),
                 F.col("c").alias("pair_count"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         bests.append(best)
         vocab = (
@@ -1026,7 +1026,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     res = bests[0]
     for b in bests[1:]:
@@ -1111,7 +1111,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "cnt",
         F.expr(f"concat_ws(' ', split(w, '')) || ' {BPE_END}'").alias("syms"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for rnd in range(BPE_ROUNDS):
         sy = F.split("syms", " ")
         pairs = vocab.select(
@@ -1132,12 +1132,12 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split("pair", " ").getItem(0).alias("lsym"),
                 F.split("pair", " ").getItem(1).alias("rsym"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best))
             .select("w", "cnt", F.expr(_BPE_MERGE_EXPR).alias("syms"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     per_word = vocab.select(
         "w", F.size(F.split("syms", " ")).alias("n_syms")

@@ -165,8 +165,14 @@ def process_neardup_batch(
     out-of-order CDC needs a reorder buffer upstream, not a silently
     wrong log. At scale the max-arrived id is one parquet footer
     statistic off the decision log, not a scan."""
-    if bdf.isEmpty():
+    # one pass over the (small) arrivals answers both "empty?" and the
+    # guard's min id — the old isEmpty + min pair ran two jobs per batch
+    bstats = bdf.agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn")
+    ).collect()[0]
+    if not bstats["n"]:
         return
+    batch_min = bstats["mn"]
     spark = bdf.sparkSession
     dec_path = f"{store_path}/decisions"
     try:
@@ -185,7 +191,6 @@ def process_neardup_batch(
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
         prev_max = None
-    batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
     if prev_max is not None and batch_min <= prev_max:
         raise ValueError(
             "near-dup ingest ordering contract violated: batch "

@@ -264,16 +264,22 @@ def main() -> None:
     # such line AFTER the JSON line destroys the bench record. Disable
     # it for the measurement session, and print the JSON only after
     # spark.stop() so nothing can trail it.
-    # 6g driver heap: the single local-mode JVM holds every memoized
-    # index artifact (PQ codebook, graph edges, exact top-K ground
-    # truths) across the ~70-query suite, and the 1g default started
-    # OOMing at sf0.1 once the suite passed ~65 queries (r05). Same
-    # fix as tests/conftest.py; a rounding error on the 128 GiB box.
+    # 16g driver heap (r12 optimization; was 6g since r05): the single
+    # local-mode JVM holds every memoized index artifact (PQ codebook,
+    # graph edges, exact top-K ground truths) across the ~176-query
+    # suite. At 6g the r12 suite peaked at 75% occupancy and crossed
+    # the 70% release threshold 3 times — each release forces the next
+    # consumer of a dropped artifact to REBUILD it (re-paying k-means /
+    # graph construction mid-bench) and the near-full heap keeps the
+    # collector busy for the whole tail of the run. 16g is still a
+    # rounding error on the 128 GiB box; the guard below stays as the
+    # backstop. On a real cluster this is executor storage memory,
+    # sized to the index artifacts exactly the same way (guide §5).
     spark = get_spark(
         app_name="bfann-bench",
         extra_conf={
             "spark.driver.extraJavaOptions": "-Xlog:disable",
-            "spark.driver.memory": "6g",
+            "spark.driver.memory": "16g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

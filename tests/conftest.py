@@ -17,17 +17,19 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    # One JVM serves the whole ~330-test session: persisted index
+    # One JVM serves the whole ~540-test session: persisted index
     # artifacts, broadcasts and codegen caches accumulate across
     # modules, and the 1g default heap started OOMing once the
-    # registry passed ~135 queries (r05). 6g is still a rounding
-    # error on the 128 GiB box and removes the false-red failure mode
-    # the verify notes warn about.
+    # registry passed ~135 queries (r05). r12: 6g → 12g — at 6g the
+    # tail of the session runs near-full (the same high-occupancy GC
+    # drag the bench showed at 6g); 12g is still a rounding error on
+    # the 128 GiB box and removes the false-red failure mode the
+    # verify notes warn about.
     session = get_spark(
         app_name="bfann-tests",
         cpus="4",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "6g"},
+        extra_conf={"spark.driver.memory": "12g"},
     )
     yield session
 
