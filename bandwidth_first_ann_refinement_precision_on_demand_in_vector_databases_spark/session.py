@@ -103,6 +103,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow on every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Generated-class cache: a registry session compiles several
+        # hundred distinct whole-stage sources and the default
+        # 100-entry LRU evicts recurring shapes (the top-K window
+        # tail, InMemoryTableScan wrappers), re-paying janino compiles
+        # mid-run — measured 15-24% on a 10-query cold subset (r12
+        # optimization round; OPTIMIZATION_r12.md). Class footprints
+        # are small; the same sizing helps executors at any scale.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         # Timestamps in fixtures are naive; pin session TZ for determinism.
         .config("spark.sql.session.timeZone", "UTC")
