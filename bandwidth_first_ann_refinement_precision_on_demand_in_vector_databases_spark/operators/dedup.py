@@ -170,17 +170,27 @@ def minhash_signatures(
     The naive form — K ``array_min(transform(...))`` columns — makes
     Catalyst inline the char-level hash fold into every permutation
     (K× recompute; measured 47× slower at sf0.1)."""
-    hashed = shingle_index(docs, n, text_col, id_col).select(
-        "id", poly_hash(F.col("shingle")).alias("__h")
-    )
+    sigs = minhash_signatures_from_index(shingle_index(docs, n, text_col, id_col))
+    # docs too short to shingle keep a row of NULL signature values
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(sigs, "id", "left")
+
+
+def minhash_signatures_from_index(sh: DataFrame) -> DataFrame:
+    """Per-document MinHash signature rebuilt from an ``(id, shingle)``
+    index — the stored-sketch path: when the shingle index is already
+    materialized (the streaming sketch store), signatures cost one
+    hash+aggregate pass over it instead of re-tokenizing the corpus.
+    Identical to :func:`minhash_signatures` for every document with
+    ≥1 shingle; shingle-less documents are absent here (they carry
+    NULL signatures in the doc form and are dropped by
+    ``minhash_band_buckets`` either way, so the band rows are equal)."""
+    hashed = sh.select("id", poly_hash(F.col("shingle")).alias("__h"))
     aggs = [
         F.min((F.lit(MINHASH_A[k]) * F.col("__h") + F.lit(MINHASH_B[k])) % F.lit(HASH_P)).alias(f"mh_{k}")
         for k in range(MINHASH_K)
     ]
-    sigs = hashed.groupBy("id").agg(*aggs)
-    # docs too short to shingle keep a row of NULL signature values
-    ids = docs.select(F.col(id_col).alias("id"))
-    return ids.join(sigs, "id", "left")
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_band_buckets(sigs: DataFrame) -> DataFrame:
@@ -548,13 +558,22 @@ def semantic_dedup(
 
     stride = IVF_STRIDE if stride is None else stride
     iters = IVF_KMEANS_ITERS if iters is None else iters
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    )
+    # canonical columns: pass the caller's frame THROUGH so the
+    # quantizer/assignment memos key on the (memoized) source frame —
+    # a per-call .select() wrapper gets a fresh id() every invocation,
+    # so the memo never hit and each call pinned a new persisted
+    # assignment until clear_caches (r12 ADVICE #3). With the
+    # pass-through, dedup shares the one session-wide cell table with
+    # every other IVF consumer (extra columns prune out of the plan).
+    if id_col == "vec_id" and vec_col == "embedding":
+        corpus = emb
+    else:
+        corpus = emb.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+    # three consumers (both pair sides + the final membership join) —
+    # ivf_assign is memoized + persisted, so assignment runs once
     assigned = ivf_assign(corpus, ivf_centroids(corpus, stride, iters))
-    # three consumers (both pair sides + the final membership join):
-    # persist so assignment runs once; released by session.clear_caches
-    assigned = assigned.persist()
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
     )

@@ -114,7 +114,7 @@ def compact_cells(
     row per vector (the argmin struct-agg of ``ivf_assign``), then one
     tiny per-cell aggregate — the merge-scheduling input, not a data
     rewrite."""
-    from .simsearch import ivf_assign, ivf_centroids
+    from .simsearch import _ivf_assign_plan, ivf_centroids
 
     cents = ivf_centroids(base)
     tomb = (
@@ -126,10 +126,15 @@ def compact_cells(
     kept_ups = upserts.join(F.broadcast(deletes), "vec_id", "left_anti").select(
         "vec_id", "embedding"
     )
-    tagged = ivf_assign(live_base, cents).select(
+    # live_base/kept_ups are per-invocation derived frames with a
+    # single consumer each: the plain assignment plan, NOT the
+    # memoizing+persisting ivf_assign — a fresh id() per call would
+    # never hit the memo and would pin two new persisted frames per
+    # invocation until clear_caches (r12 ADVICE #1)
+    tagged = _ivf_assign_plan(live_base, cents).select(
         "vec_id", "cell", F.lit(0).alias("is_up")
     ).unionByName(
-        ivf_assign(kept_ups, cents).select(
+        _ivf_assign_plan(kept_ups, cents).select(
             "vec_id", "cell", F.lit(1).alias("is_up")
         )
     )

@@ -92,7 +92,12 @@ def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     fixture frame dozens of times (every LSH/graph/refine-metrics
     consumer); the memo entry pins the DataFrame so a recycled
     ``id()`` can never serve another frame's dim (the session-cache
-    rule). Released with the other memos by ``session.clear_caches``."""
+    rule). Released with the other memos by ``session.clear_caches``.
+    Callers should pass fixture/prepared (session-memoized) frames;
+    per-call derived frames create never-hit entries, so the memo is
+    hard-capped — a sweep that peeks thousands of distinct frames
+    drops the oldest pins instead of retaining every plan it ever saw
+    (r12 ADVICE #4)."""
     from ..session import session_cache
 
     cache = session_cache(df.sparkSession, "embedding_dim")
@@ -103,6 +108,8 @@ def embedding_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
     if row is None or row["d"] is None or int(row["d"]) <= 0:
         raise ValueError(f"cannot derive embedding dim from column {vec_col!r}")
+    if len(cache) >= 256:  # bound never-hit growth from per-call frames
+        cache.pop(next(iter(cache)))
     cache[key] = (df, int(row["d"]))
     return int(row["d"])
 
@@ -744,11 +751,11 @@ def walk_reachability(
     touching the stored graph — property-tested with a planted
     disconnected component in ``tests/test_simsearch.py``."""
     # lazy checkpoints: the plan is truncated at the call exactly as
-    # with eager=True (the RDD is cut from the physical plan
-    # immediately), but no per-round driver JOB runs — the final
-    # action materializes every round once, each persisted on first
-    # use. Saves rounds+1 job submissions per walk (r12 measurement:
-    # the eager form paid ~0.3-1s of fixed job overhead per round).
+    # with eager=True, but only the RESULT-STAGE materialization job
+    # is deferred to the final action (under AQE the shuffle query
+    # stages below the checkpoint still execute at call time — r12
+    # ADVICE #2). The measured win stands: the eager form paid an
+    # extra ~0.3-1s result-stage job per round.
     visited = entries.select("node").localCheckpoint(eager=False)
     for _ in range(rounds):
         nxt = (
@@ -881,8 +888,8 @@ def beam_candidates(
         queries.select("query_id", F.col("embedding").alias("qvec"))
     )
     # lazy checkpoints throughout the walk (see walk_reachability):
-    # identical plan truncation, no eager per-round job — the serve
-    # action materializes each round once.
+    # identical plan truncation; only the result-stage job is
+    # deferred (AQE still runs the shuffle stages at call time).
     if entries is not None:
         cand = entries.localCheckpoint(eager=False)
     else:

@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     minhash_band_buckets,
-    minhash_signatures,
+    minhash_signatures_from_index,
     shingle_index,
 )
 
@@ -112,10 +112,25 @@ def init_neardup_store(
     shingle index — the artifacts ``minhash_signatures`` /
     ``shingle_index`` already define, written once as the stream's
     starting state (partition ``batch_id = -1``; arriving batches add
-    their own partitions)."""
-    bands = minhash_band_buckets(minhash_signatures(existing, n))
-    _write_partition(bands, f"{store_path}/bands", -1)
+    their own partitions).
+
+    One tokenize+shingle pass, not two (r12 VERDICT #3): the shingle
+    index lands first, and the band rows are rebuilt FROM the stored
+    index (``minhash_signatures_from_index`` — identical band rows:
+    shingle-less docs carry NULL signatures and are dropped by the
+    banding either way). The old form re-shingled the corpus for the
+    signature pass — the dominant cost of store init."""
     _write_partition(shingle_index(existing, n), f"{store_path}/shingles", -1)
+    sh = _read_batch(existing.sparkSession, f"{store_path}/shingles", -1)
+    bands = minhash_band_buckets(minhash_signatures_from_index(sh))
+    _write_partition(bands, f"{store_path}/bands", -1)
+
+
+def _read_batch(spark: SparkSession, path: str, batch_id: int) -> DataFrame:
+    """The rows of one ``batch_id`` partition (partition-pruned scan)."""
+    return spark.read.parquet(path).where(
+        F.col("batch_id") == batch_id
+    ).drop("batch_id")
 
 
 def start_neardup_ingest(
@@ -199,12 +214,27 @@ def process_neardup_batch(
             "be ascending doc_id ranges (reorder upstream or use "
             "write_ordered_stream_source)"
         )
-    # sketch the arrivals once; both the band join and the verify
-    # read them — localCheckpoint cuts the per-batch lineage
-    b_bands = minhash_band_buckets(
-        minhash_signatures(bdf, n)
-    ).localCheckpoint(eager=True)
-    b_sh = shingle_index(bdf, n).localCheckpoint(eager=True)
+    # Sketch the arrivals ONCE and land the sketches straight in their
+    # own batch partition (r12 VERDICT #3 — per-batch job count):
+    # the sink write the batch owes anyway doubles as the
+    # materialization the old eager localCheckpoints paid separate
+    # jobs for, and the band rows are rebuilt from the STORED shingle
+    # index instead of re-tokenizing the arrivals a second time
+    # (identical band rows — see ``minhash_signatures_from_index``).
+    # Writing the arrival sketches before the decision log is safe for
+    # the decision rule AND for retries: every store read below
+    # excludes the batch's own partitions (``!= batch_id``), so the
+    # decision inputs cannot see these writes, and a retried batch
+    # overwrites the same partitions with the same rows (dynamic
+    # partition overwrite). 5 jobs per batch, was 8.
+    _write_partition(shingle_index(bdf, n), f"{store_path}/shingles", batch_id)
+    b_sh = _read_batch(spark, f"{store_path}/shingles", batch_id)
+    _write_partition(
+        minhash_band_buckets(minhash_signatures_from_index(b_sh)),
+        f"{store_path}/bands",
+        batch_id,
+    )
+    b_bands = _read_batch(spark, f"{store_path}/bands", batch_id)
     s_bands = spark.read.parquet(f"{store_path}/bands").where(
         F.col("batch_id") != batch_id  # a retry must not see its own sketches
     )
@@ -234,6 +264,10 @@ def process_neardup_batch(
         .withColumnRenamed("d_id", "doc_id")
         .withColumn("__n", F.lit(1))
     )
+    # the decision plan reads only frozen inputs (arrivals + the
+    # store's OTHER partitions), so it writes directly — no
+    # decide-before-mutate checkpoint needed now that the own-batch
+    # exclusion isolates it from the sketch writes above
     decisions = (
         bdf.select("doc_id")
         .join(near, "doc_id", "left")
@@ -242,14 +276,8 @@ def process_neardup_batch(
             F.coalesce("__n", F.lit(0)).alias("is_near_dup"),
             (F.col("__n").isNull()).cast("int").alias("keep"),
         )
-        .localCheckpoint(eager=True)  # decide BEFORE any sink mutates
     )
     _write_partition(decisions, dec_path, batch_id)
-    # arrivals join the store AFTER their own decisions — later
-    # batches (larger ids) see them, their own batch used the
-    # within-batch join above
-    _write_partition(b_bands, f"{store_path}/bands", batch_id)
-    _write_partition(b_sh, f"{store_path}/shingles", batch_id)
 
 
 def neardup_decisions(
@@ -404,37 +432,44 @@ def process_reordered_batch(
     Arrivals BELOW the previous watermark violate the declared
     lateness bound: their range has already been released, so the
     batch fails loud (the r11 contract) rather than dropping them."""
-    if bdf.isEmpty():
+    # one pass over the (small) arrivals answers "empty?" and the
+    # lateness guard's min id together (the isEmpty + min pair ran two
+    # jobs); one conditional pass over the arrivals store answers both
+    # watermarks (the old prev-max + cur-max pair ran two scans)
+    bstats = bdf.agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn")
+    ).collect()[0]
+    if not bstats["n"]:
         return
+    batch_min = bstats["mn"]
     spark = bdf.sparkSession
     arr_path = f"{store_path}/arrivals"
     _write_partition(bdf.select("doc_id", "text"), arr_path, batch_id)
-    arrivals = spark.read.parquet(arr_path)
-    prev_max = (
-        arrivals.where(F.col("batch_id") < batch_id)
-        .agg(F.max("doc_id"))
-        .collect()[0][0]
-    )
-    wm_prev = None if prev_max is None else prev_max - lateness
-    if wm_prev is not None:
-        batch_min = bdf.agg(F.min("doc_id")).collect()[0][0]
-        if batch_min is not None and batch_min <= wm_prev:
-            raise ValueError(
-                "near-dup reorder buffer lateness bound violated: batch "
-                f"{batch_id} arrives with doc_id {batch_min} <= watermark "
-                f"{wm_prev} (max seen - {lateness}); that id range was "
-                "already released — raise the lateness bound to cover "
-                "the stream's real disorder"
-            )
-    cur = arrivals.where(F.col("batch_id") <= batch_id)
-    wm_cur = cur.agg(F.max("doc_id")).collect()[0][0] - lateness
-    release = cur.where(F.col("doc_id") <= wm_cur)
+    arrivals = spark.read.parquet(arr_path).where(F.col("batch_id") <= batch_id)
+    wms = arrivals.agg(
+        F.max(F.when(F.col("batch_id") < batch_id, F.col("doc_id"))).alias("prev"),
+        F.max("doc_id").alias("cur"),
+    ).collect()[0]
+    wm_prev = None if wms["prev"] is None else wms["prev"] - lateness
+    if wm_prev is not None and batch_min is not None and batch_min <= wm_prev:
+        raise ValueError(
+            "near-dup reorder buffer lateness bound violated: batch "
+            f"{batch_id} arrives with doc_id {batch_min} <= watermark "
+            f"{wm_prev} (max seen - {lateness}); that id range was "
+            "already released — raise the lateness bound to cover "
+            "the stream's real disorder"
+        )
+    wm_cur = wms["cur"] - lateness
+    release = arrivals.where(F.col("doc_id") <= wm_cur)
     if wm_prev is not None:
         release = release.where(F.col("doc_id") > wm_prev)
-    release = release.select("doc_id", "text").localCheckpoint(eager=True)
-    if release.isEmpty():
-        return
-    process_neardup_batch(release, batch_id, store_path, n, threshold)
+    # no checkpoint / emptiness probe: the release set is a
+    # deterministic partition-pruned read of the frozen arrivals
+    # store (nothing below mutates it), and the ordered path's own
+    # first-pass stats handle an empty release
+    process_neardup_batch(
+        release.select("doc_id", "text"), batch_id, store_path, n, threshold
+    )
 
 
 def start_neardup_ingest_reordered(
@@ -487,11 +522,10 @@ def flush_neardup_buffer(
     ).collect()[0]
     if stats.max_id is None:
         return
-    tail = (
-        arrivals.where(F.col("doc_id") > stats.max_id - lateness)
-        .select("doc_id", "text")
-        .localCheckpoint(eager=True)
+    # the tail is a deterministic read of the frozen arrivals store
+    # (the ordered path never writes to it) — no checkpoint, and the
+    # ordered path's first-pass stats handle an empty tail
+    tail = arrivals.where(F.col("doc_id") > stats.max_id - lateness).select(
+        "doc_id", "text"
     )
-    if tail.isEmpty():
-        return
     process_neardup_batch(tail, int(stats.max_b) + 1, store_path, n, threshold)
