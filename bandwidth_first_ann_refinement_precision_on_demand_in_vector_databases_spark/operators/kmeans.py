@@ -100,6 +100,26 @@ def kmeans_centroids(
     cents = points.where(F.col("pid") % stride == 0).select(
         "grp", F.col("pid").alias("cid"), F.col("pvec").alias("cvec")
     )
+    # the per-coordinate aggregate/rescale expressions are built as SQL
+    # text parsed JVM-side in one call per column: the Column-object
+    # form cost ~6 py4j round trips per coordinate per iteration
+    # (~2-3s of driver time per Lloyd round at dim=64, measured — the
+    # _planes_array_sql lesson). Identical analyzed expressions.
+    sum_exprs = [
+        F.expr(
+            f"sum(CAST(floor(CAST(element_at(pvec, {j + 1}) AS DOUBLE) * 1000000.0D)"
+            f" AS BIGINT)) AS __s{j}"
+        )
+        for j in range(dim if iters > 0 else 0)
+    ]
+    mean_expr = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(__s{j} AS DOUBLE) / n / 1000000.0D"
+            for j in range(dim if iters > 0 else 0)
+        )
+        + ") AS new_cvec"
+    )
     for _ in range(iters):
         assigned = (
             points.join(F.broadcast(cents), "grp")
@@ -115,27 +135,8 @@ def kmeans_centroids(
         )
         refit = (
             assigned.groupBy("grp", "cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(
-                        F.floor(
-                            F.element_at("pvec", j + 1).cast("double") * F.lit(1e6)
-                        ).cast("bigint")
-                    ).alias(f"__s{j}")
-                    for j in range(dim)
-                ],
-            )
-            .select(
-                "grp",
-                "cid",
-                F.array(
-                    *[
-                        F.col(f"__s{j}").cast("double") / F.col("n") / F.lit(1e6)
-                        for j in range(dim)
-                    ]
-                ).alias("new_cvec"),
-            )
+            .agg(F.count("*").alias("n"), *sum_exprs)
+            .select("grp", "cid", mean_expr)
         )
         nxt = (
             cents.join(F.broadcast(refit), ["grp", "cid"], "left")
@@ -147,6 +148,14 @@ def kmeans_centroids(
         # registered so session.clear_caches releases the iteration
         # frames (each is consumed twice: next assign + carryover join)
         persisted[len(persisted)] = nxt
+        # MATERIALIZE each round before planning the next (guide §5 /
+        # §3.3 plan-truncation note): left lazy, the final consumer
+        # optimizes and broadcasts the fully NESTED iteration chain —
+        # measured 104.6s for a 3-round dim=64 build on this box vs
+        # 22s with per-round materialization (each round's plan then
+        # truncates at the previous round's InMemoryTableScan). The
+        # count() is one tiny job over n_centroids rows per round.
+        nxt.count()
         cents = nxt
     return cents
 

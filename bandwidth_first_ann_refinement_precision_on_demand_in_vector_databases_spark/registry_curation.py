@@ -46,14 +46,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_CURATION = f"""
 WITH tq AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
-scored AS (
+scored AS MATERIALIZED (
   SELECT doc_id, text, toks,
     {_SQL_QUALITY} AS q,
     {_score_cols},
     CAST(len({SQL_RE_TOKS}) AS INT) AS n_tokens
   FROM tq
 ),
-good AS (
+good AS MATERIALIZED (
   SELECT *, CASE WHEN {_mx} > 0 THEN (CASE {_case} END) ELSE 'und' END AS pred_lang
   FROM scored WHERE q >= {QUALITY_MIN}
 ),
@@ -61,9 +61,9 @@ grp AS (
   SELECT min(doc_id) AS doc_id, count(*) AS n_copies
   FROM good GROUP BY lower(text)
 ),
-canon AS (SELECT g.*, grp.n_copies FROM good g JOIN grp USING (doc_id)),
+canon AS MATERIALIZED (SELECT g.*, grp.n_copies FROM good g JOIN grp USING (doc_id)),
 {sql_minhash_ctes("canon")},
-bands AS ({_sql_band_rows()}),
+bands AS MATERIALIZED ({_sql_band_rows()}),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
@@ -73,7 +73,7 @@ pairs AS (
   FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
 ),
 dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= {MINHASH_TAU}),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM dup
   UNION
   SELECT id_b AS src, id_a AS dst FROM dup

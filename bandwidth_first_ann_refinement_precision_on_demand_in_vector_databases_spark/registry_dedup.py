@@ -30,9 +30,13 @@ def sql_shingle_ctes(src: str = "documents", prefix: str = "") -> str:
     """``prefix`` renames the CTEs (``{p}t``/``{p}sh``) so two shingle
     pipelines can coexist in one query (decontamination shingles the
     corpus and the holdout separately)."""
+    # sh is the expensive shingling pass and every downstream oracle
+    # references it 2+ times (pair sides, verify joins); DuckDB 1.0
+    # re-inlines plain CTEs per reference — AS MATERIALIZED is the
+    # r04 semantic-dedup lesson (296s -> 0.5s), a hint, not semantics.
     return f"""
 {prefix}t AS (SELECT doc_id AS id, {SQL_TOKS} AS toks FROM {src}),
-{prefix}sh AS (SELECT id,
+{prefix}sh AS MATERIALIZED (SELECT id,
   CASE WHEN len(toks) >= {SHINGLE_N}
     THEN list_distinct(list_transform(range(1, len(toks) - {SHINGLE_N - 2}),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
@@ -94,7 +98,7 @@ def sql_minhash_ctes(src: str = "documents") -> str:
     return f"""
 {sql_shingle_ctes(src)},
 hv AS (SELECT id, list_transform(shs, s -> {_sql_poly_hash('s')}) AS hv FROM sh),
-sigs AS (SELECT id, {_sql_minhash_cols()} FROM hv)
+sigs AS MATERIALIZED (SELECT id, {_sql_minhash_cols()} FROM hv)
 """
 
 
@@ -120,7 +124,7 @@ def _sql_band_rows() -> str:
 
 SQL_DEDUP_MINHASH = f"""
 WITH {SQL_MINHASH_CTES},
-bands AS ({_sql_band_rows()}),
+bands AS MATERIALIZED ({_sql_band_rows()}),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
@@ -147,16 +151,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cc_rounds(iters: int) -> str:
+    # each round references the previous label frame twice and edges
+    # once more — materialize every level or DuckDB re-inlines the
+    # whole chain per reference (multiplicative blow-up over rounds)
     parts = [
-        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges)"
     ]
     for i in range(1, iters + 1):
         prev, cur = f"l{i - 1}", f"l{i}"
-        parts.append(f"""nb{i} AS (
+        parts.append(f"""nb{i} AS MATERIALIZED (
   SELECT e.src, min(l.label) AS nb_label
   FROM edges e JOIN {prev} l ON l.id = e.dst GROUP BY e.src
 )""")
-        parts.append(f"""{cur} AS (
+        parts.append(f"""{cur} AS MATERIALIZED (
   SELECT v.id, least(v.label, coalesce(n.nb_label, v.label)) AS label
   FROM {prev} v LEFT JOIN nb{i} n ON n.src = v.id
 )""")
@@ -165,7 +172,7 @@ def _sql_cc_rounds(iters: int) -> str:
 
 SQL_DEDUP_COMPONENTS = f"""
 WITH {SQL_MINHASH_CTES},
-bands AS ({_sql_band_rows()}),
+bands AS MATERIALIZED ({_sql_band_rows()}),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
@@ -175,7 +182,7 @@ pairs AS (
   FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
 ),
 dup AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= {MINHASH_TAU}),
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM dup
   UNION
   SELECT id_b AS src, id_a AS dst FROM dup
@@ -220,7 +227,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SIMHASH = f"""
 WITH {SQL_SIMHASH_CTES},
-bands AS (
+bands AS MATERIALIZED (
   SELECT id, simhash, b AS band, (simhash >> (b * 8)) % 256 AS bkey
   FROM sk CROSS JOIN (SELECT unnest(range({D.SIMHASH_BANDS})) AS b)
 ),
@@ -452,7 +459,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_INCREMENTAL = f"""
 WITH {SQL_MINHASH_CTES},
-bands AS ({_sql_band_rows()}),
+bands AS MATERIALIZED ({_sql_band_rows()}),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id

@@ -748,7 +748,7 @@ def _sql_stream_neardup() -> str:
 
     return f"""
 WITH {SQL_MINHASH_CTES},
-bands AS ({_sql_band_rows()}),
+bands AS MATERIALIZED ({_sql_band_rows()}),
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id

@@ -520,7 +520,7 @@ def _sql_mmr() -> str:
     one_minus = 1.0 - lam
     head = f"""
 WITH q AS ({SQL_Q_CTE}),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, doc_id, rel, embedding FROM (
     SELECT q.query_id, e.vec_id AS doc_id,
       {_sql_cos("q.qe", "e.embedding")} AS rel, e.embedding,
@@ -529,13 +529,13 @@ cand AS (
     FROM q CROSS JOIN embeddings e
   ) WHERE rn <= {V.MMR_TOPN}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
          {_sql_cos("a.embedding", "b.embedding")} AS sim
   FROM cand a JOIN cand b
     ON a.query_id = b.query_id AND a.doc_id != b.doc_id
 ),
-sel1 AS (
+sel1 AS MATERIALIZED (
   SELECT query_id, 1 AS rank, doc_id, mmr FROM (
     SELECT query_id, doc_id, {lam} * rel AS mmr,
       row_number() OVER (PARTITION BY query_id
@@ -547,12 +547,12 @@ sel1 AS (
     for i in range(2, V.MMR_K + 1):
         prev = f"sel{i - 1}"
         parts.append(f""",
-rem{i} AS (
+rem{i} AS MATERIALIZED (
   SELECT c.query_id, c.doc_id, c.rel FROM cand c
   WHERE NOT EXISTS (SELECT 1 FROM {prev} s
                     WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id)
 ),
-pen{i} AS (
+pen{i} AS MATERIALIZED (
   SELECT r.query_id, r.doc_id, max(p.sim) AS pen
   FROM rem{i} r
   JOIN {prev} s ON s.query_id = r.query_id
@@ -560,7 +560,7 @@ pen{i} AS (
              AND p.id_a = r.doc_id AND p.id_b = s.doc_id
   GROUP BY r.query_id, r.doc_id
 ),
-pick{i} AS (
+pick{i} AS MATERIALIZED (
   SELECT query_id, {i} AS rank, doc_id, mmr FROM (
     SELECT r.query_id, r.doc_id,
       {lam} * r.rel - {one_minus} * n.pen AS mmr,
@@ -570,7 +570,7 @@ pick{i} AS (
       ON n.query_id = r.query_id AND n.doc_id = r.doc_id
   ) WHERE rn = 1
 ),
-sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
     parts.append(f"""
 SELECT query_id, rank, doc_id, round(mmr, 6) AS mmr FROM sel{V.MMR_K}
 """)

@@ -275,10 +275,22 @@ def main() -> None:
     # rounding error on the 128 GiB box; the guard below stays as the
     # backstop. On a real cluster this is executor storage memory,
     # sized to the index artifacts exactly the same way (guide §5).
+    # -XX:ReservedCodeCacheSize=512m (r13): the default 240 MB JIT
+    # code cache splits into ~120 MB profiled + ~120 MB non-profiled
+    # heaps, and a measured 13-query prefix of this suite already
+    # fills 69 MB of the profiled heap — the ~184-query suite crosses
+    # the cap mid-run, at which point the JVM starts flushing warm
+    # nmethods and re-JITting them (or disables tiered compilation),
+    # producing exactly the late-suite multi-x anomalies and
+    # run-to-run variance r12 chalked up to "box drift". Same fix
+    # class as the 16g heap: a long-lived executor JIT-ing hundreds
+    # of generated classes wants the same headroom at any scale.
     spark = get_spark(
         app_name="bfann-bench",
         extra_conf={
-            "spark.driver.extraJavaOptions": "-Xlog:disable",
+            "spark.driver.extraJavaOptions": (
+                "-Xlog:disable -XX:ReservedCodeCacheSize=512m"
+            ),
             "spark.driver.memory": "16g",
         },
     )
@@ -307,10 +319,23 @@ def main() -> None:
     # list and per-query timing methodology are untouched. Canary
     # artifacts are keyed on sf0.01 (disjoint from the suite's
     # $SPARK_GRAFT_SF_DIR memos) and released before the suite runs.
+    # refine_l2_tz_metrics is the 4th canary: the refine fused scan is
+    # the most compile-sensitive shape in the engine (r12's drift hit
+    # codegen/JIT ~10x), so a drift normalizer that skips it would
+    # under-read exactly the drift it exists to measure. Side effect
+    # (disclosed): its generated sources land in the codegen cache, so
+    # the suite's refine rows measure steady-state compute rather than
+    # one-time session JIT — same warm-up class as the Python-worker
+    # spawn above.
     _CANARY_SF = "/root/testdata/sf0.01"
     canary: dict[str, float] = {}
     if os.path.isdir(_CANARY_SF):
-        for _cname in ("pricing_summary", "topk_cosine_exact", "tfidf_topn"):
+        for _cname in (
+            "pricing_summary",
+            "topk_cosine_exact",
+            "tfidf_topn",
+            "refine_l2_tz_metrics",
+        ):
             spark.sparkContext.setJobDescription(f"canary: {_cname}")
             _t0 = time.perf_counter()
             registry.QUERIES[_cname](spark, _CANARY_SF).write.format(
@@ -335,6 +360,23 @@ def main() -> None:
 
     def _heap_used_mb() -> float:
         return (_rt.totalMemory() - _rt.freeMemory()) / 1e6
+
+    # JIT code-cache telemetry (additive): peak used/max of the
+    # CodeHeap pools, so the record shows whether the suite ever
+    # approached the flush threshold (the r12 anomaly mechanism)
+    _pools = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+    _code_pools = [
+        _pools.get(i)
+        for i in range(_pools.size())
+        if "CodeHeap" in _pools.get(i).getName()
+    ]
+
+    def _code_cache_mb() -> tuple[float, float]:
+        used = sum(p.getUsage().getUsed() for p in _code_pools) / 1e6
+        cap = sum(max(p.getUsage().getMax(), 0) for p in _code_pools) / 1e6
+        return used, cap
+
+    peak_code_mb = 0.0
 
     _HEAP_RELEASE_FRAC = 0.70
     peak_heap_mb = 0.0
@@ -364,6 +406,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
         used = _heap_used_mb()
         peak_heap_mb = max(peak_heap_mb, used)
+        peak_code_mb = max(peak_code_mb, _code_cache_mb()[0])
         if used > _HEAP_RELEASE_FRAC * _heap_max_mb:
             from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.session import (
                 clear_caches,
@@ -407,6 +450,8 @@ def main() -> None:
         "n_cache_releases": n_cache_releases,
         "canary_sec": canary_sec,
         "canary_queries": canary,
+        "peak_code_cache_mb": round(peak_code_mb, 1),
+        "code_cache_cap_mb": round(_code_cache_mb()[1], 1),
     }
     # full record to disk — the driver's stdout tail-capture window is
     # ~2.3 KB, and r04's single line (~5 KB) overflowed it, leaving

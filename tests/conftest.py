@@ -25,11 +25,18 @@ def spark():
     # drag the bench showed at 6g); 12g is still a rounding error on
     # the 128 GiB box and removes the false-red failure mode the
     # verify notes warn about.
+    # ReservedCodeCacheSize: the 540-test session JITs even more
+    # generated classes than the bench; the 240 MB default crosses the
+    # flush threshold mid-suite and re-JIT churn inflates the tail
+    # (same mechanism as the bench — see bench.py).
     session = get_spark(
         app_name="bfann-tests",
         cpus="4",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "12g"},
+        extra_conf={
+            "spark.driver.memory": "12g",
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+        },
     )
     yield session
 
