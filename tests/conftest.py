@@ -42,6 +42,27 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def registry_artifacts(spark, sf_small) -> dict:
+    """{name: (schema, executed-plan string)} for every registered
+    query at sf0.001, computed ONCE per session (r12 VERDICT #2: the
+    three scale-guard sweeps and the two registry-shape tests each
+    re-built all ~250 physical plans — ~880s of the suite's wall —
+    for assertions that only read the plan text / schema)."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark import (
+        registry,
+    )
+
+    out = {}
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, sf_small)
+        out[name] = (
+            df.schema,
+            df._jdf.queryExecution().executedPlan().toString(),
+        )
+    return out
+
+
+@pytest.fixture(scope="session")
 def sf_small() -> str:
     return SF_SMALL
 

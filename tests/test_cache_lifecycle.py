@@ -81,3 +81,52 @@ def test_repeated_operator_invocation_keeps_cache_bounded(spark, sf_small):
     # released by the ContextCleaner only after py4j GC (async) — the
     # memo reference is gone either way, so it cannot grow.
     assert _n_persistent(spark) <= 1
+
+
+def test_embedding_dim_memo_is_hard_capped(spark, sf_small):
+    """r12 ADVICE #4: per-call derived frames must not grow the
+    embedding_dim memo without bound — the cache caps at 256 entries
+    and evicts the oldest pin instead of retaining every plan it ever
+    peeked."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.simsearch import (
+        embedding_dim,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+    )
+
+    clear_caches(spark)
+    corpus = load_table(spark, sf_small, "embeddings")
+    frames = [corpus.select("vec_id", "embedding") for _ in range(6)]
+    cache = session_cache(spark, "embedding_dim")
+    cache.update({(i, "x"): (None, 64) for i in range(256)})  # fill to the cap
+    for f in frames:
+        assert embedding_dim(f) > 0
+    assert len(session_cache(spark, "embedding_dim")) <= 256
+    clear_caches(spark)
+
+
+def test_compact_cells_does_not_grow_the_assignment_memo(spark, sf_small):
+    """r12 ADVICE #1: per-invocation derived frames (live_base,
+    kept_ups) go through the plain assignment plan — repeated
+    compact_cells calls must not add ivf_assign memo entries or
+    persisted frames."""
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators.mutate import (
+        compact_cells,
+        fixture_mutation,
+    )
+    from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.sources.fixtures import (
+        load_table,
+    )
+
+    clear_caches(spark)
+    corpus = load_table(spark, sf_small, "embeddings")
+    ups, dels = fixture_mutation(corpus)
+    compact_cells(corpus, ups, dels).count()
+    n_memo = len(session_cache(spark, "ivf_assign"))
+    n_persist = _n_persistent(spark)
+    for _ in range(2):
+        compact_cells(corpus, ups, dels).count()
+    assert len(session_cache(spark, "ivf_assign")) == n_memo
+    assert _n_persistent(spark) == n_persist
+    clear_caches(spark)

@@ -44,26 +44,31 @@ def test_oracle_match_sf0001(spark, sf_small, con, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-def test_every_query_runs(spark, sf_small):
-    """Queries without oracles still must run and return a schema."""
+def test_every_query_runs(spark, sf_small, registry_artifacts):
+    """Queries without oracles still must run and return a schema.
+    Oracled queries MATERIALIZE in the gate above (each compare runs
+    the full query), so re-counting them here paid ~245 redundant
+    jobs (~250s of the r12 suite wall); the count() sweep covers only
+    the rows-only queries the gate never executes. Construction +
+    schema of every query is still asserted via the shared fixture."""
+    for name, (schema, _) in registry_artifacts.items():
+        assert schema.fields, name
     for name, fn in registry.QUERIES.items():
-        df = fn(spark, sf_small)
-        assert df.columns, name
-        assert df.count() >= 0, name
+        if name not in registry.ORACLES:
+            assert fn(spark, sf_small).count() >= 0, name
 
 
-def test_no_nonatomic_output_columns(spark, sf_small):
+def test_no_nonatomic_output_columns(registry_artifacts):
     """The driver's value canonicalizer hashes cell values and crashes
     on list cells (`TypeError: unhashable type: 'list'` — the r01/r02
     rownorm_unit failure). Every registered query, oracled or not, must
     therefore emit only atomic column types."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    for name, fn in registry.QUERIES.items():
-        df = fn(spark, sf_small)
+    for name, (schema, _) in registry_artifacts.items():
         bad = [
             f.name
-            for f in df.schema.fields
+            for f in schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         assert not bad, f"{name} emits non-scalar columns {bad}"

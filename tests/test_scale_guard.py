@@ -61,34 +61,35 @@ def single_partition_sort_windows(plan: str) -> list[str]:
     return hits
 
 
-def test_no_cartesian_product_in_any_registered_plan(spark, sf_small):
+def test_no_cartesian_product_in_any_registered_plan(registry_artifacts):
     """Cross joins are allowed only with a broadcast side (planned as
     BroadcastNestedLoopJoin — bounded by the broadcast, the corpus
     side streams). An unbroadcast CartesianProduct shuffles every
-    pair and cannot survive scale-up."""
-    offenders = []
-    for name, fn in registry.QUERIES.items():
-        plan = _phys(fn(spark, sf_small))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    pair and cannot survive scale-up. (The three sweeps share one
+    plan build — the session-scoped ``registry_artifacts`` fixture.)"""
+    offenders = [
+        name
+        for name, (_, plan) in registry_artifacts.items()
+        if "CartesianProduct" in plan
+    ]
     assert not offenders, f"cartesian products in: {offenders}"
 
 
-def test_no_rowwise_python_udf_in_any_registered_plan(spark, sf_small):
+def test_no_rowwise_python_udf_in_any_registered_plan(registry_artifacts):
     """Python touches data only through Arrow-batched pandas UDFs
     (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) — a
     row-at-a-time BatchEvalPython node means a ~10-100x slow path
     crept into a registered query."""
-    offenders = []
-    for name, fn in registry.QUERIES.items():
-        plan = _phys(fn(spark, sf_small))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
+    offenders = [
+        name
+        for name, (_, plan) in registry_artifacts.items()
+        if "BatchEvalPython" in plan
+    ]
     assert not offenders, f"row-wise Python UDFs in: {offenders}"
 
 
 def test_no_single_partition_sort_or_window_in_any_registered_plan(
-    spark, sf_small
+    registry_artifacts,
 ):
     """A global unpartitioned Window/orderBy (Exchange SinglePartition
     feeding a Sort/Window over a corpus-sized input) is a one-task
@@ -98,8 +99,8 @@ def test_no_single_partition_sort_or_window_in_any_registered_plan(
     as RangePartitioning (parallel) and final scalar aggregates keep
     their SinglePartition partials exchange — neither is matched."""
     offenders = {}
-    for name, fn in registry.QUERIES.items():
-        hits = single_partition_sort_windows(_phys(fn(spark, sf_small)))
+    for name, (_, plan) in registry_artifacts.items():
+        hits = single_partition_sort_windows(plan)
         if hits:
             offenders[name] = hits
     assert not offenders, f"single-partition sorts/windows in: {offenders}"

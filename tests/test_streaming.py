@@ -181,6 +181,7 @@ def test_stream_dedup_drops_duplicate_across_batches(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow  # watermark off-by-one property drain (~47s): slow tier
 def test_tumbling_watermark_incremental_progression(spark, tmp_path):
     """True incremental execution: hand-built micro-batches with a
     controlled out-of-order row, run in APPEND mode so results are

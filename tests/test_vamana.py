@@ -4,6 +4,7 @@ semantics, edge-set invariants, and the construction-quality claim
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bandwidth_first_ann_refinement_precision_on_demand_in_vector_databases_spark.operators import (
@@ -174,6 +175,7 @@ def test_vamana_delta_insert_invariants(spark, sf_small):
     assert affected <= out_srcs, "every affected resident must be re-emitted"
 
 
+@pytest.mark.slow  # multi-batch property sweep (~40s): slow tier, r12 VERDICT #2
 def test_vamana_delta_resident_degree_bounded_over_batches(spark, sf_small):
     """The r10 gap, closed (Subramanya et al. 2019 Alg. 2 step 3):
     under k=3 SEQUENTIAL insert batches with per-src replacement
@@ -241,6 +243,7 @@ def test_delta_edges_dangling_dst_fails_loud(spark):
         V.vamana_delta_edges(delta, corpus, edges, degree=3).collect()
 
 
+@pytest.mark.slow  # planted-component walk property: slow tier, r12 VERDICT #2
 def test_reachability_stat_catches_planted_disconnected_component(spark):
     """VERDICT r11 stretch #9: the walk-horizon coverage stat must be
     load-bearing, not always-1.0. Plant a component that is (a)
