@@ -761,82 +761,72 @@ QUERIES.update(VECTORDB_QUERIES)
 #: checked in r02), so no query's driver check goes more than two
 #: rounds stale. The long-green remainder follows in original order.
 _FRONT = [
-    # r12 rotation. VERDICT r11 "Next round" #1: the 3 index-
-    # observability queries (registered after the r11 window ran —
-    # never driver-checked) lead, followed by the 45 r07-stale rows
-    # (the cushion-composition + IVFPQ + streaming-window + TPC-H-head
-    # + text-quality block) in memo-friendly order. Done criterion:
-    # ">=45 of the r07 cohort plus all 3 observability rows green";
-    # after this window no query is older than r08. Queries ADDED
-    # this round (new operators) slot in at the head as they land.
-    # -- NEW this round (r12): exact-substring dedup (Lee et al.
-    # -- 2022) + the reorder-buffered near-dup ingest — both need
-    # -- their first driver rows --
-    "dedup_substring",
-    "stream_dedup_neardup_reordered",
-    "ivf_rebalance",
-    # -- SPANN closure postings (Chen et al. NeurIPS 2021): shares
-    # -- the memoized IVF quantizer with the cushion block below --
-    "ann_spann_topk",
-    "ann_spann_recall",
-    "spann_posting_stats",
-    "stream_spann_ingest",
-    "ann_spann_index_topk",
-    # -- never driver-checked (3): first rows due this window.
-    # -- ivf_cell_stats shares the IVF centroid memo with the
-    # -- ann_ivf_cushion_* block below; the two vamana stats share
-    # -- one session-memoized Vamana build --
-    "ivf_cell_stats",
-    "vamana_degree_stats",
-    "vamana_reachability_stats",
-    # -- r07-stale (45), memo-friendly: PQ family first (shared
-    # -- codebook memos), then IVF/LSH cushions, sketches, then the
-    # -- corpus/dedup/text block, relational tail --
-    "ann_pq_topk",
-    "ann_pq_recall",
-    "ann_pq_refined_topk",
-    "pq_codes",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall",
-    "ann_ivf_cushion_topk",
-    "ann_ivf_cushion_metrics",
-    "ann_ivf_cushion_recall",
-    "ann_ivf_ranking_metrics",
-    "ann_lsh_cushion_topk",
-    "ann_lsh_ranking_metrics",
-    "cms_merge_halves",
-    "hll_merge_halves",
-    "stream_hll_registers",
-    "corpus_curation",
-    "corpus_mixture",
-    "corpus_sample",
-    "dedup_embedding",
-    "dedup_embedding_lsh",
-    "dedup_incremental",
-    "dedup_semantic",
-    "embedding_dim_stats",
-    "fuzzy_name_pairs",
-    "grouping_sets_orders",
-    "media_decode",
-    "media_metadata",
-    "order_priority_count",
-    "pivot_events",
-    "pricing_summary",
-    "quality_gate",
-    "recall_l2_vs_cosine",
-    "reduce_precision",
-    "reduce_precision_ekeep",
-    "returned_item_revenue",
-    "shipping_priority",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "text_lm_quality",
-    "text_quality",
-    "text_repetition",
+    # r13 rotation (the documented anti-staleness policy; r12 VERDICT
+    # stretch #9). No query's semantics changed this round
+    # (optimization round — every result bit-identical), so the window
+    # is pure staleness rotation: the 6 r07-stale rows that clipped
+    # past the r12 window lead, then the full 45-row r08-stale cohort
+    # (latest green row = CORRECTNESS_r08) in memo-friendly order.
+    # Done criterion: all 6 r07 + >=44 of the r08 cohort green; after
+    # this window no query is older than r09. Slot 51 may clip and
+    # leads r14 with the r09-stale cohort.
+    # -- r07-stale (6): the text-quality block + window frame --
     "text_stats",
+    "text_quality",
+    "text_lm_quality",
+    "text_repetition",
     "vocab_topn",
     "window_range_frame",
+    # -- r08-stale (45), memo-friendly: LSH bands/multiprobe first
+    # -- (share the banded corpus memo + scored frames), then the
+    # -- graph/centroid walks (share knn edges + IVF medoids), the
+    # -- MaxSim pool family, SQ, filtered/range, hybrid, artifacts,
+    # -- dedup/decon, compression/stats, TPC-H tail --
+    "ann_lsh_cushion_metrics",
+    "ann_lsh_cushion_tuned_metrics",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_multiprobe_recall",
+    "ann_lsh_multiprobe_cushion_topk",
+    "ann_lsh_multiprobe_cushion_metrics",
+    "ann_knn_graph",
+    "ann_knn_graph_recall",
+    "ann_graph_centroid_topk",
+    "ann_graph_centroid_recall",
+    "ann_maxsim_rerank",
+    "ann_maxsim_recall",
+    "ann_maxsim_index_topk",
+    "ann_ivf_maxsim_topk",
+    "ann_ivf_maxsim_recall",
+    "ann_mmr_rerank",
+    "ann_sq_topk",
+    "ann_sq_refined_topk",
+    "ann_sq_recall",
+    "ann_ivfsq_topk",
+    "ann_ivfsq_recall",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
+    "ann_range_search",
+    "ann_stream_fresh_topk",
+    "hybrid_rrf",
+    "hybrid_bm25_rrf",
+    "pq_codebook",
+    "ivf_cell_sizes",
+    "dedup_components",
+    "decontamination",
+    "doc_chunks",
+    "compression_model",
+    "compression_model_tuned",
+    "media_features",
+    "embedding_drift_psi",
+    "hist_merge_halves",
+    "brand_discount_revenue",
+    "idle_customer_balance",
+    "important_parts",
+    "local_supplier_volume",
+    "min_cost_supplier",
+    "priority_line_counts",
+    "small_quantity_revenue",
+    "supplier_part_counts",
 ]
 # (the _FRONT rotation is applied at the END of this module, after
 # every late registration block has run)
