@@ -377,6 +377,18 @@ def main() -> None:
         return used, cap
 
     peak_code_mb = 0.0
+    # per-query GC wall (additive diagnostics): with the code cache
+    # fixed, the remaining run-to-run variance is sporadic multi-second
+    # stalls on random queries — this records whether a stalled query
+    # spent its wall in collector pauses (tunable) or outside the JVM
+    # (external/host noise, not code)
+    _gcs = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    _gc_beans = [_gcs.get(i) for i in range(_gcs.size())]
+
+    def _gc_ms() -> float:
+        return float(sum(b.getCollectionTime() for b in _gc_beans))
+
+    gc_ms: dict[str, float] = {}
 
     _HEAP_RELEASE_FRAC = 0.70
     peak_heap_mb = 0.0
@@ -387,6 +399,7 @@ def main() -> None:
     suite = _suite()
     for name, fn in suite.items():
         start = time.perf_counter()
+        _gc0 = _gc_ms()
         df = fn(spark, SF_DIR)
         # single-row quality-metric queries: collect the row so the
         # BASELINE.md targets (saving / recall / FPR, compression
@@ -404,6 +417,7 @@ def main() -> None:
         else:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        gc_ms[name] = round(_gc_ms() - _gc0, 1)
         used = _heap_used_mb()
         peak_heap_mb = max(peak_heap_mb, used)
         peak_code_mb = max(peak_code_mb, _code_cache_mb()[0])
@@ -452,6 +466,7 @@ def main() -> None:
         "canary_queries": canary,
         "peak_code_cache_mb": round(peak_code_mb, 1),
         "code_cache_cap_mb": round(_code_cache_mb()[1], 1),
+        "gc_ms": gc_ms,
     }
     # full record to disk — the driver's stdout tail-capture window is
     # ~2.3 KB, and r04's single line (~5 KB) overflowed it, leaving
