@@ -216,9 +216,13 @@ def rotate_expr(vec_col: str) -> str:
 def opq_rot_corpus(
     corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """The rotated corpus view (vec_id, embedding) — memoized per
-    session so the PQ artifacts trained over it (keyed by
-    ``id(frame)``) are built once and shared."""
+    """The rotated corpus (vec_id, embedding) — memoized AND persisted
+    per session: the PQ artifacts trained over it (keyed by
+    ``id(frame)``) are built once and shared, and the persist stops
+    each consumer from re-evaluating the 64-fold-per-coordinate
+    rotation — ``pq_codes``' 8 subvector slices alone re-ran the whole
+    R·x transform 8× per vector over the lazy view (the r09 rabitq
+    element_at lesson). Released by ``session.clear_caches``."""
     cache = session_cache(corpus.sparkSession, "opq_rot_corpus")
     key = (id(corpus), vec_col, id_col)
     if key not in cache:
@@ -227,7 +231,7 @@ def opq_rot_corpus(
             corpus.select(
                 F.col(id_col).alias("vec_id"),
                 F.expr(rotate_expr(vec_col)).alias("embedding"),
-            ),
+            ).persist(),
         )
     return cache[key][1]
 
